@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query over /root/testdata/sf0.001.
+``queries()`` / ``oracle_sql()`` — the engine's declared capability surface,
+sourced from :mod:`hadoop_web_browsing_logs_spark.plans.registry`; every
+operator from SURVEY.md §2 registers itself there with a DuckDB oracle twin
+where SQL-expressible.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hadoop_web_browsing_logs_spark.plans import registry as _registry
+
+SF_SMOKE_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's end-to-end pipeline, Spark-first — tokenize →
+    clean → stopword anti-join → inverted index over ``documents``
+    (ProcessData.java Job 1 re-expressed; falls back to the TPC-H Q1-style
+    aggregate if the text pipeline is unavailable)."""
+    # events.parquet needs the nanos legacy conf; harmless to set here for
+    # driver-created sessions that didn't come from our session factory.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    qs = _registry.queries()
+    flagship = "q_text_inverted_index" if "q_text_inverted_index" in qs else "q1_pricing_summary"
+    return qs[flagship](spark, SF_SMOKE_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry.oracle_sql()

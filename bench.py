@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of one timed pass over all headline queries
+(after a warm-up pass of the session). Per-query seconds are the median-ish
+single timed run — cheap enough to run every iteration while tuning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hadoop_web_browsing_logs_spark.plans.registry import all_queries
+from hadoop_web_browsing_logs_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: one representative per operator family (kept small enough for
+#: a per-round driver run, broad enough to catch a regression in any family).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q_join_multiway",
+    "q_join_range",
+    "q_agg_cube",
+    "q_window_rank",
+    "q_topk_per_group",
+    "q_scalar_json",
+    "q_text_inverted_index",
+    "q_text_tfidf",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_sim_cosine_topk",
+    "q_vec_nearest_center",
+    "q_stream_tumbling_batch",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries] or sorted(queries)[:5]
+
+    # Warm-up: JVM + parquet footers + Python worker pool.
+    for n in names:
+        queries[n].fn(spark, SF_DIR).limit(1).collect()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for n in names:
+        t0 = time.perf_counter()
+        df = queries[n].fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        per_query[n] = round(dt, 3)
+        total += dt
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+The reference drives two hand-configured Hadoop jobs from ``main()``
+(ProcessData.java:624-679); here one SparkSession + a lazy DataFrame DAG replaces
+both jobs and the HDFS round-trip between them (ProcessData.java:659, 675).
+
+Config choices are scale-motivated (see SCALE.md):
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  dynamic broadcast conversion — the knobs that keep one static plan valid from
+  sf0.001 local tests up to a 1000-executor 100 TB run.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count; on a real
+  cluster AQE's coalescing makes the initial number mostly irrelevant as long
+  as it is high enough, so production configs should raise it (e.g. 2000+)
+  and let AQE shrink.
+- Arrow enabled: every Python-side kernel in this engine is a Pandas UDF /
+  applyInPandas (batched Arrow transfer), never a row-at-a-time Python UDF.
+- Session timezone pinned UTC so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "hadoop-web-browsing-logs-spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``local[cpus]`` for tests; on a cluster the master/executor settings come
+    from spark-submit and everything here still applies.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type —
+        # read as int64 and convert explicitly (sources.readers.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

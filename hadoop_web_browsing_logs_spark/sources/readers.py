@@ -1,0 +1,111 @@
+"""Sources.
+
+Reference scans (all text-file based):
+
+- A1 directory text scan — ``FileInputFormat.addInputPath`` + per-line map
+  (ProcessData.java:658, 675, 387-388) → :func:`read_corpus_dir` /
+  ``spark.read.text``.
+- A2 filename→doc-id extraction — manual ``getInputSplit().getPath().getName()``
+  substring parse (ProcessData.java:392-401, 417) → ``F.input_file_name()`` +
+  ``regexp_extract``.
+- A3 filesystem metadata scan — ``fs.getContentSummary``/``listStatus``
+  (ProcessData.java:627-645) → the corpus is a DataFrame, so corpus cardinality
+  is a plain distinct count, computed inside the same plan.
+
+The new engine's canonical storage is columnar Parquet (vectorized scan, predicate
+pushdown, column pruning — none of which the reference's text pipeline had); CSV /
+JSON / text remain supported sources for ingestion parity.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: The driver-generated fixture tables (TESTDATA.md): TPC-H-ish star schema +
+#: events stream + documents corpus + embeddings.
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Parquet → vectorized reader, pushdown-capable.
+
+    ``events.ts`` is written as Parquet TIMESTAMP(NANOS), which Spark's reader
+    has no native type for — read it as int64 nanos (legacy flag) and convert
+    to a microsecond TimestampType column (truncation matches a
+    ``CAST(ts_ns AS TIMESTAMP)`` in engines with native nanos, e.g. DuckDB).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # requires spark.sql.legacy.parquet.nanosAsLong=true (set in session.py)
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so operators can be written
+    in either the DataFrame API or ``spark.sql`` — Catalyst produces the same
+    plan for both."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_corpus_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Reference-parity corpus reader: a directory of ``<int>.<ext>`` text files,
+    one document per file.
+
+    Replaces the reference's per-line mapper + filename parse
+    (ProcessData.java:387-401): doc id = integer filename prefix before the last
+    dot, 1-based (ProcessData.java:417, 464). Lines of one file are re-grouped
+    into a single document row; at scale the grouping is a hash shuffle on
+    doc_id, and file-level parallelism is preserved by Spark's file splitting.
+
+    Returns ``corpus(doc_id INT, text STRING)``.
+    """
+    lines = spark.read.text(path).withColumn("_file", F.input_file_name())
+    return (
+        lines.withColumn(
+            "doc_id",
+            F.regexp_extract(F.col("_file"), r"(\d+)\.[^./]*$", 1).cast("int"),
+        )
+        .groupBy("doc_id")
+        .agg(F.concat_ws("\n", F.collect_list("value")).alias("text"))
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType | str | None = None, **options) -> DataFrame:
+    """CSV source with explicit schema (no inference in production paths)."""
+    reader = spark.read.options(header=True, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | str | None = None, **options) -> DataFrame:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

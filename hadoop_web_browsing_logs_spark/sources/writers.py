@@ -1,0 +1,57 @@
+"""Sinks.
+
+The reference's only sink is tab-separated text via ``TextOutputFormat``
+(A10 — ProcessData.java:38, 659, 676), including the quirky incidence-vector
+serialization ``term\\t[1,0,1,]`` with a trailing comma
+(ProcessData.java:462-469) and implicitly term-sorted lines (shuffle sort,
+SURVEY Q8). That format is kept behind :func:`write_reference_text` for
+compatibility; the engine default is partitioned Parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Default sink: Parquet, optionally hive-partitioned.
+
+    Partitioned writes are the scale path — downstream scans prune on the
+    partition columns without touching data files.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Tab-separated text sink — reference ``TextOutputFormat`` parity
+    (ProcessData.java:38)."""
+    df.write.mode(mode).option("sep", "\t").csv(path)
+
+
+def reference_vector_string(vec_col) -> "F.Column":
+    """Serialize an ARRAY<INT> incidence vector in the reference's exact text
+    format ``[v1,v2,...,vN,]`` — trailing comma included
+    (ProcessData.java:462-469)."""
+    return F.concat(F.lit("["), F.concat_ws("", F.transform(vec_col, lambda v: F.concat(v.cast("string"), F.lit(",")))), F.lit("]"))
+
+
+def write_reference_text(index_df: DataFrame, path: str, term_col: str = "term", vec_col: str = "vec") -> None:
+    """Job-1-output-compatible sink: ``term\\t[1,0,1,]`` lines, term-sorted
+    (the reference's implicit shuffle sort, SURVEY Q8)."""
+    (
+        index_df.sort(term_col)
+        .select(
+            F.concat_ws("\t", F.col(term_col), reference_vector_string(F.col(vec_col))).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
