@@ -1,1 +1,362 @@
-"""Placeholder — filled in during its milestone."""
+"""Text pipeline — reference parity (SURVEY A1-A10) + text analysis (B9).
+
+The reference's Job 1 (ProcessData.java:650-664) is: per-file text scan →
+tokenize (:390) → strip punctuation (:405) → stop-word filter against a
+DistributedCache set (:408,416) → Porter stem (:407-412) → shuffle by term →
+incidence vector per term (:454-472) → tab-separated text out (:659).
+
+Spark-first re-expression (one lazy DAG, no HDFS round-trip between stages):
+
+    read → explode(split) → regexp_replace → broadcast ANTI-join(stopwords)
+         → pandas_udf(stem) → groupBy(term).agg(collect_set(doc_id)) → densify
+
+Pipeline order (strip → stopword-filter → stem) preserves the reference's
+semantics (SURVEY Q3); incidence is distinct-presence, not frequency
+(SURVEY Q1 → ``collect_set``).
+
+Scale notes: tokenization explodes rows ~100× — it runs entirely inside
+whole-stage codegen before the only wide exchange (groupBy term). Term skew
+("the"-like heads after stopword removal) is handled by Spark's partial
+aggregation: per-partition collect_set shrinks the hot key before the
+shuffle. The stemmer is the single Python stage; Arrow-batched + LRU-cached
+(token distributions are Zipfian, so the cache hit rate is ~1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.porter import stem_udf
+from ..functions.text_stats import (
+    BPE_TOKEN_PATTERN,
+    LANG_MARKERS,
+    STOPWORDS,
+    avg_token_len,
+    fingerprint_md5,
+    lang_scores,
+    quality_score,
+    stopword_count,
+    token_count_bpe,
+    token_count_ws,
+    ws_tokens,
+)
+from ..plans.registry import query
+from ._util import t
+
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# ---------------------------------------------------------------------------
+# Library operators (reference parity; used by queries below and by tests)
+# ---------------------------------------------------------------------------
+
+
+def tokenize(docs: DataFrame, text_col: str = "text", doc_col: str = "doc_id") -> DataFrame:
+    """Corpus → one row per (doc_id, token): lowercase, whitespace-split,
+    punctuation-stripped, empties dropped (A4+A5)."""
+    return (
+        docs.select(doc_col, F.explode(ws_tokens(text_col)).alias("token"))
+        .withColumn("token", F.regexp_replace("token", r"\p{P}", ""))
+        .filter(F.col("token") != "")
+    )
+
+
+def remove_stopwords(tokens: DataFrame, spark: SparkSession, stopwords=STOPWORDS) -> DataFrame:
+    """Broadcast anti-join — the Spark shape of the reference's map-side
+    HashSet rejection (A6, ProcessData.java:408/416). For a list this small
+    an ``isin`` filter would fold into codegen too; the anti-join form is the
+    one that scales to million-word blocklists."""
+    sw = spark.createDataFrame([(w,) for w in stopwords], ["token"])
+    return tokens.join(F.broadcast(sw), "token", "left_anti")
+
+
+def stem_terms(tokens: DataFrame) -> DataFrame:
+    """Porter-stem the token column (A7) — the engine's one pandas_udf stage."""
+    return tokens.withColumn("term", stem_udf(F.col("token"))).drop("token")
+
+
+def inverted_index(spark: SparkSession, docs: DataFrame, stem: bool = True) -> DataFrame:
+    """Full Job-1 parity: term → sorted distinct postings (A8+A9).
+
+    Returns ``(term, postings ARRAY<INT/LONG>, df INT)``. Distinct-presence
+    semantics via ``collect_set`` (SURVEY Q1)."""
+    toks = remove_stopwords(tokenize(docs), spark)
+    if stem:
+        toks = stem_terms(toks)
+    else:
+        toks = toks.withColumnRenamed("token", "term")
+    return toks.groupBy("term").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        F.size(F.collect_set("doc_id")).alias("df"),
+    )
+
+
+def densify_incidence(index: DataFrame, n_docs: int, one_based: bool = True) -> DataFrame:
+    """Postings → dense 0/1 incidence vector of length ``n_docs`` — the
+    reference's reducer output (A9, ProcessData.java:454-472), as a first-class
+    ARRAY<INT> instead of a string."""
+    start = 1 if one_based else 0
+    ids = F.sequence(F.lit(start), F.lit(start + n_docs - 1))
+    return index.withColumn(
+        "vec", F.transform(ids, lambda i: F.array_contains("postings", i).cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (driver oracle gate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_token_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(DISTINCT doc_id)   AS n_docs,
+           COUNT(*)                 AS n_tokens,
+           COUNT(DISTINCT token)    AS vocab,
+           MIN(token)               AS first_token,
+           MAX(token)               AS last_token
+    FROM (
+        SELECT d.lang, d.doc_id, u.token
+        FROM documents d, UNNEST(string_split_regex(lower(trim(d.text)), '\\s+')) AS u(token)
+        WHERE u.token <> ''
+    )
+    GROUP BY lang
+    """,
+    category="text",
+    description="Tokenize (explode/split, A4) + per-language corpus stats.",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = tokenize(docs.select("lang", "doc_id", "text"))
+    toks = docs.select("lang", "doc_id").join(toks, "doc_id")
+    return toks.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("vocab"),
+        F.min("token").alias("first_token"),
+        F.max("token").alias("last_token"),
+    )
+
+
+@query(
+    "q_text_term_doc_freq",
+    oracle="""
+    SELECT * FROM (
+        SELECT token AS term,
+               COUNT(DISTINCT doc_id) AS df,
+               COUNT(*) AS tf_total,
+               ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT doc_id) DESC, token) AS rnk
+        FROM (SELECT d.doc_id, u.token
+              FROM documents d, UNNEST(string_split_regex(lower(trim(d.text)), '\\s+')) AS u(token)
+              WHERE u.token <> '')
+        GROUP BY token
+    ) WHERE rnk <= 20
+    """,
+    category="text",
+    description="Term/document frequency table, top-20 by df with deterministic tiebreak.",
+)
+def q_text_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokenize(t(spark, sf_dir, "documents"))
+    w = W.orderBy(F.col("df").desc(), F.col("term"))
+    return (
+        toks.groupBy(F.col("token").alias("term"))
+        .agg(F.countDistinct("doc_id").alias("df"), F.count(F.lit(1)).alias("tf_total"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+@query(
+    "q_text_stopword_filter",
+    oracle=f"""
+    SELECT token AS term, COUNT(*) AS n
+    FROM (SELECT u.token
+          FROM documents d, UNNEST(string_split_regex(lower(trim(d.text)), '\\s+')) AS u(token)
+          WHERE u.token <> '')
+    WHERE token NOT IN ({_SW_SQL})
+    GROUP BY token
+    """,
+    category="text",
+    description="Stop-word rejection as a broadcast ANTI-join (A6 — the reference's DistributedCache HashSet, ProcessData.java:408/416).",
+)
+def q_text_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = remove_stopwords(tokenize(t(spark, sf_dir, "documents")), spark)
+    return toks.groupBy(F.col("token").alias("term")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_text_inverted_index",
+    oracle=f"""
+    SELECT token AS term,
+           COUNT(DISTINCT doc_id) AS df,
+           array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+    FROM (SELECT d.doc_id, u.token
+          FROM documents d, UNNEST(string_split_regex(lower(trim(d.text)), '\\s+')) AS u(token)
+          WHERE u.token <> '')
+    WHERE token NOT IN ({_SW_SQL})
+    GROUP BY token
+    """,
+    category="text",
+    description="The reference's flagship: inverted index term→postings (A8+A9), distinct-presence semantics (collect_set), postings serialized sorted for comparison.",
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = inverted_index(spark, t(spark, sf_dir, "documents"), stem=False)
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(F.col("postings"), ",").alias("postings"),
+    )
+
+
+@query(
+    "q_text_stemmed_terms",
+    oracle=None,  # Porter-1 semantics pinned by golden vectors in pytest;
+    # DuckDB's stem() is Snowball/Porter2 — deliberately not the oracle.
+    category="text",
+    description="Stemmed term frequencies — the full A4→A7 map-side pipeline incl. the pandas_udf Porter stemmer.",
+)
+def q_text_stemmed_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = stem_terms(remove_stopwords(tokenize(t(spark, sf_dir, "documents")), spark))
+    return toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("df")
+    )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT d.doc_id, u.token AS term
+        FROM documents d, UNNEST(string_split_regex(lower(trim(d.text)), '\\s+')) AS u(token)
+        WHERE u.token <> ''
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT * FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                                           tf.term) AS rnk
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        WHERE tf.doc_id % 20 = 0
+    ) WHERE rnk <= 5
+    """,
+    category="text",
+    description="tf-idf: map-side tf, shuffled df, broadcast N; top-5 terms per sampled doc.",
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = tokenize(docs)
+    tf = toks.groupBy("doc_id", F.col("token").alias("term")).agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy(F.col("token").alias("term")).agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    raw = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    w = W.partitionBy("doc_id").orderBy(raw.desc(), F.col("term"))
+    return (
+        tf.filter(F.col("doc_id") % 20 == 0)
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", "df", F.round(raw, 6).alias("tfidf"), F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           len(toks)                                        AS n_tokens,
+           len(list_distinct(toks))                         AS n_distinct,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_tok_len,
+           len(list_filter(toks, x -> x IN ({_SW_SQL})))    AS n_stopwords,
+           (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.6
+            + CAST(len(list_filter(toks, x -> x IN ({_SW_SQL}))) AS DOUBLE) / len(toks) * 0.4)
+           * (CASE WHEN len(toks) < 5 OR len(toks) > 10000 THEN 0.5 ELSE 1.0 END) AS quality
+    FROM (SELECT doc_id, n_chars,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+          FROM documents)
+    """,
+    category="text",
+    description="Per-doc quality scoring: lexical diversity + stopword density + length penalty (LLM-pipeline filter stage).",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(ws_tokens("text"), lambda x: x != "")
+    d = docs.select("doc_id", "n_chars", toks.alias("toks"))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        avg_token_len(F.col("toks")).alias("avg_tok_len"),
+        stopword_count(F.col("toks")).alias("n_stopwords"),
+        quality_score(F.col("toks"), F.col("n_chars")).alias("quality"),
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {', '.join(
+               f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)}))) AS score_{lang}"
+               for lang, markers in LANG_MARKERS.items()
+           )},
+           CASE GREATEST({', '.join(f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)})))" for markers in LANG_MARKERS.values())})
+                WHEN 0 THEN 'und'
+                {' '.join(
+                    f"WHEN len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in markers)}))) THEN '{lang}'"
+                    for lang, markers in LANG_MARKERS.items()
+                )}
+           END AS lang_guess
+    FROM (SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+          FROM documents)
+    """,
+    category="text",
+    description="Language-ID heuristic: marker-word votes per language, argmax with deterministic first-match tie-break.",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(ws_tokens("text"), lambda x: x != "")
+    d = docs.select("doc_id", F.col("lang").alias("labeled_lang"), toks.alias("toks"))
+    scores = lang_scores(F.col("toks"))
+    best = F.greatest(*scores.values())
+    guess = F.when(best == 0, "und")
+    for lang, sc in scores.items():
+        guess = guess.when(sc == best, lang)
+    return d.select(
+        "doc_id",
+        "labeled_lang",
+        *[sc.alias(f"score_{lang}") for lang, sc in scores.items()],
+        guess.alias("lang_guess"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text)))                                  AS fp,
+           length(text)                                            AS text_len,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))         AS bpe_tokens,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS ws_tokens
+    FROM documents
+    WHERE doc_id % 10 = 0
+    """,
+    category="text",
+    description="Document fingerprinting (MD5, engine-portable) + whitespace vs BPE-ish token counting.",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return docs.select(
+        "doc_id",
+        fingerprint_md5("text").alias("fp"),
+        F.length("text").alias("text_len"),
+        token_count_bpe("text").alias("bpe_tokens"),
+        F.size(F.filter(ws_tokens("text"), lambda x: x != "")).alias("ws_tokens"),
+    )

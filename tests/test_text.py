@@ -1,0 +1,126 @@
+"""Text pipeline tests: DuckDB differentials + reference-parity goldens.
+
+The golden corpus/expectations come from FIXTURES.md §1 (hand-checkable 3-doc
+corpus mirroring the reference's input shape, ProcessData.java:387-401).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_web_browsing_logs_spark.functions.porter import porter_stem
+from hadoop_web_browsing_logs_spark.operators import text as text_ops
+from hadoop_web_browsing_logs_spark.plans.registry import all_queries
+from hadoop_web_browsing_logs_spark.sources.writers import reference_vector_string
+
+from .conftest import assert_query_matches_oracle
+
+
+def _oracle_names():
+    return sorted(n for n, q in all_queries().items() if q.oracle is not None and q.category == "text")
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_matches_duckdb_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name)
+
+
+# --- Porter stemmer goldens (full-pipeline outputs of the classic algorithm;
+#     vocabulary drawn from the reference's own step-table comments,
+#     ProcessData.java:207-227, plus the published Porter examples) ---
+
+GOLDEN_STEMS = {
+    "caresses": "caress", "flies": "fli", "dies": "di", "mules": "mule",
+    "denied": "deni", "died": "di", "agreed": "agre", "owned": "own",
+    "humbled": "humbl", "sized": "size", "meetings": "meet", "stating": "state",
+    "itemization": "item", "sensational": "sensat", "traditional": "tradit",
+    "reference": "refer", "colonizer": "colon", "plotted": "plot",
+    "ponies": "poni", "ties": "ti", "cats": "cat", "feed": "feed",
+    "motoring": "motor", "sing": "sing", "hopping": "hop", "tanned": "tan",
+    "falling": "fall", "hissing": "hiss", "failing": "fail", "filing": "file",
+    "happy": "happi", "sky": "sky", "play": "plai", "milling": "mill",
+    "controlling": "control", "generalization": "gener", "oscillators": "oscil",
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "probate": "probat", "rate": "rate", "cease": "ceas",
+}
+
+
+def test_porter_golden_vectors():
+    bad = {w: (porter_stem(w), e) for w, e in GOLDEN_STEMS.items() if porter_stem(w) != e}
+    assert not bad, f"stemmer mismatches: {bad}"
+
+
+def test_porter_deterministic_and_total():
+    # classic Porter is NOT idempotent (agreed→agre→agr) — determinism and
+    # totality over odd inputs are the useful properties to pin.
+    for w in ["", "a", "ab", "''", "123", "x" * 50, *GOLDEN_STEMS]:
+        assert porter_stem(w) == porter_stem(w)
+        assert isinstance(porter_stem(w), str)
+
+
+# --- Golden 3-doc corpus (FIXTURES.md §1): full Job-1 parity ---
+
+CORPUS = [
+    (1, "the cats are meeting, and agreed to play."),
+    (2, "a cat was milling; ponies agreed."),
+    (3, "meetings about caresses and ties."),
+]
+GOLDEN_STOPWORDS = ("the", "and", "a", "to", "was", "are", "about")
+
+
+@pytest.fixture(scope="module")
+def golden_index(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    idx = text_ops.inverted_index(spark, docs, stem=True)
+    # override default stopwords with the golden list
+    toks = text_ops.remove_stopwords(text_ops.tokenize(docs), spark, GOLDEN_STOPWORDS)
+    toks = text_ops.stem_terms(toks)
+    from pyspark.sql import functions as F
+
+    return toks.groupBy("term").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        F.size(F.collect_set("doc_id")).alias("df"),
+    )
+
+
+def test_golden_inverted_index(golden_index):
+    got = {r.term: r.postings for r in golden_index.collect()}
+    expected = {
+        "cat": [1, 2],      # cats/cat → cat
+        "meet": [1, 3],     # meeting/meetings → meet
+        "agre": [1, 2],     # agreed → agre (classic Porter)
+        "plai": [1],        # play → plai
+        "mill": [2],        # milling → mill
+        "poni": [2],        # ponies → poni
+        "caress": [3],      # caresses → caress
+        "ti": [3],          # ties → ti
+    }
+    assert got == expected
+
+
+def test_golden_incidence_vectors(golden_index):
+    dense = text_ops.densify_incidence(golden_index, n_docs=3, one_based=True)
+    got = {r.term: r.vec for r in dense.collect()}
+    assert got["cat"] == [1, 1, 0]
+    assert got["meet"] == [1, 0, 1]
+    assert got["ti"] == [0, 0, 1]
+
+
+def test_reference_compat_serialization(spark, golden_index):
+    """term\\t[1,0,1,] with trailing comma — ProcessData.java:462-469 (Q2)."""
+    from pyspark.sql import functions as F
+
+    dense = text_ops.densify_incidence(golden_index, n_docs=3, one_based=True)
+    line = dense.filter(F.col("term") == "cat").select(
+        F.concat_ws("\t", F.col("term"), reference_vector_string(F.col("vec"))).alias("line")
+    ).collect()[0].line
+    assert line == "cat\t[1,1,0,]"
+
+
+def test_tokenize_order_strip_then_filter_then_stem(spark):
+    """SURVEY Q3: 'meeting,' must strip punctuation BEFORE the stopword check
+    and stem AFTER it — 'are' (stopword) never reaches the stemmer."""
+    docs = spark.createDataFrame([(1, "the cats, are meeting!")], ["doc_id", "text"])
+    toks = text_ops.remove_stopwords(text_ops.tokenize(docs), spark, GOLDEN_STOPWORDS)
+    terms = sorted(r.term for r in text_ops.stem_terms(toks).collect())
+    assert terms == ["cat", "meet"]
