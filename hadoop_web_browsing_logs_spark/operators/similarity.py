@@ -1,1 +1,146 @@
-"""Placeholder — filled in during its milestone."""
+"""Similarity search over embeddings (SURVEY B11) — brute-force cosine top-k
+as the exact baseline, random-hyperplane LSH as the 100 TB path.
+
+The brute force generalizes the reference's nearest-center scan
+(ProcessData.java:521-532) from k centers to the full corpus. At scale the
+all-pairs crossJoin is O(n·m); the LSH variant buckets vectors by a 16-bit
+hyperplane signature so candidate generation becomes an equi-join on the
+bucket key — a shuffle join on a small key space instead of a nested loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, dot, duck_cosine_similarity
+from ..plans.registry import query
+from ._util import t
+
+TOP_K = 5
+QUERY_STRIDE = 50  # vec_id % stride == 0 → query points
+
+N_PLANES = 16
+N_BANDS = 4  # banded LSH: 4 bands × 4 planes — any-band match → candidate
+LSH_SEED = 42
+EMB_DIM = 64
+
+
+def brute_force_topk(
+    queries: DataFrame, candidates: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact cosine top-k: crossJoin + per-query window. ``queries`` has
+    (q_id, q_vec); ``candidates`` has (c_id, c_vec)."""
+    sim = cosine_similarity("q_vec", "c_vec")
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        queries.crossJoin(candidates)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+@query(
+    "q_sim_cosine_topk",
+    oracle=f"""
+    SELECT * FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               {duck_cosine_similarity('q.embedding', 'c.embedding')} AS sim,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {duck_cosine_similarity('q.embedding', 'c.embedding')} DESC,
+                                           c.vec_id) AS rnk
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id % {QUERY_STRIDE} = 0 AND q.vec_id <> c.vec_id
+    ) WHERE rnk <= {TOP_K}
+    """,
+    category="similarity",
+    description="Brute-force cosine top-k neighbors for strided query points — the exact ANN baseline.",
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    candidates = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return brute_force_topk(F.broadcast(queries), candidates)
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed — FIXTURES.md §3 rule 4)."""
+    rng = np.random.default_rng(LSH_SEED)
+    return rng.standard_normal((N_PLANES, EMB_DIM)).tolist()
+
+
+def lsh_band_signatures(vec_col: str) -> F.Column:
+    """Banded random-hyperplane signatures: ARRAY<STRUCT<band, sig>> where
+    band b's sig packs the sign bits of planes [b·w, (b+1)·w). A pair is a
+    candidate if ANY band signature matches — the classic OR-of-ANDs
+    construction that trades precision for recall. Pure SQL expression over
+    literal planes — stays in codegen, no UDF."""
+    planes = _hyperplanes()
+    width = N_PLANES // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        sig = F.lit(0)
+        for j in range(width):
+            plane = planes[b * width + j]
+            lit = F.array(*[F.lit(float(x)) for x in plane])
+            sig = sig + F.when(dot(F.col(vec_col), lit) >= 0, 1 << j).otherwise(0)
+        bands.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+    return F.array(*bands)
+
+
+@query(
+    "q_sim_lsh_ann",
+    oracle=None,  # approximate by construction; recall vs brute force is the
+    # pytest check — the query itself reports per-query recall.
+    category="similarity",
+    description="Random-hyperplane LSH ANN: bucket by 16-bit signature, equi-join candidates, top-k in-bucket; reports recall@k vs the exact brute-force top-k (self-evaluating).",
+)
+def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.explode(lsh_band_signatures("embedding")).alias("bs")
+    ).select("vec_id", "embedding", "bs.band", "bs.sig")
+    queries = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"), "band", "sig"
+    )
+    cands = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"), "band", "sig")
+
+    # candidate pairs: any band matches (OR-of-ANDs) → distinct pairs
+    pairs = (
+        queries.join(cands, ["band", "sig"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_vec", "c_id", "c_vec")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    sim = cosine_similarity("q_vec", "c_vec")
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    lsh_topk = (
+        pairs.select("q_id", "c_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+    exact = brute_force_topk(
+        F.broadcast(queries.select("q_id", "q_vec")),
+        t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")),
+    ).select("q_id", F.col("c_id").alias("exact_c_id"))
+
+    hits = lsh_topk.join(
+        exact, (lsh_topk.q_id == exact.q_id) & (lsh_topk.c_id == exact.exact_c_id), "left_semi"
+    )
+    return (
+        exact.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("found")), "q_id", "left")
+        .select(
+            "q_id",
+            "k",
+            F.coalesce("found", F.lit(0)).alias("found"),
+            (F.coalesce("found", F.lit(0)) / F.col("k")).alias("recall"),
+        )
+    )

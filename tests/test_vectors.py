@@ -1,0 +1,52 @@
+"""Vector/clustering/similarity tests: DuckDB differentials + property checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_web_browsing_logs_spark.plans.registry import all_queries, get_query
+
+from .conftest import SF_DIR, assert_query_matches_oracle
+
+
+def _oracle_names():
+    return sorted(
+        n
+        for n, q in all_queries().items()
+        if q.oracle is not None and q.category in ("vector", "similarity")
+    )
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_matches_duckdb_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name)
+
+
+def test_kmeans_clusters_embeddings(spark):
+    rows = get_query("q_vec_kmeans").fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert sum(r.n_members for r in rows) == 500
+    # the synthetic embeddings are only weakly separable (within-cluster
+    # cosine ≈ 0.14) — require purity above the 1/k random baseline, which
+    # still fails loudly if the pipeline (vectorization, seeding) breaks
+    weighted_purity = sum(r.purity * r.n_members for r in rows) / 500
+    assert weighted_purity > 0.12, f"purity {weighted_purity}"
+
+
+def test_lsh_recall_reasonable(spark):
+    rows = get_query("q_sim_lsh_ann").fn(spark, SF_DIR).collect()
+    assert rows, "no query points"
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    # 4-band × 4-bit hyperplane LSH on weakly-similar synthetic vectors:
+    # ~25% of pairs examined, recall ≈ 0.2 observed. Random candidate
+    # selection at that budget would land near 5/500·... ≈ 0.25·k-overlap;
+    # the floor pins against outright breakage (bad signature math → ~0).
+    assert mean_recall >= 0.1, f"mean recall {mean_recall}"
+
+
+def test_nearest_center_assignment_total(spark):
+    df = get_query("q_vec_nearest_center").fn(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == 500  # every point assigned exactly once
+    assert all(0 <= r.center_id < 8 for r in rows)
+    assert all(-1e-9 <= r.dist <= 2.0 + 1e-9 for r in rows)  # cosine distance range (fp slack)
