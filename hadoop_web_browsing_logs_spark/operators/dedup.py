@@ -1,1 +1,350 @@
-"""Placeholder — filled in during its milestone."""
+"""Deduplication — SURVEY B10 + the LLM-pipeline dedup family.
+
+Exact dedup (hash-groupBy), n-gram/unigram Jaccard near-dup, MinHash
+signatures with LSH banding, SimHash, and embedding-cosine near-dup. The
+reference has no dedup surface; the closest ancestor is its distinct-presence
+incidence semantics (duplicate (term,doc) pairs collapse — ProcessData.java:464,
+SURVEY Q1), which is exactly the ``collect_set``/``dropDuplicates`` shape
+productized here.
+
+Scale notes:
+
+- Exact dedup keys on a fingerprint (MD5 here; xxhash64 for speed when
+  portability doesn't matter) → shuffle on the hash, never on the payload.
+- All-pairs Jaccard is O(n²) — the registered query demonstrates it on a
+  strided sample; the scale path is MinHash+LSH banding, which turns
+  near-dup candidate generation into an equi-join on (band, slot) keys.
+- SimHash uses an engine-portable polynomial token hash so the whole
+  computation (hash → per-bit vote → pack) runs as one codegen'd SQL
+  expression on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text_stats import fingerprint_md5
+from ..functions.vector import cosine_similarity, duck_cosine_similarity
+from ..plans.registry import query
+from ._util import t
+
+PAIR_STRIDE = 5  # doc_id % stride == 0 → sampled pair universe
+JACCARD_THRESHOLD = 0.9
+
+MINHASH_PERMS = 32
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+MINHASH_BANDS = 8
+
+HASH_MOD = 2147483647
+SIMHASH_BITS = 16
+
+
+def distinct_tokens(text_col: str = "text") -> Column:
+    return F.array_distinct(
+        F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != "")
+    )
+
+
+_DUCK_TOKS = "list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT source,
+           COUNT(*)                                   AS n_docs,
+           COUNT(DISTINCT md5(lower(trim(text))))     AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS n_exact_dups
+    FROM documents
+    GROUP BY source
+    """,
+    category="dedup",
+    description="Exact dedup accounting per source: fingerprint (MD5) group-by — the shuffle key is 16 bytes, not the document payload.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").withColumn("fp", fingerprint_md5("text"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
+    )
+
+
+def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Library form: keep one row per exact duplicate group
+    (``dropDuplicates`` — hash agg on the chosen columns)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# Near-dup: n-gram Jaccard (exact, sampled) — the brute-force baseline
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_jaccard_pairs",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks
+        FROM documents WHERE doc_id % {PAIR_STRIDE} = 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))) >= {JACCARD_THRESHOLD}
+    """,
+    category="dedup",
+    description="Token-set Jaccard near-dup pairs over a strided sample (exact quadratic baseline the MinHash path approximates).",
+)
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % PAIR_STRIDE == 0)
+        .select("doc_id", distinct_tokens().alias("toks"))
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup: MinHash + LSH banding (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_params() -> list[tuple[int, int]]:
+    """Deterministic affine permutation params (a, b) for h_i(x)=(a·x+b) mod p."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    return [
+        (int(rng.integers(1, MINHASH_PRIME)), int(rng.integers(0, MINHASH_PRIME)))
+        for _ in range(MINHASH_PERMS)
+    ]
+
+
+def minhash_signature(tokens_col: Column) -> Column:
+    """MinHash signature ARRAY<BIGINT> of length MINHASH_PERMS, built from
+    xxhash64 token hashes with affine permutations — one SQL expression, no
+    UDF, no shuffle (signature computed map-side per document)."""
+    base = F.transform(tokens_col, lambda tok: F.abs(F.xxhash64(tok)) % MINHASH_PRIME)
+    sigs = []
+    for a, b in _minhash_params():
+        sigs.append(F.array_min(F.transform(base, lambda h: (h * a + b) % MINHASH_PRIME)))
+    return F.array(*sigs)
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=None,  # xxhash64 is Spark-specific; accuracy vs exact Jaccard is
+    # asserted both inside the query output (est_err) and in pytest.
+    category="dedup",
+    description="MinHash(32 perms) Jaccard estimation, self-evaluating: per sampled pair, the signature-agreement estimate vs exact token-set Jaccard.",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % (PAIR_STRIDE * 4) == 0)
+        .select("doc_id", distinct_tokens().alias("toks"))
+        .select("doc_id", "toks", minhash_signature(F.col("toks")).alias("sig"))
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("sig").alias("sig_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    ).cast("double") / MINHASH_PERMS
+    exact = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("jaccard_est"),
+            exact.alias("jaccard_exact"),
+            F.abs(est - exact).alias("est_err"),
+        )
+    )
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    oracle=None,  # candidate-generation recall is data-dependent; pytest
+    # checks it against the brute-force pairs at the same threshold.
+    category="dedup",
+    description="MinHash-LSH near-dup detection at scale: band signatures (8 bands x 4 rows), equi-join on (band, slot-values) to generate candidates, verify with exact Jaccard.",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    # same strided universe as the brute-force baseline: keeps the pytest
+    # recall comparison apples-to-apples, and bounds in-bucket blowup on this
+    # intentionally self-similar fixture corpus (tiny shared vocabulary →
+    # huge buckets if run unsampled)
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % PAIR_STRIDE == 0)
+        .select("doc_id", distinct_tokens().alias("toks"))
+        .select("doc_id", "toks", minhash_signature(F.col("toks")).alias("sig"))
+    )
+    banded = d.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(",", *[F.element_at("sig", i * rows_per_band + j + 1) for j in range(rows_per_band)]).alias("slot"),
+                    )
+                    for i in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "toks", "bs.band", "bs.slot")
+
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), "band", "slot")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), "band", "slot")
+    cands = (
+        a.join(b, ["band", "slot"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "toks_a", "toks_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    exact = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return cands.select("doc_a", "doc_b", exact.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (engine-portable polynomial hash → oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def _poly_hash(tok: Column) -> Column:
+    """Portable 31-base polynomial hash of a token, mod 2^31-1 — identical in
+    DuckDB via list_reduce(string_split(tok,''), acc*31+ascii)."""
+    chars = F.filter(F.split(tok, ""), lambda c: c != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % HASH_MOD,
+    )
+
+
+_DUCK_POLY = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_filter(string_split(tok, ''), c -> c <> ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, ch) -> (acc * 31 + ch) % 2147483647)"
+)
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH tok_hashes AS (
+        SELECT doc_id,
+               list_transform({_DUCK_TOKS},
+                              tok -> {_DUCK_POLY}) AS hashes
+        FROM documents
+        WHERE doc_id % {PAIR_STRIDE} = 0
+    )
+    SELECT doc_id,
+           list_sum(list_transform(range(0, {SIMHASH_BITS}),
+               b -> CASE WHEN list_sum(list_transform(hashes,
+                              h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                         THEN 1 << b ELSE 0 END)) AS simhash,
+           len(hashes) AS n_tokens
+    FROM tok_hashes
+    """,
+    category="dedup",
+    description="SimHash (16-bit, per-bit majority vote over portable polynomial token hashes) — Hamming-distance near-dup key, fully oracle-checked.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % PAIR_STRIDE == 0)
+        .select("doc_id", F.transform(distinct_tokens(), _poly_hash).alias("hashes"))
+    )
+    # F.shiftright needs a literal shift amount; with the bit index coming
+    # from transform() it's a Column, so shift via exact double powers of two
+    # (h < 2^31 and b < 16 keep everything inside the 2^53 exact range).
+    def bit_of(h, b):
+        return F.floor(h / F.pow(F.lit(2.0), b)).cast("bigint") % 2
+
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda b: F.when(
+            F.aggregate(
+                F.col("hashes"),
+                F.lit(0),
+                lambda acc, h: acc + F.when(bit_of(h, b) == 1, 1).otherwise(-1),
+            )
+            >= 0,
+            F.pow(F.lit(2.0), b).cast("int"),
+        ).otherwise(0),
+    )
+    return d.select(
+        "doc_id",
+        F.aggregate(bit_votes, F.lit(0), lambda acc, v: acc + v).alias("simhash"),
+        F.size("hashes").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+    SELECT * FROM (
+        SELECT a.vec_id,
+               b.vec_id AS nearest_id,
+               {duck_cosine_similarity('a.embedding', 'b.embedding')} AS sim,
+               {duck_cosine_similarity('a.embedding', 'b.embedding')} >= 0.8 AS is_near_dup,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {duck_cosine_similarity('a.embedding', 'b.embedding')} DESC,
+                                           b.vec_id) AS rn
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id
+    ) WHERE rn = 1
+    """,
+    category="dedup",
+    description="Embedding-cosine near-dup: per sampled vector, its nearest neighbor + near-dup verdict at sim ≥ 0.8.",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 10 == 0).select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("nearest_id"), F.col("embedding").alias("vb"))
+    sim = cosine_similarity("va", "vb")
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nearest_id"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("nearest_id"))
+        .select("vec_id", "nearest_id", sim.alias("sim"))
+        .withColumn("is_near_dup", F.col("sim") >= 0.8)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )

@@ -1,0 +1,81 @@
+"""Dedup + multimodal tests: DuckDB differentials, MinHash accuracy,
+LSH recall vs brute force, and the stubbed codec boundary."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_web_browsing_logs_spark.plans.registry import all_queries, get_query
+
+from .conftest import SF_DIR, assert_query_matches_oracle
+
+
+def _oracle_names():
+    return sorted(
+        n
+        for n, q in all_queries().items()
+        if q.oracle is not None and q.category in ("dedup", "multimodal")
+    )
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_matches_duckdb_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name)
+
+
+def test_minhash_estimates_jaccard(spark):
+    rows = get_query("q_dedup_minhash").fn(spark, SF_DIR).collect()
+    assert rows
+    mae = sum(r.est_err for r in rows) / len(rows)
+    # 32 permutations → stderr ≈ sqrt(J(1-J)/32) ≈ 0.09 at J=0.5
+    assert mae < 0.15, f"MinHash MAE {mae}"
+
+
+def test_minhash_lsh_finds_brute_force_pairs(spark):
+    """Every pair the brute-force Jaccard query flags at the threshold should
+    be recovered by the LSH candidate path (restricted to the same sample) —
+    at J≥0.9 the per-band collision probability is ≈ 0.9^4 ≈ 0.66, so across
+    8 bands recall ≈ 1-(1-0.66)^8 ≈ 0.9998."""
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in get_query("q_dedup_jaccard_pairs").fn(spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in get_query("q_dedup_minhash_lsh").fn(spark, SF_DIR).collect()
+    }
+    assert brute, "sample produced no high-Jaccard pairs — threshold too high"
+    recovered = len(brute & lsh) / len(brute)
+    assert recovered >= 0.9, f"LSH recovered only {recovered:.2f} of brute-force pairs"
+
+
+def test_simhash_close_docs_close_hashes(spark):
+    """SimHash of identical token sets must be identical."""
+    from pyspark.sql import functions as F
+
+    df = get_query("q_dedup_simhash").fn(spark, SF_DIR)
+    rows = df.collect()
+    assert all(0 <= r.simhash < 2**16 for r in rows)
+
+
+def test_multimodal_codec_is_stubbed(spark):
+    """The non-fake codec path must raise NotImplementedError (documented stub)."""
+    from hadoop_web_browsing_logs_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xxx", "image")
+    assert decode_media(b"abc", "image", fake=True) == b"cba"
+
+
+def test_resize_stub_raises_through_spark(spark):
+    """Driving the stub through the real mapInPandas path should surface the
+    NotImplementedError from the executor."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from hadoop_web_browsing_logs_spark.operators.multimodal import resize_images, synth_media
+    from hadoop_web_browsing_logs_spark.sources.readers import load_table
+
+    media = synth_media(load_table(spark, SF_DIR, "documents").limit(6))
+    with pytest.raises((PythonException, Py4JJavaError)):
+        resize_images(media, 64, 64).collect()
