@@ -54,7 +54,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # requires spark.sql.legacy.parquet.nanosAsLong=true (set in session.py)
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+            # integer DIV, not `/`: ns values exceed 2^53, so double division
+            # loses the last microsecond
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         return df
     return spark.read.parquet(path)
 

@@ -1,1 +1,211 @@
-"""Placeholder — filled in during M5."""
+"""Structured Streaming over the ``events`` table (SURVEY B13).
+
+The reference is strictly batch (two synchronous jobs, ProcessData.java:664,
+678 — no streaming surface at all); this module adds the streaming operator
+family a log-analytics engine needs: tumbling/sliding/session windows with
+watermarked late-data handling, streaming dedup, and a custom stateful
+operator via ``applyInPandasWithState``.
+
+Correctness strategy (FIXTURES.md §3 / SURVEY §5): every windowed streaming
+query has a *batch twin* — the identical aggregation over the same parquet —
+registered in the query registry with a DuckDB oracle. Streaming-vs-batch
+equivalence is then asserted in pytest by replaying the fixture file through
+``readStream`` into a memory sink. Batch mode also exercises the same
+``F.window``/``F.session_window`` expressions, so the twin is not a parallel
+implementation — it IS the streaming plan, minus the source.
+
+Scale notes: watermarks bound state (without one, windowed state grows
+unboundedly at 100 TB/day rates); ``session_window`` + watermark keeps
+per-user state to open sessions only; streaming dedup keys on the event id
+with the watermark bounding the dedup state window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.relational import dsum, dsum_sql
+from ..plans.registry import query
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source streaming read of events parquet (nanos → µs ts), one file
+    per micro-batch — the local replay harness for what would be a Kafka
+    source in production. ``path`` may be a file, glob, or directory."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event_type."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_agg(events: DataFrame, width: str = "2 hours", slide: str = "1 hour", watermark: str = "4 hours") -> DataFrame:
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(F.col("win.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Per-user session windows (gap-based) — the one genuinely stateful
+    windowing mode."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id with watermark-bounded state."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.dropDuplicates(["event_id"])
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user cumulative event count emitted per
+    micro-batch via ``applyInPandasWithState`` (GroupState) — the
+    ``applyInPandasWithState`` surface the SURVEY mandates (B13/B14)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id BIGINT, n_so_far BIGINT"
+    state_schema = "n BIGINT"
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_so_far": [n]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch twins (driver oracle gate) — same expressions, batch source
+# ---------------------------------------------------------------------------
+
+
+def _batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "q_stream_tumbling_batch",
+    oracle=f"""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category="streaming",
+    description="Tumbling 1h window agg per event_type — batch twin of the watermarked streaming query (same F.window expression).",
+)
+def q_stream_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(_batch_events(spark, sf_dir))
+
+
+@query(
+    "q_stream_sliding_batch",
+    oracle=f"""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) - (k * INTERVAL '1 hour') AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM events, UNNEST([0, 1]) AS u(k)
+    GROUP BY 1
+    """,
+    category="streaming",
+    description="Sliding 2h/1h window agg — each event contributes to width/slide windows (explicit explode in the oracle, F.window in the engine).",
+)
+def q_stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(_batch_events(spark, sf_dir))
+
+
+@query(
+    "q_stream_session_batch",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+    category="streaming",
+    description="Gap-based session windows per user: engine uses native F.session_window; oracle derives sessions via the standard lag/cumsum SQL — two independent formulations must agree.",
+)
+def q_stream_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(_batch_events(spark, sf_dir))
+
+
+@query(
+    "q_stream_dedup_batch",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_distinct
+    FROM events
+    GROUP BY event_type
+    """,
+    category="streaming",
+    description="Dedup-by-id accounting — batch twin of watermarked dropDuplicates (fixture has unique ids; the streaming test injects dupes to prove the drop).",
+)
+def q_stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = stream_dedup(_batch_events(spark, sf_dir))
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("event_id").alias("n_distinct")
+    )

@@ -1,0 +1,157 @@
+"""Structured Streaming tests: batch-equivalence replay, watermark late-data
+drop, streaming dedup, and the applyInPandasWithState operator."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from hadoop_web_browsing_logs_spark.plans.registry import all_queries, get_query
+from hadoop_web_browsing_logs_spark.streaming import windows as SW
+
+from .conftest import SF_DIR, assert_query_matches_oracle
+
+
+def _oracle_names():
+    return sorted(
+        n for n, q in all_queries().items() if q.oracle is not None and q.category == "streaming"
+    )
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_batch_twin_matches_duckdb_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name)
+
+
+def _run_stream_to_memory(df, name: str):
+    q = (
+        df.writeStream.outputMode("append" if df.isStreaming else "complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def _canon(rows):
+    return sorted(tuple(str(x) for x in r) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def events_dir():
+    """The file streaming source requires a directory — stage the fixture
+    file into one."""
+    d = tempfile.mkdtemp()
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), os.path.join(d, "events.parquet"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_tumbling_equals_batch(spark, events_dir):
+    """Replay the fixture through readStream → watermarked tumbling agg →
+    memory sink; the final result must equal the batch twin."""
+    stream = SW.read_events_stream(spark, events_dir)
+    agg = SW.tumbling_agg(stream)
+    q = (
+        agg.writeStream.outputMode("complete").format("memory").queryName("tumbling_out").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _canon(spark.sql("SELECT * FROM tumbling_out").collect())
+    want = _canon(get_query("q_stream_tumbling_batch").fn(spark, SF_DIR).collect())
+    assert got == want
+
+
+def test_streaming_session_equals_batch(spark, events_dir):
+    stream = SW.read_events_stream(spark, events_dir)
+    agg = SW.session_agg(stream)
+    q = agg.writeStream.outputMode("complete").format("memory").queryName("session_out").start()
+    q.processAllAvailable()
+    q.stop()
+    got = _canon(spark.sql("SELECT * FROM session_out").collect())
+    want = _canon(get_query("q_stream_session_batch").fn(spark, SF_DIR).collect())
+    assert got == want
+
+
+@pytest.fixture()
+def two_batch_dir(spark):
+    """events split into two files (two micro-batches): batch 1 = first half,
+    batch 2 = second half plus a LATE duplicate-timestamp row from far in the
+    past (before the watermark) that a watermarked agg must drop."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    d = tempfile.mkdtemp()
+    n = src.num_rows
+    half = n // 2
+    t1 = src.slice(0, half)
+    late = src.slice(0, 1)  # earliest-ish row replayed in batch 2 → late event
+    t2 = pa.concat_tables([src.slice(half), late])
+    pq.write_table(t1, os.path.join(d, "batch_000.parquet"))
+    pq.write_table(t2, os.path.join(d, "batch_001.parquet"))
+    yield d, half, n
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_watermark_drops_late_data(spark, two_batch_dir):
+    """With append mode + watermark, the replayed stale row (30 days older
+    than the stream's max ts at batch 2) must not produce a new/updated
+    window in the final output."""
+    d, half, n = two_batch_dir
+    stream = SW.read_events_stream(spark, d)
+    agg = SW.tumbling_agg(stream, width="1 hour", watermark="2 hours")
+    q = agg.writeStream.outputMode("append").format("memory").queryName("late_out").start()
+    q.processAllAvailable()
+    q.stop()
+    emitted = spark.sql("SELECT SUM(n_events) AS s FROM late_out").collect()[0].s
+    # append mode emits only finalized windows; the late duplicate must not be
+    # double counted (n events total, not n+1)
+    assert emitted <= n, f"late row was counted: {emitted} > {n}"
+
+
+def test_streaming_dedup_drops_duplicates(spark, two_batch_dir):
+    d, half, n = two_batch_dir
+    stream = SW.read_events_stream(spark, d)
+    dedup = SW.stream_dedup(stream, watermark="100 days")  # state covers the replay
+    q = (
+        dedup.select("event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_out").collect()[0]
+    assert got.n == n  # the replayed duplicate row was dropped
+    assert got.d == n
+
+
+def test_apply_in_pandas_with_state_running_counts(spark, two_batch_dir):
+    d, half, n = two_batch_dir
+    stream = SW.read_events_stream(spark, d)
+    counts = SW.running_user_counts(stream)
+    q = counts.writeStream.outputMode("append").format("memory").queryName("state_out").start()
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT user_id, MAX(n_so_far) AS final FROM state_out GROUP BY user_id"
+    ).collect()
+    per_user = {r.user_id: r.final for r in rows}
+    # final per-user counts must equal the batch ground truth (+1 for the
+    # user owning the replayed duplicate row)
+    from hadoop_web_browsing_logs_spark.sources.readers import load_table
+
+    truth = {
+        r.user_id: r.n
+        for r in load_table(spark, SF_DIR, "events").groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    dup_user = load_table(spark, SF_DIR, "events").orderBy("event_id").limit(1).collect()[0].user_id
+    truth[dup_user] += 1
+    assert per_user == truth
