@@ -48,19 +48,18 @@ def main() -> None:
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries] or sorted(queries)[:5]
 
-    # Warm-up: JVM + parquet footers + Python worker pool.
-    for n in names:
-        queries[n].fn(spark, SF_DIR).limit(1).collect()
-
-    per_query: dict[str, float] = {}
-    total = 0.0
-    for n in names:
+    def run_once(n: str) -> float:
         t0 = time.perf_counter()
-        df = queries[n].fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        per_query[n] = round(dt, 3)
-        total += dt
+        queries[n].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # Warm-up pass: full execution (JVM JIT, parquet footers, Python workers,
+    # broadcast caches) — first-query JIT otherwise dominates the measurement.
+    for n in names:
+        run_once(n)
+
+    per_query = {n: round(run_once(n), 3) for n in names}
+    total = sum(per_query.values())
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(

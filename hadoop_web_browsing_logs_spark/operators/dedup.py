@@ -203,9 +203,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", distinct_tokens().alias("toks"))
         .select("doc_id", "toks", minhash_signature(F.col("toks")).alias("sig"))
     )
+    # band the signatures on bare ids — the token arrays do NOT ride through
+    # the candidate join/dedup shuffle (pair generation shuffles ~20 bytes per
+    # row, verification joins the arrays back only for surviving pairs)
     banded = d.select(
         "doc_id",
-        "toks",
         F.explode(
             F.array(
                 *[
@@ -217,20 +219,24 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", "toks", "bs.band", "bs.slot")
+    ).select("doc_id", "bs.band", "bs.slot")
 
-    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), "band", "slot")
-    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), "band", "slot")
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "slot")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "slot")
     cands = (
         a.join(b, ["band", "slot"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "toks_a", "toks_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    toks = d.select("doc_id", "toks")
+    pairs = cands.join(
+        toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")), "doc_a"
+    ).join(toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")), "doc_b")
     exact = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
         F.array_union("toks_a", "toks_b")
     )
-    return cands.select("doc_a", "doc_b", exact.alias("jaccard")).filter(
+    return pairs.select("doc_a", "doc_b", exact.alias("jaccard")).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
 

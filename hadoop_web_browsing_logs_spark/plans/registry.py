@@ -61,7 +61,7 @@ def query(
 def _ensure_loaded() -> None:
     # Operator modules self-register on import; keep imports here (not module
     # top level) to avoid circular imports with the operators package.
-    from ..operators import dedup, multimodal, relational, similarity, text, vectors  # noqa: F401
+    from ..operators import dedup, multimodal, relational, relational2, similarity, text, vectors  # noqa: F401
     from ..streaming import windows  # noqa: F401
 
 

@@ -1,0 +1,90 @@
+"""Sources/sinks round-trips (SURVEY B1): Parquet partitioned writes with
+partition pruning, CSV/JSON round-trips, bucketed tables for shuffle-free
+joins, and the reference corpus reader."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_web_browsing_logs_spark.sources.readers import load_table, read_corpus_dir, read_csv, read_json
+from hadoop_web_browsing_logs_spark.sources.writers import write_parquet
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp()
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_partitioned_parquet_write_prunes(spark, tmpdir):
+    orders = load_table(spark, SF_DIR, "orders").withColumn("status", F.col("o_orderstatus"))
+    out = os.path.join(tmpdir, "orders_part")
+    write_parquet(orders, out, partition_by=["status"])
+    # hive layout on disk
+    assert sorted(os.path.basename(p) for p in glob.glob(f"{out}/status=*")) == [
+        "status=F", "status=O", "status=P",
+    ]
+    back = spark.read.parquet(out)
+    pruned = back.filter(F.col("status") == "O")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(status" in plan or "status#" in plan
+    assert pruned.count() == orders.filter(F.col("o_orderstatus") == "O").count()
+
+
+def test_csv_json_round_trip(spark, tmpdir):
+    nation = load_table(spark, SF_DIR, "nation")
+    csv_path, json_path = os.path.join(tmpdir, "n_csv"), os.path.join(tmpdir, "n_json")
+    nation.write.option("header", True).csv(csv_path)
+    nation.write.json(json_path)
+    back_csv = read_csv(spark, csv_path, schema="n_nationkey INT, n_name STRING, n_regionkey INT")
+    back_json = read_json(spark, json_path, schema="n_nationkey INT, n_name STRING, n_regionkey INT")
+    want = sorted(tuple(r) for r in nation.collect())
+    assert sorted(tuple(r) for r in back_csv.select("n_nationkey", "n_name", "n_regionkey").collect()) == want
+    assert sorted(tuple(r) for r in back_json.select("n_nationkey", "n_name", "n_regionkey").collect()) == want
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmpdir):
+    """bucketBy co-locates both sides on the join key: the physical plan must
+    contain no Exchange for the join (the 100 TB co-located join path)."""
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer")
+    # external tables at a temp path (warehouse.dir is a static conf)
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").option(
+        "path", os.path.join(tmpdir, "b_orders")
+    ).mode("overwrite").saveAsTable("b_orders")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey").option(
+        "path", os.path.join(tmpdir, "b_customer")
+    ).mode("overwrite").saveAsTable("b_customer")
+    bo, bc = spark.table("b_orders"), spark.table("b_customer")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        j = bo.join(bc, bo.o_custkey == bc.c_custkey).groupBy("c_mktsegment").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # no shuffle exchange feeding the join (bucket pruning worked)
+        join_part = plan.split("SortMergeJoin")[1] if "SortMergeJoin" in plan else plan
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_corpus_reader_multifile(spark, tmpdir):
+    for i in range(1, 6):
+        with open(os.path.join(tmpdir, f"{i}.log"), "w") as f:
+            f.write(f"doc number {i}\nsecond line {i}")
+    corpus = read_corpus_dir(spark, tmpdir)
+    rows = {r.doc_id: r.text for r in corpus.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert rows[3] == "doc number 3\nsecond line 3"
