@@ -1,0 +1,166 @@
+"""LLM training-data pipeline operators (north-star mandate): document
+chunking, deterministic stratified mixing, hash-based train/val splits, and
+token-budget curation — all pure SQL expressions (no UDFs), all
+oracle-checked.
+
+Determinism backbone: sampling/splitting decisions key on the document's MD5
+fingerprint (byte-identical across engines), never on RNG — re-running the
+pipeline on a different cluster layout yields the same dataset, which is the
+property a reproducible training-data build needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ._util import t
+
+CHUNK_TOKENS = 20
+CHUNK_STRIDE = 15  # 5-token overlap
+
+#: per-language keep-rate (percent) for the stratified mix
+MIX_RATES = {"en": 80, "de": 40, "fr": 40, "es": 40, "zh": 20}
+
+_TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+
+def _hash_bucket(col, buckets: int = 100):
+    """Deterministic [0, buckets) bucket from the MD5 hex prefix — the
+    engine-portable substitute for rand(seed)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("bigint") % buckets
+    )
+
+
+def _duck_hash_bucket(expr: str, buckets: int = 100) -> str:
+    # DuckDB: parse the 4-char hex prefix via a from-hex reduce
+    return (
+        f"(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(list_filter(string_split(substr(md5({expr}), 1, 4), ''), c -> c <> ''), "
+        f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        f"(acc, d) -> acc * 16 + d) % {buckets})"
+    )
+
+
+@query(
+    "q_llm_chunk",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(toks[(chunk_idx * {CHUNK_STRIDE} + 1):(chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS})], ' ') AS chunk_text,
+           LEAST({CHUNK_TOKENS}, len(toks) - chunk_idx * {CHUNK_STRIDE}) AS n_tokens
+    FROM d,
+         UNNEST(range(0, GREATEST(CAST(CEIL((len(toks) - {CHUNK_TOKENS}) / CAST({CHUNK_STRIDE} AS DOUBLE)) AS INTEGER) + 1, 1))) AS u(chunk_idx)
+    """,
+    category="llm",
+    description="Document chunking with overlap (20-token windows, stride 15): row explosion from computed chunk counts + array slicing — zero Python.",
+)
+def q_llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
+    d = docs.select("doc_id", toks.alias("toks"))
+    n_chunks = F.greatest(
+        (F.ceil((F.size("toks") - CHUNK_TOKENS) / float(CHUNK_STRIDE))).cast("int") + 1, F.lit(1)
+    )
+    return (
+        d.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(
+                F.slice("toks", F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.size("toks") - F.col("chunk_idx") * CHUNK_STRIDE
+            ).alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "q_llm_mix_stratified",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE {_duck_hash_bucket('text')} <
+               CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 40 WHEN 'fr' THEN 40
+                         WHEN 'es' THEN 40 ELSE 20 END) AS n_kept
+    FROM documents
+    GROUP BY lang
+    """,
+    category="llm",
+    description="Deterministic stratified mixing: per-language keep-rates decided by MD5 hash buckets (reproducible across clusters, no RNG).",
+)
+def q_llm_mix_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 80)
+    for lang, r in list(MIX_RATES.items())[1:-1]:
+        rate = rate.when(F.col("lang") == lang, r)
+    rate = rate.otherwise(20)
+    kept = F.when(_hash_bucket(F.col("text")) < rate, 1)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(kept).alias("n_kept"),
+    )
+
+
+@query(
+    "q_llm_split",
+    oracle=f"""
+    SELECT lang, split, COUNT(*) AS n FROM (
+        SELECT lang,
+               CASE WHEN {_duck_hash_bucket('text', 10)} < 8 THEN 'train'
+                    WHEN {_duck_hash_bucket('text', 10)} = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY lang, split
+    """,
+    category="llm",
+    description="Hash-based train/val/test split (80/10/10) — stable under re-partitioning and re-runs; counts per (lang, split).",
+)
+def q_llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("text"), 10)
+    split = F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
+    return docs.select("lang", split.alias("split")).groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q_llm_token_budget",
+    oracle=f"""
+    WITH sized AS (
+        SELECT source, doc_id, len({_TOKS}) AS n_tokens FROM documents
+    ),
+    running AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM sized
+    )
+    SELECT source,
+           COUNT(*) FILTER (WHERE cum_tokens <= 2000) AS docs_in_budget,
+           MAX(CASE WHEN cum_tokens <= 2000 THEN cum_tokens END) AS tokens_used
+    FROM running
+    GROUP BY source
+    """,
+    category="llm",
+    description="Token-budget curation: running per-source token counts (window cumsum), keep documents until a 2000-token budget — the deterministic data-mixing primitive.",
+)
+def q_llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
+    sized = docs.select("source", "doc_id", F.size(toks).alias("n_tokens"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    running = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return running.groupBy("source").agg(
+        F.count(F.when(F.col("cum_tokens") <= 2000, 1)).alias("docs_in_budget"),
+        F.max(F.when(F.col("cum_tokens") <= 2000, F.col("cum_tokens"))).alias("tokens_used"),
+    )

@@ -1,0 +1,126 @@
+"""UDF surface (SURVEY B14): every Python-extension shape the engine
+supports, each with an exact cross-engine oracle where the math allows.
+
+In the reference *everything* is user code (Mapper/Reducer classes); here the
+UDF surface is deliberately tiny and typed:
+
+- scalar ``pandas_udf``          → the Porter stemmer (functions/porter.py)
+- grouped-map ``applyInPandas``  → per-group normalization (this module)
+- grouped-agg ``pandas_udf``     → median aggregation (this module)
+- row Python UDF                 → digit-checksum demo (this module; the
+                                   documented slow path — kept off hot paths)
+- ``mapInPandas``                → multimodal featurize (operators/multimodal.py)
+- ``applyInPandasWithState``     → streaming counter (streaming/windows.py)
+
+Determinism notes: the grouped-map z-score uses exact integer moments (not
+pandas float accumulation) so the oracle's SQL formula lands on identical
+doubles; the grouped-agg median involves no accumulation (sort + midpoint)
+so numpy and DuckDB ``quantile_cont(0.5)`` agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.registry import query
+from ._util import t
+
+
+@query(
+    "q_udf_grouped_map",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN n > 1 AND s2 * n > s1 * s1 THEN
+               (n_chars - CAST(s1 AS DOUBLE) / n)
+               / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+           ELSE 0.0 END AS zscore
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               COUNT(*)            OVER (PARTITION BY lang) AS n,
+               SUM(n_chars)        OVER (PARTITION BY lang) AS s1,
+               SUM(n_chars*n_chars) OVER (PARTITION BY lang) AS s2
+        FROM documents
+    )
+    """,
+    category="udf",
+    description="Grouped-map applyInPandas: per-language z-score of doc length, computed from exact integer moments inside the Python worker — oracle reproduces the same closed form in SQL.",
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        s1 = int(pdf["n_chars"].astype("int64").sum())
+        s2 = int((pdf["n_chars"].astype("int64") ** 2).sum())
+        if n > 1 and s2 * n > s1 * s1:
+            mean = s1 / n
+            var = (s2 - s1 * s1 / n) / (n - 1)
+            z = (pdf["n_chars"] - mean) / var**0.5
+        else:
+            z = pd.Series(0.0, index=pdf.index)
+        return pdf.assign(zscore=z)
+
+    return docs.groupBy("lang").applyInPandas(
+        zscore, schema="doc_id BIGINT, lang STRING, n_chars BIGINT, zscore DOUBLE"
+    )
+
+
+@query(
+    "q_udf_grouped_agg",
+    oracle="""
+    SELECT o_orderpriority AS orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    category="udf",
+    description="Grouped-agg pandas_udf: numpy median per group (sort+midpoint, no accumulation → bit-equal to quantile_cont(0.5)).",
+)
+def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def median_udaf(prices: pd.Series) -> float:
+        return float(np.median(prices.to_numpy()))
+
+    o = t(spark, sf_dir, "orders")
+    # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg() —
+    # compute the count separately and join (both sides tiny post-agg)
+    med = o.groupBy(F.col("o_orderpriority").alias("orderpriority")).agg(
+        median_udaf("o_totalprice").alias("median_price")
+    )
+    cnt = o.groupBy(F.col("o_orderpriority").alias("orderpriority")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return med.join(cnt, "orderpriority")
+
+
+@query(
+    "q_udf_python_row",
+    oracle="""
+    SELECT o_orderkey,
+           list_sum(list_transform(list_filter(string_split(CAST(o_orderkey AS VARCHAR), ''), c -> c <> ''),
+                                   c -> CAST(c AS BIGINT))) AS digit_sum,
+           list_sum(list_transform(list_filter(string_split(CAST(o_orderkey AS VARCHAR), ''), c -> c <> ''),
+                                   c -> CAST(c AS BIGINT))) % 9 AS checksum
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    """,
+    category="udf",
+    description="Row-at-a-time Python UDF (the documented slow path, sampled rows): digit-sum checksum — kept as the mechanism demo; production paths use pandas_udf.",
+)
+def q_udf_python_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(T.LongType())
+    def digit_sum(k: int) -> int:
+        return sum(int(c) for c in str(k))
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        digit_sum("o_orderkey").alias("digit_sum"),
+        (digit_sum("o_orderkey") % 9).alias("checksum"),
+    )

@@ -61,7 +61,17 @@ def query(
 def _ensure_loaded() -> None:
     # Operator modules self-register on import; keep imports here (not module
     # top level) to avoid circular imports with the operators package.
-    from ..operators import dedup, multimodal, relational, relational2, similarity, text, vectors  # noqa: F401
+    from ..operators import (  # noqa: F401
+        dedup,
+        llm_pipeline,
+        multimodal,
+        relational,
+        relational2,
+        similarity,
+        text,
+        udf_surface,
+        vectors,
+    )
     from ..streaming import windows  # noqa: F401
 
 

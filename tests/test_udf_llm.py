@@ -1,0 +1,64 @@
+"""UDF surface + LLM-pipeline operator tests (DuckDB differentials +
+structural properties)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_web_browsing_logs_spark.plans.registry import all_queries, get_query
+
+from .conftest import SF_DIR, assert_query_matches_oracle
+
+
+def _oracle_names():
+    return sorted(
+        n for n, q in all_queries().items() if q.oracle is not None and q.category in ("udf", "llm")
+    )
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_matches_duckdb_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name)
+
+
+def test_chunking_covers_all_tokens(spark):
+    """Union of chunks must cover every token; consecutive chunks overlap by
+    CHUNK_TOKENS - CHUNK_STRIDE tokens."""
+    from pyspark.sql import functions as F
+
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import CHUNK_STRIDE, CHUNK_TOKENS
+    from hadoop_web_browsing_logs_spark.sources.readers import load_table
+
+    chunks = get_query("q_llm_chunk").fn(spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
+    n_tokens = {r.doc_id: r.n for r in docs.select("doc_id", F.size(toks).alias("n")).collect()}
+
+    per_doc = {}
+    for r in chunks.collect():
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(n_tokens)
+    for doc_id, rows in per_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        # last chunk reaches the final token
+        last = rows[-1]
+        assert last.chunk_idx * CHUNK_STRIDE + last.n_tokens == n_tokens[doc_id]
+        # every chunk except the last is full-width
+        assert all(r.n_tokens == CHUNK_TOKENS for r in rows[:-1])
+
+
+def test_split_fractions_roughly_80_10_10(spark):
+    rows = get_query("q_llm_split").fn(spark, SF_DIR).collect()
+    totals = {"train": 0, "val": 0, "test": 0}
+    for r in rows:
+        totals[r.split] += r.n
+    n = sum(totals.values())
+    assert n == 500
+    assert 0.7 <= totals["train"] / n <= 0.9
+    assert totals["val"] > 0 and totals["test"] > 0
+
+
+def test_split_is_deterministic_across_runs(spark):
+    a = sorted(tuple(r) for r in get_query("q_llm_split").fn(spark, SF_DIR).collect())
+    b = sorted(tuple(r) for r in get_query("q_llm_split").fn(spark, SF_DIR).collect())
+    assert a == b
