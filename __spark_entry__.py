@@ -34,8 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
     except Exception:
         pass
     qs = _registry.queries()
-    flagship = "q_text_inverted_index" if "q_text_inverted_index" in qs else "q1_pricing_summary"
-    return qs[flagship](spark, SF_SMOKE_DIR)
+    for flagship in ("q_ref_pipeline", "q_text_inverted_index", "q1_pricing_summary"):
+        if flagship in qs:
+            return qs[flagship](spark, SF_SMOKE_DIR)
+    raise RuntimeError("no flagship query registered")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

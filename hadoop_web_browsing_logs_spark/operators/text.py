@@ -360,3 +360,51 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count_bpe("text").alias("bpe_tokens"),
         F.size(F.filter(ws_tokens("text"), lambda x: x != "")).alias("ws_tokens"),
     )
+
+
+@query(
+    "q_ref_pipeline",
+    oracle=None,  # Porter-stemmed end to end — stemmer semantics are pinned
+    # by golden vectors, so the full pipeline gets the rows-only check.
+    category="text",
+    description=(
+        "FULL reference parity in one DAG — Job 1 + Job 2 "
+        "(ProcessData.java:650-678): tokenize → strip → stopword anti-join → "
+        "Porter stem → inverted index → dense incidence vectors → nearest-"
+        "center assignment (correct cosine/argmin) → deterministically "
+        "numbered clusters. The reference materialized text files to HDFS "
+        "between the jobs; here it is one lazy plan with two shuffles."
+    ),
+)
+def q_ref_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import cosine_distance
+
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # corpus cardinality == vector length (A3)
+    idx = inverted_index(spark, docs, stem=True)
+    dense = densify_incidence(idx, n_docs=n_docs, one_based=False).select("term", "vec")
+
+    # center set: the 4 alphabetically-first terms' vectors (stands in for
+    # centers.txt, ProcessData.java:579-590; deterministic)
+    centers = (
+        dense.withColumn("rn", F.row_number().over(W.orderBy("term")))
+        .filter(F.col("rn") <= 4)
+        .select(F.col("rn").alias("center_id"), F.col("term").alias("center_term"), F.col("vec").alias("cvec"))
+    )
+    dist = cosine_distance("vec", "cvec")
+    w_assign = W.partitionBy("term").orderBy("dist", "center_id")
+    assigned = (
+        dense.crossJoin(F.broadcast(centers))
+        .select("term", "center_id", "center_term", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        assigned.groupBy("center_id", "center_term")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.concat_ws(" ", F.sort_array(F.collect_list("term"))).alias("members"),
+        )
+        .withColumn("cluster_id", F.row_number().over(W.orderBy("center_id")))
+        .select("cluster_id", "center_term", "n_members", "members")
+    )

@@ -67,6 +67,7 @@ def _ensure_loaded() -> None:
         multimodal,
         relational,
         relational2,
+        relational3,
         similarity,
         text,
         udf_surface,

@@ -88,3 +88,11 @@ def test_corpus_reader_multifile(spark, tmpdir):
     rows = {r.doc_id: r.text for r in corpus.collect()}
     assert set(rows) == {1, 2, 3, 4, 5}
     assert rows[3] == "doc number 3\nsecond line 3"
+
+
+def test_orc_round_trip(spark, tmpdir):
+    nation = load_table(spark, SF_DIR, "nation")
+    orc_path = os.path.join(tmpdir, "n_orc")
+    nation.write.orc(orc_path)
+    back = spark.read.orc(orc_path)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(tuple(r) for r in nation.collect())

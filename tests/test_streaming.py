@@ -155,3 +155,21 @@ def test_apply_in_pandas_with_state_running_counts(spark, two_batch_dir):
     dup_user = load_table(spark, SF_DIR, "events").orderBy("event_id").limit(1).collect()[0].user_id
     truth[dup_user] += 1
     assert per_user == truth
+
+
+def test_foreachbatch_sink(spark, events_dir, tmp_path):
+    """foreachBatch: the exactly-once custom-sink hook — write each
+    micro-batch's aggregate to parquet keyed by epoch."""
+    out = str(tmp_path / "fb_out")
+    stream = SW.read_events_stream(spark, events_dir)
+    agg = SW.tumbling_agg(stream)
+
+    def sink(df, epoch_id):
+        df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    q = agg.writeStream.outputMode("update").foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+    written = spark.read.option("basePath", out).parquet(f"{out}/epoch=*")
+    assert written.count() > 0
+    assert set(written.columns) >= {"window_start", "event_type", "n_events", "sum_value"}
