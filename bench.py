@@ -37,9 +37,14 @@ HEADLINE = [
     "q_text_tfidf",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
     "q_sim_cosine_topk",
     "q_vec_nearest_center",
     "q_stream_tumbling_batch",
+    "q_stream_session_batch",
+    "q_llm_chunk",
+    "q_udf_grouped_map",
+    "q_ref_pipeline",
 ]
 
 

@@ -377,24 +377,28 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_ref_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vector import cosine_distance
-
     docs = t(spark, sf_dir, "documents")
-    n_docs = docs.count()  # corpus cardinality == vector length (A3)
     idx = inverted_index(spark, docs, stem=True)
-    dense = densify_incidence(idx, n_docs=n_docs, one_based=False).select("term", "vec")
+    # SPARSE cosine: for 0/1 incidence vectors, a·b = |A∩B| and ‖a‖ = √|A| —
+    # computed on the postings sets directly. Densifying first would cost
+    # O(n_docs) per term (quadratic overall); this is O(|postings|), which is
+    # what survives a 100 TB corpus. Dense vectors remain available via
+    # densify_incidence for reference-format export only.
+    sparse = idx.select("term", "postings")
 
     # center set: the 4 alphabetically-first terms' vectors (stands in for
     # centers.txt, ProcessData.java:579-590; deterministic)
     centers = (
-        dense.withColumn("rn", F.row_number().over(W.orderBy("term")))
+        sparse.withColumn("rn", F.row_number().over(W.orderBy("term")))
         .filter(F.col("rn") <= 4)
-        .select(F.col("rn").alias("center_id"), F.col("term").alias("center_term"), F.col("vec").alias("cvec"))
+        .select(F.col("rn").alias("center_id"), F.col("term").alias("center_term"), F.col("postings").alias("cpostings"))
     )
-    dist = cosine_distance("vec", "cvec")
+    dist = 1 - F.size(F.array_intersect("postings", "cpostings")) / (
+        F.sqrt(F.size("postings").cast("double")) * F.sqrt(F.size("cpostings").cast("double"))
+    )
     w_assign = W.partitionBy("term").orderBy("dist", "center_id")
     assigned = (
-        dense.crossJoin(F.broadcast(centers))
+        sparse.crossJoin(F.broadcast(centers))
         .select("term", "center_id", "center_term", dist.alias("dist"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
