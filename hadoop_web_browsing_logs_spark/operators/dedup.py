@@ -221,6 +221,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.slot")
 
+    # candidate generation as a self-equi-join on (band, slot): the join
+    # STREAMS the B² in-bucket pairs (a grouped explode-combinations variant
+    # was measured slower here — it materializes each bucket's full pair
+    # array in memory before exploding, which loses badly on the fixture's
+    # pathologically large buckets)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "slot")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "slot")
     cands = (

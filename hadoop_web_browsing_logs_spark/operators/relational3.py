@@ -123,3 +123,73 @@ def q_scalar_date2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") > due).alias("late"),
         F.quarter("o_orderdate").alias("order_quarter"),
     )
+
+
+@query(
+    "q_join_sixway",
+    oracle=f"""
+    SELECT n.n_name AS nation_name,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    """,
+    category="join",
+    description="TPC-H Q5-style six-way star join (local supplier volume): one fact-fact shuffle, four broadcast dims; Catalyst orders the join tree.",
+)
+def q_join_sixway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_exists_priority",
+    oracle="""
+    SELECT o_orderpriority AS orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    category="join",
+    description="TPC-H Q4-style priority check: correlated EXISTS over the fact table (semi-join after decorrelation).",
+)
+def q_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
