@@ -346,10 +346,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Embedding-cosine near-dup: per sampled vector, its nearest neighbor + near-dup verdict at sim ≥ 0.8.",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import dot, norm
+
     e = t(spark, sf_dir, "embeddings")
-    a = e.filter(F.col("vec_id") % 10 == 0).select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("nearest_id"), F.col("embedding").alias("vb"))
-    sim = cosine_similarity("va", "vb")
+    a = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("vec_id"), F.col("embedding").alias("va")
+    ).withColumn("_na", norm("va"))
+    b = e.select(F.col("vec_id").alias("nearest_id"), F.col("embedding").alias("vb")).withColumn(
+        "_nb", norm("vb")
+    )
+    sim = dot("va", "vb") / (F.col("_na") * F.col("_nb"))
     w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nearest_id"))
     return (
         a.crossJoin(b)

@@ -32,11 +32,20 @@ def brute_force_topk(
     queries: DataFrame, candidates: DataFrame, k: int = TOP_K
 ) -> DataFrame:
     """Exact cosine top-k: crossJoin + per-query window. ``queries`` has
-    (q_id, q_vec); ``candidates`` has (c_id, c_vec)."""
-    sim = cosine_similarity("q_vec", "c_vec")
+    (q_id, q_vec); ``candidates`` has (c_id, c_vec).
+
+    Norms are precomputed once per vector before the crossJoin (each norm
+    would otherwise be re-evaluated per PAIR — 3× the array work). The
+    division still evaluates the identical double expression per pair, so
+    oracle bit-equality is preserved."""
+    from ..functions.vector import norm
+
+    q = queries.withColumn("q_norm", norm("q_vec"))
+    c = candidates.withColumn("c_norm", norm("c_vec"))
+    sim = dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (
-        queries.crossJoin(candidates)
+        q.crossJoin(c)
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id", sim.alias("sim"))
         .withColumn("rnk", F.row_number().over(w))

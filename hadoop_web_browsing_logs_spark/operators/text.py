@@ -412,3 +412,44 @@ def q_ref_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_id", F.row_number().over(W.orderBy("center_id")))
         .select("cluster_id", "center_term", "n_members", "members")
     )
+
+
+@query(
+    "q_text_ngrams",
+    oracle="""
+    SELECT * FROM (
+        SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rnk
+        FROM (
+            SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+                  FROM documents),
+                 UNNEST(range(1, GREATEST(len(toks), 1))) AS u(i)
+        )
+        GROUP BY bigram
+    ) WHERE rnk <= 20
+    """,
+    category="text",
+    description="Word bigram extraction (shingling primitive behind MinHash/n-gram Jaccard): slide over the token array via explode(sequence), top-20 by frequency.",
+)
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(ws_tokens("text"), lambda x: x != "")
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 1)
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+            )
+        ).alias("bigram"),
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("df"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+    )

@@ -40,11 +40,18 @@ N_CENTERS = 8
 
 def nearest_center(points: DataFrame, centers: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign every point to its nearest center by cosine distance
-    (A13+A14, correct math). ``centers`` must have (center_id, cvec)."""
-    dist = cosine_distance(vec_col, "cvec")
+    (A13+A14, correct math). ``centers`` must have (center_id, cvec).
+
+    Point/center norms are computed once per vector, not once per (point,
+    center) pair — same doubles, k× less array work."""
+    from ..functions.vector import dot, norm
+
+    p = points.withColumn("_pn", norm(vec_col))
+    c = centers.withColumn("_cn", norm("cvec"))
+    dist = F.lit(1.0) - dot(vec_col, "cvec") / (F.col("_pn") * F.col("_cn"))
     w = W.partitionBy(id_col).orderBy("dist", "center_id")
     return (
-        points.crossJoin(F.broadcast(centers))
+        p.crossJoin(F.broadcast(c))
         .select(id_col, "center_id", dist.alias("dist"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
