@@ -51,7 +51,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # requires spark.sql.legacy.parquet.nanosAsLong=true (set in session.py)
+        # nanosAsLong is a runtime SQLConf — set it here too so the loader
+        # works on externally-created sessions (e.g. the driver's), not only
+        # ones from our session factory
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             # integer DIV, not `/`: ns values exceed 2^53, so double division
