@@ -29,7 +29,28 @@ def main(argv: list[str] | None = None) -> int:
     orap = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
     orap.add_argument("name")
 
+    refp = sub.add_parser(
+        "refjob",
+        help="run the reference's two-job workflow (same 4 args as ProcessData.main)",
+    )
+    refp.add_argument("input_dir")
+    refp.add_argument("output_dir")
+    refp.add_argument("stopwords_file")
+    refp.add_argument("centers_file")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "refjob":
+        from .refcli import run_reference_jobs
+        from .session import get_spark
+
+        spark = get_spark("refjob")
+        clusters = run_reference_jobs(
+            spark, args.input_dir, args.output_dir, args.stopwords_file, args.centers_file
+        )
+        clusters.show(truncate=100)
+        print(f"wrote {args.output_dir}/inverted_index and {args.output_dir}/kmeans")
+        return 0
 
     from .plans.registry import all_queries
 

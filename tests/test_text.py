@@ -124,3 +124,35 @@ def test_tokenize_order_strip_then_filter_then_stem(spark):
     toks = text_ops.remove_stopwords(text_ops.tokenize(docs), spark, GOLDEN_STOPWORDS)
     terms = sorted(r.term for r in text_ops.stem_terms(toks).collect())
     assert terms == ["cat", "meet"]
+
+
+def test_refjob_end_to_end(spark, tmp_path):
+    """The drop-in reference workflow (ProcessData.main's 4-arg contract):
+    corpus dir + stopwords file + centers file → Job1 + Job2 outputs in the
+    reference's text formats."""
+    import glob
+
+    from hadoop_web_browsing_logs_spark.refcli import run_reference_jobs
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "1.txt").write_text("the cats are meeting,\nand agreed to play.")
+    (docs / "2.txt").write_text("a cat was milling; ponies agreed.")
+    (docs / "3.txt").write_text("meetings about caresses and ties.")
+    (tmp_path / "stopwords.txt").write_text("\n".join(GOLDEN_STOPWORDS))
+    (tmp_path / "centers.txt").write_text("[1,0,0,]\n[0,1,0,]\n[0,0,1,]\n")
+
+    out = tmp_path / "out"
+    run_reference_jobs(
+        spark, str(docs), str(out), str(tmp_path / "stopwords.txt"), str(tmp_path / "centers.txt")
+    )
+    job1 = sorted(
+        line for f in glob.glob(f"{out}/inverted_index/part-*") for line in open(f).read().splitlines()
+    )
+    assert "cat\t[1,1,0,]" in job1
+    assert "meet\t[1,0,1,]" in job1
+    assert len(job1) == 8
+    job2 = sorted(
+        line for f in glob.glob(f"{out}/kmeans/part-*") for line in open(f).read().splitlines()
+    )
+    assert job2 == ["1\tagre cat meet plai", "2\tmill poni", "3\tcaress ti"]
