@@ -1,0 +1,52 @@
+"""Physical-plan structure tests — pin the scale properties SCALE.md claims:
+pushdown reaches the scan, dims broadcast, global top-k is TakeOrdered, the
+stopword anti-join broadcasts, partial aggregation exists for collect_set."""
+
+from __future__ import annotations
+
+from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+from .conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = get_query(name).fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the untouched key columns must not be read
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    assert "Batched: true" in plan  # vectorized parquet reader
+
+
+def test_multiway_join_broadcasts_dims(spark):
+    plan = _plan(spark, "q_join_multiway")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # at fixture scale everything fits
+
+
+def test_global_topk_is_take_ordered(spark):
+    plan = _plan(spark, "q_topk_global")
+    assert "TakeOrderedAndProject" in plan  # not a full Sort + Limit
+
+
+def test_stopword_antijoin_is_broadcast(spark):
+    plan = _plan(spark, "q_text_stopword_filter")
+    assert "LeftAnti, BuildRight" in plan or "BroadcastHashJoin" in plan
+
+
+def test_inverted_index_has_partial_aggregation(spark):
+    plan = _plan(spark, "q_text_inverted_index")
+    # collect_set runs as ObjectHashAggregate with a partial phase before the
+    # exchange (the correct version of the reference's disabled combiner)
+    assert "ObjectHashAggregate" in plan
+    assert "Exchange hashpartitioning(term" in plan
+
+
+def test_nearest_center_is_broadcast_nested_loop(spark):
+    plan = _plan(spark, "q_vec_nearest_center")
+    assert "BroadcastNestedLoopJoin" in plan

@@ -173,3 +173,14 @@ def test_foreachbatch_sink(spark, events_dir, tmp_path):
     written = spark.read.option("basePath", out).parquet(f"{out}/epoch=*")
     assert written.count() > 0
     assert set(written.columns) >= {"window_start", "event_type", "n_events", "sum_value"}
+
+
+def test_streaming_sliding_equals_batch(spark, events_dir):
+    stream = SW.read_events_stream(spark, events_dir)
+    agg = SW.sliding_agg(stream)
+    q = agg.writeStream.outputMode("complete").format("memory").queryName("sliding_out").start()
+    q.processAllAvailable()
+    q.stop()
+    got = _canon(spark.sql("SELECT * FROM sliding_out").collect())
+    want = _canon(get_query("q_stream_sliding_batch").fn(spark, SF_DIR).collect())
+    assert got == want
