@@ -193,3 +193,41 @@ def q_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "q_scalar_url",
+    oracle="""
+    SELECT event_id,
+           regexp_extract(url, '^([a-z]+)://', 1)                    AS scheme,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)             AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1)      AS path,
+           regexp_extract(url, '\\?([^#]*)', 1)                      AS query,
+           regexp_extract(url, 'k=([0-9]+)', 1)                      AS k_param
+    FROM (SELECT event_id,
+                 'https://site' || CAST(user_id AS VARCHAR) || '.example.com/page/'
+                   || event_type || '?k=' || CAST(event_id % 50 AS VARCHAR) AS url
+          FROM events WHERE event_id % 20 = 0)
+    """,
+    category="scalar",
+    description="URL parsing (the web-browsing-log domain primitive): Spark parse_url for scheme/host/path/query + parameter extraction; oracle recomputes with equivalent regexes on the same constructed URLs.",
+)
+def q_scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    url = F.concat(
+        F.lit("https://site"),
+        F.col("user_id").cast("string"),
+        F.lit(".example.com/page/"),
+        F.col("event_type"),
+        F.lit("?k="),
+        (F.col("event_id") % 50).cast("string"),
+    )
+    d = e.select("event_id", url.alias("url"))
+    return d.select(
+        "event_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("scheme"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("k")).alias("k_param"),
+    )

@@ -209,3 +209,52 @@ def q_stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.countDistinct("event_id").alias("n_distinct")
     )
+
+
+def interval_join_views_purchases(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream (or batch-batch) interval join: each purchase matched to
+    the same user's views in the preceding hour. In streaming mode both sides
+    carry watermarks and the time-bound condition lets Spark expire join
+    state — the canonical stream-stream join shape."""
+    v = views.select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("view_ts", "2 hours")
+        p = p.withWatermark("purchase_ts", "2 hours")
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    return v.join(p, cond).select(
+        "p_user", "purchase_id", "purchase_ts", "view_id", "view_ts", "value"
+    )
+
+
+@query(
+    "q_stream_interval_join_batch",
+    oracle="""
+    SELECT p.user_id AS p_user,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           v.event_id AS view_id,     v.ts AS view_ts,
+           p.value
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+    category="streaming",
+    description="Interval join (views within 1h before each purchase, per user) — batch twin of the watermarked stream-stream join; equi key carries the join, the time band bounds state.",
+)
+def q_stream_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _batch_events(spark, sf_dir)
+    views = e.filter(F.col("event_type") == "view")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    return interval_join_views_purchases(views, purchases)

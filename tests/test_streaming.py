@@ -184,3 +184,18 @@ def test_streaming_sliding_equals_batch(spark, events_dir):
     got = _canon(spark.sql("SELECT * FROM sliding_out").collect())
     want = _canon(get_query("q_stream_sliding_batch").fn(spark, SF_DIR).collect())
     assert got == want
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    """Real stream-stream join: both sides watermarked, time-band condition;
+    the appended matches must equal the batch interval join."""
+    stream = SW.read_events_stream(spark, events_dir)
+    views = stream.filter("event_type = 'view'")
+    purchases = stream.filter("event_type = 'purchase'")
+    joined = SW.interval_join_views_purchases(views, purchases)
+    q = joined.writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    q.processAllAvailable()
+    q.stop()
+    got = _canon(spark.sql("SELECT * FROM ssj_out").collect())
+    want = _canon(get_query("q_stream_interval_join_batch").fn(spark, SF_DIR).collect())
+    assert got == want
