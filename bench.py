@@ -42,6 +42,8 @@ HEADLINE = [
     "q_vec_nearest_center",
     "q_stream_tumbling_batch",
     "q_stream_session_batch",
+    "q_stream_interval_join_batch",
+    "q_asof_join",
     "q_llm_chunk",
     "q_udf_grouped_map",
     "q_ref_pipeline",

@@ -72,7 +72,7 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udf_grouped_agg",
     oracle="""
     SELECT o_orderpriority AS orderpriority,
-           quantile_cont(o_totalprice, 0.5) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
            COUNT(*) AS n
     FROM orders
     GROUP BY o_orderpriority
@@ -90,8 +90,10 @@ def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg() —
     # compute the count separately and join (both sides tiny post-agg)
+    # round both sides: numpy's even-count midpoint (a+b)/2 and DuckDB's
+    # a+(b-a)*0.5 interpolation can differ in the final ulp
     med = o.groupBy(F.col("o_orderpriority").alias("orderpriority")).agg(
-        median_udaf("o_totalprice").alias("median_price")
+        F.round(median_udaf("o_totalprice"), 4).alias("median_price")
     )
     cnt = o.groupBy(F.col("o_orderpriority").alias("orderpriority")).agg(
         F.count(F.lit(1)).alias("n")
