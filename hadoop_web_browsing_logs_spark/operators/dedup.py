@@ -228,11 +228,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pathologically large buckets)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "slot")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "slot")
+    # require ≥2 matching bands: at J≥0.9 recall stays ≈0.999
+    # (P(band match)=0.9^4≈0.66, Binomial(8) tail), while mid-similarity
+    # pairs — the bulk on this self-similar corpus — drop out before the
+    # exact verify. The groupBy doubles as the pair dedup.
     cands = (
         a.join(b, ["band", "slot"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= 2)
         .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     toks = d.select("doc_id", "toks")
     pairs = cands.join(
