@@ -231,3 +231,142 @@ def q_scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("k")).alias("k_param"),
     )
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE/upsert emulation (no Delta in this environment): updated and new
+    rows win; untouched target rows survive — ``updates ∪ (target ANTI-JOIN
+    updates)``. At scale both sides hash on the key once; with a Delta/Iceberg
+    sink this becomes a real MERGE INTO."""
+    return updates.unionByName(target.join(updates, key, "left_anti"))
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               c_acctbal + 100.0 AS c_acctbal, 'UPDATED' AS c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    merged AS (
+        SELECT * FROM updates
+        UNION ALL
+        SELECT * FROM customer c WHERE NOT EXISTS
+            (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+    )
+    SELECT c_mktsegment AS mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_bal
+    FROM merged
+    GROUP BY c_mktsegment
+    """,
+    category="join",
+    description="MERGE/upsert emulation (CDC shape): updates ∪ target-anti-updates; summarized post-merge (real MERGE INTO once a Delta/Iceberg sink is attached).",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    merged = merge_upsert(c, updates, "c_custkey")
+    return merged.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("c_acctbal").alias("total_bal")
+    )
+
+
+@query(
+    "q_agg_bool_bit",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           bool_and(l_quantity > 0)    AS all_positive,
+           bool_or(l_discount > 0.09)  AS any_high_discount,
+           bit_and(CAST(l_quantity AS BIGINT)) AS qty_bit_and,
+           bit_or(CAST(l_linenumber AS BIGINT)) AS line_bit_or,
+           bit_xor(CAST(l_orderkey AS BIGINT))  AS orderkey_bit_xor
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="aggregation",
+    description="Boolean (every/some) and bitwise (and/or/xor) aggregates — order-independent by construction.",
+)
+def q_agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.every(F.col("l_quantity") > 0).alias("all_positive"),
+        F.some(F.col("l_discount") > 0.09).alias("any_high_discount"),
+        F.bit_and(F.col("l_quantity").cast("bigint")).alias("qty_bit_and"),
+        F.bit_or(F.col("l_linenumber").cast("bigint")).alias("line_bit_or"),
+        F.bit_xor(F.col("l_orderkey").cast("bigint")).alias("orderkey_bit_xor"),
+    )
+
+
+@query(
+    "q_scalar_string2",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(list_transform(string_split(lower(p_name), ' '),
+               w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') AS initcap_name,
+           translate(p_brand, '#', '-')        AS brand_dashed,
+           repeat('*', p_size % 5 + 1)         AS stars,
+           reverse(p_type)                     AS type_reversed,
+           left(p_name, 3)                     AS name_left3,
+           right(p_name, 3)                    AS name_right3,
+           position('widget' IN p_name)        AS widget_pos,
+           starts_with(p_type, 'ECO')          AS is_economy,
+           contains(p_name, 'small')           AS has_small
+    FROM part
+    """,
+    category="scalar",
+    description="String surface 2: initcap/translate/repeat/reverse/left/right/position/starts_with/contains.",
+)
+def q_scalar_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.initcap("p_name").alias("initcap_name"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5 + 1).cast("int")).alias("stars"),
+        F.reverse("p_type").alias("type_reversed"),
+        F.substring("p_name", 1, 3).alias("name_left3"),
+        F.expr("right(p_name, 3)").alias("name_right3"),
+        F.instr("p_name", "widget").alias("widget_pos"),
+        F.startswith(F.col("p_type"), F.lit("ECO")).alias("is_economy"),
+        F.contains(F.col("p_name"), F.lit("small")).alias("has_small"),
+    )
+
+
+@query(
+    "q_scalar_array2",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           list_position(seq, 3)                        AS pos_of_3,
+           COALESCE(array_to_string(list_filter(seq, x -> x % 2 = 0), ','), '') AS evens,  -- DuckDB: empty-list join is NULL
+           array_to_string(list_concat(seq, [99]), ',') AS appended,
+           seq[1]                                       AS first_el,
+           seq[-1]                                      AS last_el,
+           array_to_string(list_sort(list_distinct(list_concat(seq, seq))), ',') AS dedup_sorted
+    FROM (SELECT l_orderkey, l_linenumber,
+                 generate_series(1, CAST(l_quantity AS INTEGER) % 6 + 1) AS seq
+          FROM lineitem WHERE l_orderkey % 150 = 0)
+    """,
+    category="scalar",
+    description="Array surface 2: position/filter/concat/element access/distinct over generated sequences.",
+)
+def q_scalar_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 150 == 0)
+    seq = F.sequence(F.lit(1), (F.col("l_quantity").cast("int") % 6) + 1)
+    d = li.select("l_orderkey", "l_linenumber", seq.alias("seq"))
+    return d.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_position("seq", 3).alias("pos_of_3"),
+        F.array_join(F.filter("seq", lambda x: x % 2 == 0), ",").alias("evens"),
+        F.array_join(F.concat("seq", F.array(F.lit(99))), ",").alias("appended"),
+        F.element_at("seq", 1).alias("first_el"),
+        F.element_at("seq", -1).alias("last_el"),
+        F.array_join(F.sort_array(F.array_distinct(F.concat("seq", "seq"))), ",").alias("dedup_sorted"),
+    )
