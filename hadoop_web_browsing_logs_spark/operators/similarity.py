@@ -153,3 +153,77 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("found", F.lit(0)) / F.col("k")).alias("recall"),
         )
     )
+
+
+@query(
+    "q_sim_ivf_ann",
+    oracle=None,  # approximate (probe-limited); self-evaluating recall, with
+    # the floor asserted in pytest alongside the LSH variant.
+    category="similarity",
+    description=(
+        "IVF-style ANN: coarse-quantize every vector to its nearest centroid "
+        "(the q_vec_nearest_center operator IS the quantizer), probe the "
+        "query's 2 closest centroid cells, exact top-k within the probed "
+        "cells; reports recall@k vs brute force. The inverted-file analogue "
+        "of the reference's center assignment, used as an index."
+    ),
+)
+def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .vectors import fixture_centers, nearest_center
+
+    e = t(spark, sf_dir, "embeddings")
+    centers = fixture_centers(spark, sf_dir)
+
+    # cell assignment for all vectors (the inverted file)
+    cells = nearest_center(e, centers).select("vec_id", "center_id")
+    data = e.join(cells, "vec_id").select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"), F.col("center_id")
+    )
+
+    # queries probe their 2 nearest cells
+    from ..functions.vector import dot, norm
+
+    queries = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    qn = queries.withColumn("_qn", norm("q_vec"))
+    cn = centers.withColumn("_cn", norm("cvec"))
+    qdist = F.lit(1.0) - dot("q_vec", "cvec") / (F.col("_qn") * F.col("_cn"))
+    wq = W.partitionBy("q_id").orderBy("qdist", "center_id")
+    probes = (
+        qn.crossJoin(F.broadcast(cn))
+        .select("q_id", "q_vec", "center_id", qdist.alias("qdist"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select("q_id", "q_vec", "center_id")
+    )
+
+    # exact top-k within probed cells only
+    sim = cosine_similarity("q_vec", "c_vec")
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    ivf_topk = (
+        probes.join(data, "center_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+    exact = brute_force_topk(
+        F.broadcast(queries),
+        e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")),
+    ).select("q_id", F.col("c_id").alias("exact_c_id"))
+    hits = ivf_topk.join(
+        exact, (ivf_topk.q_id == exact.q_id) & (ivf_topk.c_id == exact.exact_c_id), "left_semi"
+    )
+    return (
+        exact.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("found")), "q_id", "left")
+        .select(
+            "q_id",
+            "k",
+            F.coalesce("found", F.lit(0)).alias("found"),
+            (F.coalesce("found", F.lit(0)) / F.col("k")).alias("recall"),
+        )
+    )

@@ -50,3 +50,12 @@ def test_nearest_center_assignment_total(spark):
     assert len(rows) == 500  # every point assigned exactly once
     assert all(0 <= r.center_id < 8 for r in rows)
     assert all(-1e-9 <= r.dist <= 2.0 + 1e-9 for r in rows)  # cosine distance range (fp slack)
+
+
+def test_ivf_recall_reasonable(spark):
+    rows = get_query("q_sim_ivf_ann").fn(spark, SF_DIR).collect()
+    assert rows
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    # probing 2 of 8 cells examines ~25% of vectors; on weakly-clustered
+    # synthetic data recall lands well above the ~5% random-candidate line
+    assert mean_recall >= 0.15, f"mean recall {mean_recall}"
