@@ -164,3 +164,48 @@ def q_llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("cum_tokens") <= 2000, 1)).alias("docs_in_budget"),
         F.max(F.when(F.col("cum_tokens") <= 2000, F.col("cum_tokens"))).alias("tokens_used"),
     )
+
+
+@query(
+    "q_llm_scrub",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g'),
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS scrubbed,
+           (length(raw) - length(regexp_replace(raw, '@', '', 'g'))) AS n_emails
+    FROM (
+        SELECT doc_id,
+               'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call '
+                 || '555-01' || CAST(doc_id % 90 + 10 AS VARCHAR) || '-4242 ssn '
+                 || CAST(doc_id % 900 + 100 AS VARCHAR) || '-42-' 
+                 || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' re: ' || substr(text, 1, 40) AS raw
+        FROM documents WHERE doc_id % 25 = 0
+    )
+    """,
+    category="llm",
+    description="PII scrubbing (email/phone/SSN regexes) over synthesized contact strings — the redaction stage of a training-data pipeline; oracle applies the identical regexes.",
+)
+def q_llm_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    raw = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"), F.lit("@example.com or call "),
+        F.lit("555-01"), (F.col("doc_id") % 90 + 10).cast("string"), F.lit("-4242 ssn "),
+        (F.col("doc_id") % 900 + 100).cast("string"), F.lit("-42-"),
+        (F.col("doc_id") % 9000 + 1000).cast("string"), F.lit(" re: "), F.substring("text", 1, 40),
+    )
+    d = docs.select("doc_id", raw.alias("raw"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), r"[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
+            r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>",
+        ),
+        r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        (F.length("raw") - F.length(F.regexp_replace("raw", "@", ""))).alias("n_emails"),
+    )

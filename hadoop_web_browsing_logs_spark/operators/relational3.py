@@ -370,3 +370,75 @@ def q_scalar_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("seq", -1).alias("last_el"),
         F.array_join(F.sort_array(F.array_distinct(F.concat("seq", "seq"))), ",").alias("dedup_sorted"),
     )
+
+
+@query(
+    "q_profile_columns",
+    oracle=f"""
+    SELECT 'l_quantity' AS col, COUNT(*) AS n, COUNT(l_quantity) AS n_nonnull,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val,
+           {dsum_sql('l_quantity')} / COUNT(*) AS mean_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(l_discount), COUNT(DISTINCT l_discount),
+           MIN(l_discount), MAX(l_discount), {dsum_sql('l_discount')} / COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*), COUNT(l_tax), COUNT(DISTINCT l_tax),
+           MIN(l_tax), MAX(l_tax), {dsum_sql('l_tax')} / COUNT(*)
+    FROM lineitem
+    """,
+    category="aggregation",
+    description="Column profiling (data-quality stage): null counts, distinct cardinality, min/max/mean per column in one pass per column set.",
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+
+    def profile(col: str) -> DataFrame:
+        n = F.count(F.lit(1))
+        return li.agg(
+            F.lit(col).alias("col"),
+            n.alias("n"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).alias("min_val"),
+            F.max(col).alias("max_val"),
+            (dsum(col) / n).alias("mean_val"),
+        )
+
+    out = profile("l_quantity")
+    for c in ("l_discount", "l_tax"):
+        out = out.unionByName(profile(c))
+    return out
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_within_1k,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                      RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS sum_below_1k
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+    category="window",
+    description="RANGE window frames over a numeric ordering (value-based neighborhoods, vs the ROWS frames elsewhere).",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w.rangeBetween(-1000, 1000)).alias("n_within_1k"),
+        (F.sum(cents).over(w.rangeBetween(-1000, W.currentRow)).cast("double") / 100).alias(
+            "sum_below_1k"
+        ),
+    )
