@@ -97,10 +97,10 @@ def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
     FROM d a JOIN d b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.toks, b.toks))) >= {JACCARD_THRESHOLD}
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= {JACCARD_THRESHOLD}
     """,
     category="dedup",
     description="Token-set Jaccard near-dup pairs over a strided sample (exact quadratic baseline the MinHash path approximates).",
@@ -113,9 +113,10 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
-        F.array_union("toks_a", "toks_b")
-    )
+    # |A∪B| = |A|+|B|-|A∩B| for the (distinct) token sets — one hash-
+    # intersect instead of intersect+union; integer arithmetic, bit-identical
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter.cast("double") / (F.size("toks_a") + F.size("toks_b") - inter)
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
@@ -169,9 +170,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
     ).cast("double") / MINHASH_PERMS
-    exact = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
-        F.array_union("toks_a", "toks_b")
-    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    exact = inter.cast("double") / (F.size("toks_a") + F.size("toks_b") - inter)
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .select(
@@ -244,9 +244,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cands.join(
         toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")), "doc_a"
     ).join(toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")), "doc_b")
-    exact = F.size(F.array_intersect("toks_a", "toks_b")).cast("double") / F.size(
-        F.array_union("toks_a", "toks_b")
-    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    exact = inter.cast("double") / (F.size("toks_a") + F.size("toks_b") - inter)
     return pairs.select("doc_a", "doc_b", exact.alias("jaccard")).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
