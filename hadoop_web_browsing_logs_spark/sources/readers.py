@@ -95,8 +95,13 @@ def read_corpus_dir(spark: SparkSession, path: str) -> DataFrame:
     return (
         lines.withColumn(
             "doc_id",
-            F.regexp_extract(F.col("_file"), r"(\d+)\.[^./]*$", 1).cast("int"),
+            # try_cast: a non-matching filename yields "" which ANSI cast
+            # would throw on (the reference threw NumberFormatException)
+            F.regexp_extract(F.col("_file"), r"(\d+)\.[^./]*$", 1).try_cast("int"),
         )
+        # non-numeric filenames crash the reference with NumberFormatException
+        # (SURVEY Q4); here they are skipped explicitly
+        .filter(F.col("doc_id").isNotNull())
         .groupBy("doc_id")
         .agg(F.concat_ws("\n", F.collect_list("value")).alias("text"))
     )
