@@ -209,3 +209,106 @@ def q_llm_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrubbed.alias("scrubbed"),
         (F.length("raw") - F.length(F.regexp_replace("raw", "@", ""))).alias("n_emails"),
     )
+
+
+@query(
+    "q_llm_quality_rules",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE n_tok BETWEEN 10 AND 5000) AS pass_length,
+           COUNT(*) FILTER (WHERE mean_wlen BETWEEN 2 AND 12) AS pass_word_len,
+           COUNT(*) FILTER (WHERE rep_ratio <= 0.2) AS pass_repetition,
+           COUNT(*) FILTER (WHERE n_tok BETWEEN 10 AND 5000
+                            AND mean_wlen BETWEEN 2 AND 12
+                            AND rep_ratio <= 0.2) AS pass_all
+    FROM (
+        SELECT lang,
+               len(toks) AS n_tok,
+               CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_wlen,
+               CAST(list_max(list_transform(list_distinct(toks),
+                    u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE) / len(toks) AS rep_ratio
+        FROM (SELECT lang, {_TOKS} AS toks FROM documents)
+    )
+    GROUP BY lang
+    """,
+    category="llm",
+    description="Gopher-style quality rule filter: length bounds, mean word length bounds, top-term repetition ratio — per-language pass counts for each rule and their conjunction.",
+)
+def q_llm_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
+    n_tok = F.size("toks")
+    mean_wlen = (
+        F.aggregate(F.transform("toks", F.length), F.lit(0), lambda a, x: a + x).cast("double") / n_tok
+    )
+    # repetition: highest single-term frequency / total tokens
+    rep = (
+        F.array_max(
+            F.transform(
+                F.array_distinct("toks"),
+                lambda u: F.size(F.filter("toks", lambda x: x == u)),
+            )
+        ).cast("double")
+        / n_tok
+    )
+    d = docs.select("lang", toks.alias("toks")).select(
+        "lang", n_tok.alias("n_tok"), mean_wlen.alias("mean_wlen"), rep.alias("rep_ratio")
+    )
+    pass_len = (F.col("n_tok") >= 10) & (F.col("n_tok") <= 5000)
+    pass_wlen = (F.col("mean_wlen") >= 2) & (F.col("mean_wlen") <= 12)
+    pass_rep = F.col("rep_ratio") <= 0.2
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(pass_len, 1)).alias("pass_length"),
+        F.count(F.when(pass_wlen, 1)).alias("pass_word_len"),
+        F.count(F.when(pass_rep, 1)).alias("pass_repetition"),
+        F.count(F.when(pass_len & pass_wlen & pass_rep, 1)).alias("pass_all"),
+    )
+
+
+@query(
+    "q_llm_decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    shingles AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3] || ' ' || toks[i+4] AS sh
+        FROM toks, UNNEST(range(1, GREATEST(len(toks) - 3, 1))) AS u(i)
+    ),
+    bench AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % 97 = 0),
+    hits AS (
+        SELECT s.doc_id, COUNT(DISTINCT s.sh) AS n_hits
+        FROM shingles s JOIN bench b ON s.sh = b.sh
+        WHERE s.doc_id % 97 <> 0
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_hits, TRUE AS contaminated FROM hits
+    """,
+    category="llm",
+    description="Benchmark decontamination: 5-gram shingle overlap between the corpus and a held-out 'benchmark' subset — contaminated docs flagged via a shingle equi-join (broadcast at real benchmark sizes).",
+)
+def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 5)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 4),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i),
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+            F.element_at("toks", i + 3),
+            F.element_at("toks", i + 4),
+        ),
+    )
+    shingles = d.select("doc_id", F.explode(sh).alias("sh"))
+    bench = shingles.filter(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    return (
+        shingles.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_hits"))
+        .withColumn("contaminated", F.lit(True))
+    )
