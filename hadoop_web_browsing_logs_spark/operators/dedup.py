@@ -197,11 +197,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall comparison apples-to-apples, and bounds in-bucket blowup on this
     # intentionally self-similar fixture corpus (tiny shared vocabulary →
     # huge buckets if run unsampled)
+    # token arrays hashed to int64 once per doc: the exact-Jaccard verify
+    # then intersects INT arrays (cheap equality) instead of strings; a
+    # cross-token hash collision (~n²/2^64) is the only way results could
+    # differ from string-set Jaccard
     d = (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % PAIR_STRIDE == 0)
-        .select("doc_id", distinct_tokens().alias("toks"))
-        .select("doc_id", "toks", minhash_signature(F.col("toks")).alias("sig"))
+        .select("doc_id", distinct_tokens().alias("stoks"))
+        .select(
+            "doc_id",
+            F.array_distinct(F.transform("stoks", lambda tok: F.xxhash64(tok))).alias("toks"),
+            minhash_signature(F.col("stoks")).alias("sig"),
+        )
     )
     # band the signatures on bare ids — the token arrays do NOT ride through
     # the candidate join/dedup shuffle (pair generation shuffles ~20 bytes per
@@ -369,4 +377,72 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_near_dup", F.col("sim") >= 0.8)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """Min-label propagation to a fixpoint: every node ends up labeled with
+    the smallest id reachable from it — the duplicate-cluster id.
+
+    The loop is a driver-side iteration over distributed joins (the standard
+    Spark shape for iterative graph algorithms when GraphFrames isn't on the
+    classpath); each iteration halves the longest chain, so iterations ≈
+    log(diameter), and each one is a hash join on (node). Returns
+    ``(node, component)``."""
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("component", F.col("node"))
+    ).cache()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "q_dedup_components",
+    oracle=None,  # iterative fixpoint — the SURVEY's non-SQL-expressible
+    # class; structural correctness asserted in pytest.
+    category="dedup",
+    description="Duplicate clustering: connected components (min-label propagation) over the J≥0.9 near-dup pairs — turns pairwise matches into dedup groups, keeping one representative per group.",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_join(F.sort_array(F.collect_list("node")), " ").alias("members"),
+        )
     )

@@ -79,3 +79,46 @@ def test_resize_stub_raises_through_spark(spark):
     media = synth_media(load_table(spark, SF_DIR, "documents").limit(6))
     with pytest.raises((PythonException, Py4JJavaError)):
         resize_images(media, 64, 64).collect()
+
+
+def test_connected_components_consistent_with_pairs(spark):
+    """Every near-dup pair must land in one component; every component id is
+    the minimum member id; components are disjoint and cover all paired docs."""
+    from hadoop_web_browsing_logs_spark.operators.dedup import connected_components
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in get_query("q_dedup_jaccard_pairs").fn(spark, SF_DIR).collect()
+    ]
+    assert pairs
+    comp_rows = get_query("q_dedup_components").fn(spark, SF_DIR).collect()
+    member_to_comp = {}
+    for r in comp_rows:
+        members = [int(m) for m in r.members.split(" ")]
+        assert r.component == min(members)
+        assert r.n_members == len(members)
+        for m in members:
+            assert m not in member_to_comp, "components overlap"
+            member_to_comp[m] = r.component
+    for a, b in pairs:
+        assert member_to_comp[a] == member_to_comp[b], f"pair {(a, b)} split across components"
+    # ground truth via union-find over the same pairs
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(x, y):
+        parent[find(x)] = find(y)
+    for a, b in pairs:
+        union(a, b)
+    truth = {}
+    for n in member_to_comp:
+        truth.setdefault(find(n), set()).add(n)
+    got = {}
+    for m, c in member_to_comp.items():
+        got.setdefault(c, set()).add(m)
+    assert sorted(map(sorted, truth.values())) == sorted(map(sorted, got.values()))
