@@ -86,9 +86,12 @@ def inverted_index(spark: SparkSession, docs: DataFrame, stem: bool = True) -> D
         toks = stem_terms(toks)
     else:
         toks = toks.withColumnRenamed("token", "term")
-    return toks.groupBy("term").agg(
-        F.sort_array(F.collect_set("doc_id")).alias("postings"),
-        F.size(F.collect_set("doc_id")).alias("df"),
+    # one collect_set buffer; df derives from it (a second agg expression
+    # would maintain a duplicate set per group)
+    return (
+        toks.groupBy("term")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("postings"))
+        .withColumn("df", F.size("postings"))
     )
 
 

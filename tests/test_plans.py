@@ -50,3 +50,20 @@ def test_inverted_index_has_partial_aggregation(spark):
 def test_nearest_center_is_broadcast_nested_loop(spark):
     plan = _plan(spark, "q_vec_nearest_center")
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_cache_reuse_in_plan(spark):
+    """.cache() surfaces as InMemoryTableScan on the second use — the knob
+    for reusing the inverted index across Job-1 export and Job-2 assignment."""
+    from pyspark.sql import functions as F
+
+    from hadoop_web_browsing_logs_spark.sources.readers import load_table
+
+    df = load_table(spark, SF_DIR, "nation").groupBy("n_regionkey").count().cache()
+    try:
+        df.count()  # materialize
+        reused = df.filter(F.col("count") > 0)
+        plan = reused._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    finally:
+        df.unpersist()
