@@ -251,3 +251,11 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     }
     assert final == truth
     assert len(glob.glob(f"{out}/epoch=*")) > len(epochs_before)  # restart progressed, not replayed
+
+
+def test_kafka_source_gated(spark):
+    from hadoop_web_browsing_logs_spark.streaming.sources import kafka_available, read_events_kafka
+
+    if not kafka_available(spark):
+        with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+            read_events_kafka(spark, "localhost:9092")
