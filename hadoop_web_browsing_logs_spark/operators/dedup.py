@@ -210,6 +210,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.transform("stoks", lambda tok: F.xxhash64(tok))).alias("toks"),
             minhash_signature(F.col("stoks")).alias("sig"),
         )
+        # the signature table is consumed 4x (both sides of the band join,
+        # both token re-joins) — materialize it once instead of recomputing
+        # 32 permutations per use (lazy local checkpoint: first use computes,
+        # the rest read blocks)
+        .localCheckpoint(eager=False)
     )
     # band the signatures on bare ids — the token arrays do NOT ride through
     # the candidate join/dedup shuffle (pair generation shuffles ~20 bytes per

@@ -253,7 +253,8 @@ def q_text_stemmed_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    toks = tokenize(docs)
+    # tokens feed both the tf and df aggregations — one explode, not two
+    toks = tokenize(docs).localCheckpoint(eager=False)
     tf = toks.groupBy("doc_id", F.col("token").alias("term")).agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy(F.col("token").alias("term")).agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -381,7 +382,9 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ref_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    idx = inverted_index(spark, docs, stem=True)
+    # the index (incl. the pandas_udf stem stage) feeds BOTH the center
+    # selection and the assignment crossJoin — materialize it once
+    idx = inverted_index(spark, docs, stem=True).localCheckpoint(eager=False)
     # SPARSE cosine: for 0/1 incidence vectors, a·b = |A∩B| and ‖a‖ = √|A| —
     # computed on the postings sets directly. Densifying first would cost
     # O(n_docs) per term (quadratic overall); this is O(|postings|), which is
