@@ -26,7 +26,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text_stats import fingerprint_md5
-from ..functions.vector import cosine_similarity, duck_cosine_similarity
+from ..functions.vector import duck_cosine_similarity
 from ..plans.registry import query
 from ._util import t
 

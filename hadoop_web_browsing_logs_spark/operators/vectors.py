@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_distance, duck_cosine_distance
+from ..functions.vector import duck_cosine_distance
 from ..plans.registry import query
 from ._util import t
 

@@ -117,3 +117,15 @@ def test_lakehouse_stub_gated(spark, tmpdir):
     merged = spark.read.parquet(target_path + "_merged")
     assert merged.count() == nation.count()
     assert merged.filter(F.col("n_name") == "UPDATED").count() == 3
+
+
+def test_tsv_sink(spark, tmpdir):
+    """Reference TextOutputFormat parity: tab-separated text sink."""
+    from hadoop_web_browsing_logs_spark.sources.writers import write_tsv
+
+    nation = load_table(spark, SF_DIR, "nation").limit(5)
+    out = os.path.join(tmpdir, "tsv")
+    write_tsv(nation, out)
+    lines = [l for f in glob.glob(f"{out}/part-*") for l in open(f).read().splitlines()]
+    assert len(lines) == 5
+    assert all(len(l.split("\t")) == 3 for l in lines)
