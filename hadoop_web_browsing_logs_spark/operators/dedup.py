@@ -299,11 +299,11 @@ _DUCK_POLY = (
         WHERE doc_id % {PAIR_STRIDE} = 0
     )
     SELECT doc_id,
-           list_sum(list_transform(range(0, {SIMHASH_BITS}),
+           CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}),
                b -> CASE WHEN list_sum(list_transform(hashes,
                               h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
-                         THEN 1 << b ELSE 0 END)) AS simhash,
-           len(hashes) AS n_tokens
+                         THEN 1 << b ELSE 0 END)) AS BIGINT) AS simhash,
+           CAST(len(hashes) AS BIGINT) AS n_tokens
     FROM tok_hashes
     """,
     category="dedup",
@@ -333,10 +333,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.lit(2.0), b).cast("int"),
         ).otherwise(0),
     )
+    # BIGINT on both engines: DuckDB list_sum/len widen to HUGEINT/BIGINT,
+    # Spark's INT-accumulator aggregate stayed INT (round-1 driver hash-FAIL).
     return d.select(
         "doc_id",
-        F.aggregate(bit_votes, F.lit(0), lambda acc, v: acc + v).alias("simhash"),
-        F.size("hashes").alias("n_tokens"),
+        F.aggregate(bit_votes, F.lit(0).cast("bigint"), lambda acc, v: acc + v).alias("simhash"),
+        F.size("hashes").cast("bigint").alias("n_tokens"),
     )
 
 

@@ -146,8 +146,8 @@ def q_llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sized
     )
     SELECT source,
-           COUNT(*) FILTER (WHERE cum_tokens <= 2000) AS docs_in_budget,
-           MAX(CASE WHEN cum_tokens <= 2000 THEN cum_tokens END) AS tokens_used
+           CAST(COUNT(*) FILTER (WHERE cum_tokens <= 2000) AS BIGINT) AS docs_in_budget,
+           CAST(MAX(CASE WHEN cum_tokens <= 2000 THEN cum_tokens END) AS BIGINT) AS tokens_used
     FROM running
     GROUP BY source
     """,
@@ -160,9 +160,12 @@ def q_llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = docs.select("source", "doc_id", F.size(toks).alias("n_tokens"))
     w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
     running = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    # Both output columns explicitly BIGINT: DuckDB's FILTER-count and the MAX
+    # over a HUGEINT-widened window sum would otherwise skew representation
+    # against Spark's LONG (round-1 driver hash-FAIL, VERDICT.md).
     return running.groupBy("source").agg(
-        F.count(F.when(F.col("cum_tokens") <= 2000, 1)).alias("docs_in_budget"),
-        F.max(F.when(F.col("cum_tokens") <= 2000, F.col("cum_tokens"))).alias("tokens_used"),
+        F.count(F.when(F.col("cum_tokens") <= 2000, 1)).cast("bigint").alias("docs_in_budget"),
+        F.max(F.when(F.col("cum_tokens") <= 2000, F.col("cum_tokens"))).cast("bigint").alias("tokens_used"),
     )
 
 

@@ -738,33 +738,33 @@ def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scalar_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ABS(l_quantity - 25)                    AS abs_dev,
-           FLOOR(l_quantity / 10)                  AS qty_bucket,
-           CEIL(l_discount * 100)                  AS disc_pct,
-           SQRT(l_extendedprice)                   AS sqrt_price,
-           ROUND(LN(l_extendedprice + 1), 6)       AS log_price,
-           l_quantity * l_quantity                 AS qty_sq,
-           CAST(l_quantity AS BIGINT) % 7          AS qty_mod7,
-           SIGN(l_discount - 0.05)                 AS disc_sign
+           CAST(ABS(l_quantity - 25) AS DOUBLE)              AS abs_dev,
+           CAST(FLOOR(l_quantity / 10) AS BIGINT)            AS qty_bucket,
+           CAST(CEIL(l_discount * 100) AS BIGINT)            AS disc_pct,
+           CAST(SQRT(l_extendedprice) AS DOUBLE)             AS sqrt_price,
+           CAST(ROUND(LN(l_extendedprice + 1), 6) AS DOUBLE) AS log_price,
+           CAST(l_quantity * l_quantity AS DOUBLE)           AS qty_sq,
+           CAST(l_quantity AS BIGINT) % 7                    AS qty_mod7,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE)           AS disc_sign
     FROM lineitem
     WHERE l_orderkey % 100 = 0
     """,
     category="scalar",
-    description="Math surface: abs/floor/ceil/sqrt/ln/mod/sign (ln rounded to absorb libm last-ulp differences; sqrt is IEEE-exact).",
+    description="Math surface: abs/floor/ceil/sqrt/ln/mod/sign (ln rounded to absorb libm last-ulp differences; sqrt is IEEE-exact). Every numeric output is explicitly CAST on both engines: DuckDB FLOOR/CEIL return DOUBLE and SIGN returns BIGINT while Spark floor/ceil return LONG and signum returns DOUBLE — the round-1 driver hash-FAIL was exactly this representation skew (VERDICT.md round 1).",
 )
 def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.abs(F.col("l_quantity") - 25).alias("abs_dev"),
-        F.floor(F.col("l_quantity") / 10).alias("qty_bucket"),
-        F.ceil(F.col("l_discount") * 100).alias("disc_pct"),
-        F.sqrt("l_extendedprice").alias("sqrt_price"),
-        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
-        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.abs(F.col("l_quantity") - 25).cast("double").alias("abs_dev"),
+        F.floor(F.col("l_quantity") / 10).cast("bigint").alias("qty_bucket"),
+        F.ceil(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+        F.sqrt("l_extendedprice").cast("double").alias("sqrt_price"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).cast("double").alias("log_price"),
+        (F.col("l_quantity") * F.col("l_quantity")).cast("double").alias("qty_sq"),
         (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
     )
 
 
@@ -773,8 +773,8 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
     FROM events
     GROUP BY event_type
     """,
@@ -795,8 +795,8 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scalar_array",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           len(seq)                                              AS seq_len,
-           list_sum(list_transform(seq, x -> x * x))             AS sum_sq,
+           CAST(len(seq) AS BIGINT)                              AS seq_len,
+           CAST(list_sum(list_transform(seq, x -> x * x)) AS BIGINT) AS sum_sq,
            list_contains(seq, 3)                                 AS has_3,
            array_to_string(list_reverse_sort(seq), ',')          AS desc_str
     FROM (SELECT l_orderkey, l_linenumber,
@@ -813,8 +813,12 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "l_orderkey",
         "l_linenumber",
-        F.size("seq").alias("seq_len"),
-        F.aggregate(F.transform("seq", lambda x: x * x), F.lit(0), lambda acc, x: acc + x).alias("sum_sq"),
+        F.size("seq").cast("bigint").alias("seq_len"),
+        F.aggregate(
+            F.transform("seq", lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_sq"),
         F.array_contains("seq", 3).alias("has_3"),
         F.array_join(F.sort_array("seq", asc=False), ",").alias("desc_str"),
     )

@@ -39,16 +39,21 @@ def duck():
 
 
 def _canon_cell(v):
+    # Type-SENSITIVE on purpose: the driver's value-hash distinguishes numeric
+    # representations (5 vs 5.0), and round 1 shipped five queries whose only
+    # defect was an int/float type skew the old canonicalizer collapsed
+    # (VERDICT.md round 1). Prefixing by type class reproduces driver
+    # semantics locally so pytest catches skews pre-driver.
     if v is None:
         return "\0NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6f}"
+            return "f:NaN"
+        return f"f:{v:.6f}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     return str(v)

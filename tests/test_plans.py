@@ -67,3 +67,22 @@ def test_cache_reuse_in_plan(spark):
         assert "InMemoryTableScan" in plan
     finally:
         df.unpersist()
+
+
+def test_driver_priority_window():
+    """The driver's correctness gate samples the first 50 registered queries;
+    DRIVER_PRIORITY pins that window (COVERAGE.md 'Driver 50-slot allocation')."""
+    from hadoop_web_browsing_logs_spark.plans.registry import DRIVER_PRIORITY, all_queries
+
+    names = list(all_queries())
+    assert len(DRIVER_PRIORITY) == 50
+    assert len(set(DRIVER_PRIORITY)) == 50
+    assert names[:50] == list(DRIVER_PRIORITY)
+    # every priority name actually resolves to a registered query
+    assert set(DRIVER_PRIORITY) <= set(names)
+    # the reference-parity core sits inside the window
+    window = set(DRIVER_PRIORITY)
+    for core in ("q_ref_pipeline", "q_text_inverted_index", "q_text_tfidf",
+                 "q_vec_nearest_center", "q_vec_cluster_groups",
+                 "q_stream_tumbling_batch", "q_sim_cosine_topk"):
+        assert core in window, core
