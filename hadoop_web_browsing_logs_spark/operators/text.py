@@ -43,7 +43,7 @@ from ..functions.text_stats import (
     ws_tokens,
 )
 from ..plans.registry import query
-from ._util import t
+from ._util import one_group, t
 
 _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
@@ -162,13 +162,17 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokenize(t(spark, sf_dir, "documents"))
-    w = W.orderBy(F.col("df").desc(), F.col("term"))
-    return (
-        toks.groupBy(F.col("token").alias("term"))
-        .agg(F.countDistinct("doc_id").alias("df"), F.count(F.lit(1)).alias("tf_total"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
+    agg = toks.groupBy(F.col("token").alias("term")).agg(
+        F.countDistinct("doc_id").alias("df"), F.count(F.lit(1)).alias("tf_total")
     )
+    # Distributed top-k (TakeOrderedAndProject), NOT a global row_number()
+    # window: at a 100 TB corpus the vocab is ~1e8 rows and an unpartitioned
+    # window funnels all of it through one partition. Rank only the 20
+    # surviving rows; the constant partition key keeps WindowExec off the
+    # single-partition warning path for a frame this size.
+    top = agg.orderBy(F.col("df").desc(), "term").limit(20)
+    w = W.partitionBy(one_group("term")).orderBy(F.col("df").desc(), F.col("term"))
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 @query(
@@ -394,9 +398,13 @@ def q_ref_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # center set: the 4 alphabetically-first terms' vectors (stands in for
     # centers.txt, ProcessData.java:579-590; deterministic)
+    # 4 alphabetically-first terms via distributed TakeOrdered, then number
+    # the 4-row result — not a row_number() window over the whole vocab
+    # (single-partition sort of ~1e8 rows at a 100 TB corpus).
     centers = (
-        sparse.withColumn("rn", F.row_number().over(W.orderBy("term")))
-        .filter(F.col("rn") <= 4)
+        sparse.orderBy("term")
+        .limit(4)
+        .withColumn("rn", F.row_number().over(W.partitionBy(one_group("term")).orderBy("term")))
         .select(F.col("rn").alias("center_id"), F.col("term").alias("center_term"), F.col("postings").alias("cpostings"))
     )
     dist = 1 - F.size(F.array_intersect("postings", "cpostings")) / (
@@ -415,7 +423,7 @@ def q_ref_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
             F.concat_ws(" ", F.sort_array(F.collect_list("term"))).alias("members"),
         )
-        .withColumn("cluster_id", F.row_number().over(W.orderBy("center_id")))
+        .withColumn("cluster_id", F.row_number().over(W.partitionBy(one_group("center_term")).orderBy("center_id")))
         .select("cluster_id", "center_term", "n_members", "members")
     )
 
@@ -452,10 +460,10 @@ def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram"),
     )
-    w = W.orderBy(F.col("n").desc(), F.col("bigram"))
-    return (
-        bigrams.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("df"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
+    agg = bigrams.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("df")
     )
+    # Distributed top-k then rank the 20-row result (see q_text_term_doc_freq).
+    top = agg.orderBy(F.col("n").desc(), "bigram").limit(20)
+    w = W.partitionBy(one_group("bigram")).orderBy(F.col("n").desc(), F.col("bigram"))
+    return top.withColumn("rnk", F.row_number().over(w))

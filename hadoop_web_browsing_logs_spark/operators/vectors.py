@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import duck_cosine_distance
 from ..plans.registry import query
-from ._util import t
+from ._util import one_group, t
 
 N_CENTERS = 8
 
@@ -119,7 +119,12 @@ def q_vec_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
             F.array_join(F.sort_array(F.collect_list("vec_id")), " ").alias("members"),
         )
-        .withColumn("cluster_id", F.row_number().over(W.orderBy("center_id")))
+        .withColumn(
+            # k-row input (one row per center); one_group keeps the window an
+            # explicit single-group partition instead of an empty spec.
+            "cluster_id",
+            F.row_number().over(W.partitionBy(one_group("center_id")).orderBy("center_id")),
+        )
     )
 
 

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .operators._util import one_group
+
 
 def _parse_center_line(line: str) -> list[int]:
     """Parse the reference's vector serialization ``[1,0,1,]`` (tolerates the
@@ -94,7 +96,7 @@ def run_reference_jobs(
     clusters = (
         assigned.groupBy("center_id")
         .agg(F.concat_ws(" ", F.sort_array(F.collect_list("term"))).alias("members"))
-        .withColumn("cluster", F.row_number().over(W.orderBy("center_id")))
+        .withColumn("cluster", F.row_number().over(W.partitionBy(one_group("center_id")).orderBy("center_id")))
         .select("cluster", "members")
     )
     (

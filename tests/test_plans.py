@@ -86,3 +86,19 @@ def test_driver_priority_window():
                  "q_vec_nearest_center", "q_vec_cluster_groups",
                  "q_stream_tumbling_batch", "q_sim_cosine_topk"):
         assert core in window, core
+
+
+def test_topk_rank_sites_take_ordered(spark):
+    """Round-2 fix (VERDICT r1 item 3): global top-k-with-rank must be
+    distributed TakeOrdered + tiny ranked tail, not a row_number() window
+    over the full aggregated vocab (single-partition sort at 100 TB)."""
+    for name in ("q_text_term_doc_freq", "q_text_ngrams", "q_ref_pipeline"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        # no empty-partition-spec window remains: every windowspecdefinition
+        # must carry a partition expression (pmod(length(...), 1) or a key)
+        for line in plan.splitlines():
+            if "windowspecdefinition(" in line:
+                spec = line.split("windowspecdefinition(", 1)[1]
+                first_arg = spec.split(",")[0]
+                assert "ASC" not in first_arg and "DESC" not in first_arg, (name, line)
