@@ -134,8 +134,12 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
     )
 
+    # queries here is band-EXPLODED (N_BANDS rows per q_id); dedupe before the
+    # exact baseline or the crossJoin makes each true neighbor appear N_BANDS
+    # times and the "top-5" collapses to ~2 distinct neighbors, understating
+    # recall (ADVICE round 1).
     exact = brute_force_topk(
-        F.broadcast(queries.select("q_id", "q_vec")),
+        F.broadcast(queries.select("q_id", "q_vec").dropDuplicates(["q_id"])),
         t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")),
     ).select("q_id", F.col("c_id").alias("exact_c_id"))
 

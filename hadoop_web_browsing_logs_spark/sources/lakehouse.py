@@ -65,5 +65,16 @@ def merge_into(
 
     target = spark.read.parquet(target_path)
     merged = merge_upsert(target, updates, key)
-    # rewrite via a temp location would be used in production; overwrite here
-    merged.write.mode("overwrite").parquet(target_path + "_merged")
+    # Same contract as the Delta branch: the TARGET path holds the merged
+    # table afterwards. Spark cannot overwrite a path it is lazily reading,
+    # so materialize to a temp sibling, then swap via the Hadoop FileSystem
+    # API (portable to HDFS/S3A, unlike os.rename). The delete+rename pair is
+    # the documented non-ACID caveat vs real Delta MERGE.
+    tmp_path = target_path + "__merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp_path)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath(target_path), True)
+    if not fs.rename(hpath(tmp_path), hpath(target_path)):
+        raise IOError(f"rename {tmp_path} -> {target_path} failed")

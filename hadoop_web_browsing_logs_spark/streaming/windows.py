@@ -168,8 +168,11 @@ def q_stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH gaps AS (
         SELECT user_id, ts,
+               -- >= (not >): Spark's session_window merges events in
+               -- [start, start+gap) — an event landing exactly at start+gap
+               -- opens a NEW session (ADVICE round 1).
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         > INTERVAL '30 minutes'
+                         >= INTERVAL '30 minutes'
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events

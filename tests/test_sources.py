@@ -114,9 +114,11 @@ def test_lakehouse_stub_gated(spark, tmpdir):
     nation.write.parquet(target_path)
     updates = nation.filter(F.col("n_nationkey") < 3).withColumn("n_name", F.lit("UPDATED"))
     lakehouse.merge_into(spark, target_path, updates, "n_nationkey")
-    merged = spark.read.parquet(target_path + "_merged")
+    # same contract as Delta MERGE: the TARGET path holds the merged table
+    merged = spark.read.parquet(target_path)
     assert merged.count() == nation.count()
     assert merged.filter(F.col("n_name") == "UPDATED").count() == 3
+    assert not os.path.exists(target_path + "__merge_tmp")
 
 
 def test_tsv_sink(spark, tmpdir):
