@@ -259,9 +259,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")), "doc_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     exact = inter.cast("double") / (F.size("toks_a") + F.size("toks_b") - inter)
-    return pairs.select("doc_a", "doc_b", exact.alias("jaccard")).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
-    )
+    # The threshold test as an EXACT integer inequality:
+    #   inter/(sa+sb-inter) >= num/den  <=>  (den+num)*inter >= num*(sa+sb)
+    # Catalyst folds the post-projection filter into the join condition, and
+    # a `jaccard >= t` form would evaluate array_intersect twice there (no
+    # cross-operator CSE); the integer form needs it once per candidate pair
+    # — array_intersect is the dominant per-pair cost of the verify stage.
+    from fractions import Fraction
+
+    frac = Fraction(str(JACCARD_THRESHOLD))
+    num, den = frac.numerator, frac.denominator
+    keep = (den + num) * inter >= num * (F.size("toks_a") + F.size("toks_b"))
+    return pairs.filter(keep).select("doc_a", "doc_b", exact.alias("jaccard"))
 
 
 # ---------------------------------------------------------------------------
