@@ -92,6 +92,7 @@ _STEP4 = (
 
 
 @lru_cache(maxsize=1 << 17)
+@lru_cache(maxsize=1 << 20)
 def porter_stem(word: str) -> str:
     """Stem one lowercase word with the classic Porter algorithm."""
     w = word
@@ -172,5 +173,9 @@ def porter_stem(word: str) -> str:
 @F.pandas_udf(T.StringType())
 def stem_udf(tokens: pd.Series) -> pd.Series:
     """Arrow-batched Porter stemmer — the engine's only Python hot-path kernel
-    (SURVEY §4.2: the single codegen break in the flagship plan)."""
+    (SURVEY §4.2: the single codegen break in the flagship plan).
+    ``porter_stem``'s lru_cache persists across Arrow batches in each worker,
+    so repeated tokens cost a dict lookup; callers should still prefer
+    feeding DISTINCT tokens (see operators.text) so the Arrow transfer
+    itself is vocab-sized."""
     return tokens.map(lambda tok: porter_stem(tok) if tok else tok)

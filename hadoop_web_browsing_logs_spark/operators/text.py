@@ -72,8 +72,16 @@ def remove_stopwords(tokens: DataFrame, spark: SparkSession, stopwords=STOPWORDS
 
 
 def stem_terms(tokens: DataFrame) -> DataFrame:
-    """Porter-stem the token column (A7) — the engine's one pandas_udf stage."""
-    return tokens.withColumn("term", stem_udf(F.col("token"))).drop("token")
+    """Porter-stem the token column (A7) — the engine's one pandas_udf stage.
+
+    Dictionary stemming: the UDF runs over DISTINCT tokens only (vocab-sized
+    Python/Arrow stage, ~1e8 rows at a 100 TB corpus) and the token→term map
+    joins back onto the corpus-sized stream (AQE broadcasts it while it fits,
+    falls back to a co-partitioned shuffle join beyond that). Stemming every
+    token INSTANCE would push the entire corpus through the Python boundary —
+    the reference pays exactly that cost per map call (ProcessData.java:411)."""
+    vocab = tokens.select("token").distinct().withColumn("term", stem_udf(F.col("token")))
+    return tokens.join(vocab, "token").drop("token")
 
 
 def inverted_index(spark: SparkSession, docs: DataFrame, stem: bool = True) -> DataFrame:
@@ -83,9 +91,21 @@ def inverted_index(spark: SparkSession, docs: DataFrame, stem: bool = True) -> D
     semantics via ``collect_set`` (SURVEY Q1)."""
     toks = remove_stopwords(tokenize(docs), spark)
     if stem:
-        toks = stem_terms(toks)
-    else:
-        toks = toks.withColumnRenamed("token", "term")
+        # Stem AFTER the corpus-sized shuffle: aggregate postings by RAW
+        # token first (the shuffle an inverted index needs anyway), run the
+        # pandas_udf over the vocab-sized aggregate, then merge the postings
+        # of raw tokens sharing a stem in a second, vocab-sized aggregation.
+        # The corpus never crosses the Python/Arrow boundary — at a 100 TB
+        # corpus the old instance-level stem shipped ~1e12 tokens through
+        # Python; this ships ~1e8 distinct ones.
+        raw = toks.groupBy("token").agg(F.collect_set("doc_id").alias("p0"))
+        return (
+            raw.withColumn("term", stem_udf(F.col("token")))
+            .groupBy("term")
+            .agg(F.sort_array(F.array_distinct(F.flatten(F.collect_list("p0")))).alias("postings"))
+            .withColumn("df", F.size("postings"))
+        )
+    toks = toks.withColumnRenamed("token", "term")
     # one collect_set buffer; df derives from it (a second agg expression
     # would maintain a duplicate set per group)
     return (
@@ -225,9 +245,19 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Stemmed term frequencies — the full A4→A7 map-side pipeline incl. the pandas_udf Porter stemmer.",
 )
 def q_text_stemmed_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = stem_terms(remove_stopwords(tokenize(t(spark, sf_dir, "documents")), spark))
-    return toks.groupBy("term").agg(
-        F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("df")
+    toks = remove_stopwords(tokenize(t(spark, sf_dir, "documents")), spark)
+    # same stem-after-shuffle shape as inverted_index: partial counts and doc
+    # sets per RAW token, vocab-sized pandas_udf, vocab-sized merge
+    raw = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n0"), F.collect_set("doc_id").alias("docs")
+    )
+    return (
+        raw.withColumn("term", stem_udf(F.col("token")))
+        .groupBy("term")
+        .agg(
+            F.sum("n0").alias("n"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("docs")))).alias("df"),
+        )
     )
 
 
