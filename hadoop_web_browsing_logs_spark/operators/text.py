@@ -287,10 +287,18 @@ def q_text_stemmed_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    # tokens feed both the tf and df aggregations — one explode, not two
-    toks = tokenize(docs).localCheckpoint(eager=False)
-    tf = toks.groupBy("doc_id", F.col("token").alias("term")).agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy(F.col("token").alias("term")).agg(F.countDistinct("doc_id").alias("df"))
+    # Aggregation CASCADE: df re-aggregates tf (tf has exactly one row per
+    # (doc, term), so COUNT per term == COUNT(DISTINCT doc_id)) — one
+    # corpus-sized shuffle total, instead of a second countDistinct shuffle
+    # that maintains a doc-set per term. The (doc,term)-sized tf table is
+    # what gets checkpointed for reuse, not the raw token stream.
+    tf = (
+        tokenize(docs)
+        .groupBy("doc_id", F.col("token").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     raw = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
     w = W.partitionBy("doc_id").orderBy(raw.desc(), F.col("term"))
