@@ -319,6 +319,11 @@ _DUCK_POLY = (
     description="SimHash (16-bit, per-bit majority vote over portable polynomial token hashes) — Hamming-distance near-dup key, fully oracle-checked.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_signatures(spark, sf_dir)
+
+
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash BIGINT, n_tokens BIGINT) over the strided sample."""
     d = (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % PAIR_STRIDE == 0)
@@ -348,6 +353,73 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.aggregate(bit_votes, F.lit(0).cast("bigint"), lambda acc, v: acc + v).alias("simhash"),
         F.size("hashes").cast("bigint").alias("n_tokens"),
+    )
+
+
+SIMHASH_PAIR_BANDS = 4  # 16 bits → 4 nibbles
+HAMMING_MAX = 3  # pigeonhole: <= 3 flipped bits leave >= 1 of 4 bands intact
+
+
+@query(
+    "q_dedup_simhash_pairs",
+    oracle=f"""
+    WITH tok_hashes AS (
+        SELECT doc_id,
+               list_transform({_DUCK_TOKS},
+                              tok -> {_DUCK_POLY}) AS hashes
+        FROM documents
+        WHERE doc_id % {PAIR_STRIDE} = 0
+    ),
+    sigs AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}),
+                   b -> CASE WHEN list_sum(list_transform(hashes,
+                                  h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                             THEN 1 << b ELSE 0 END)) AS BIGINT) AS simhash
+        FROM tok_hashes
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+    category="dedup",
+    description=(
+        "SimHash near-dup PAIRS via banded bucketing: the 16-bit signature "
+        "splits into 4 nibble bands; candidates share >= 1 band (equi-join on "
+        "(band, nibble) — never all-pairs), then exact Hamming verify. By "
+        "pigeonhole the banding is EXACT for hamming <= 3, so the all-pairs "
+        "DuckDB oracle must agree bit-for-bit."
+    ),
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _simhash_signatures(spark, sf_dir).select("doc_id", "simhash")
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", 4 * i).bitwiseAND(15).alias("nib"),
+                    )
+                    for i in range(SIMHASH_PAIR_BANDS)
+                ]
+            )
+        ).alias("bn"),
+    ).select("doc_id", "simhash", "bn.band", "bn.nib")
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "nib")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "nib")
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["band", "nib"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(hamming <= HAMMING_MAX)
+        # a pair can match in several bands — groupBy doubles as the dedup,
+        # min() of a per-pair constant is just the cheapest carry-through
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min(hamming).cast("bigint").alias("hamming"))
     )
 
 

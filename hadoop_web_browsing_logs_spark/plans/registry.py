@@ -100,9 +100,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_scalar_array2",
     "q_profile_columns",
     "q_window_range_frame",
-    # Flagship + bench-tail (slots 49-50)
+    # Flagship + new-in-round-2 oracled query (slots 49-50).
+    # q_dedup_minhash_lsh already holds its (rows-only) driver row from
+    # round 1; the fully-oracled simhash-pairs query is the stronger signal.
     "q1_pricing_summary",
-    "q_dedup_minhash_lsh",
+    "q_dedup_simhash_pairs",
 )
 
 
