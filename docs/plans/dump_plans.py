@@ -1,0 +1,47 @@
+"""Regenerate the physical-plan dumps in docs/plans/.
+
+Usage: python docs/plans/dump_plans.py  (run from the repo root)
+
+Each dump is `df.explain("formatted")` output at sf0.01, captured before
+execution (AQE not yet finalized) — the shape reviewed for pushdown,
+broadcast choice, TakeOrdered, and partial aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+from hadoop_web_browsing_logs_spark.plans.registry import get_query
+from hadoop_web_browsing_logs_spark.session import get_spark
+
+SF = "/root/testdata/sf0.01"
+OUT = os.path.dirname(os.path.abspath(__file__))
+
+DUMPED = [
+    "q1_pricing_summary",
+    "q_join_multiway",
+    "q_ref_pipeline",
+    "q_stream_tumbling_batch",
+    "q_text_inverted_index",
+    "q_text_term_doc_freq",
+    "q_text_tfidf",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash_pairs",
+]
+
+
+def main() -> None:
+    spark = get_spark("plandump", cpus=8)
+    for name in DUMPED:
+        df = get_query(name).fn(spark, SF)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        with open(os.path.join(OUT, f"{name}.txt"), "w") as fh:
+            fh.write(f"# {name} — physical plan (sf0.01, AQE pre-execution)\n\n{plan}")
+        print("wrote", name)
+
+
+if __name__ == "__main__":
+    main()
