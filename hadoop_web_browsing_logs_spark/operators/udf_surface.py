@@ -105,10 +105,10 @@ def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udf_python_row",
     oracle="""
     SELECT o_orderkey,
-           list_sum(list_transform(list_filter(string_split(CAST(o_orderkey AS VARCHAR), ''), c -> c <> ''),
-                                   c -> CAST(c AS BIGINT))) AS digit_sum,
-           list_sum(list_transform(list_filter(string_split(CAST(o_orderkey AS VARCHAR), ''), c -> c <> ''),
-                                   c -> CAST(c AS BIGINT))) % 9 AS checksum
+           CAST(list_sum(list_transform(list_filter(string_split(CAST(o_orderkey AS VARCHAR), ''), c -> c <> ''),
+                                        c -> CAST(c AS BIGINT))) AS BIGINT) AS digit_sum,
+           CAST(list_sum(list_transform(list_filter(string_split(CAST(o_orderkey AS VARCHAR), ''), c -> c <> ''),
+                                        c -> CAST(c AS BIGINT))) % 9 AS BIGINT) AS checksum
     FROM orders
     WHERE o_orderkey % 50 = 0
     """,
