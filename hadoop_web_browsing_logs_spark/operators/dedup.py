@@ -473,15 +473,25 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 25) -> DataFrame:
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 25,
+    check_every: int = 2,
+) -> DataFrame:
     """Min-label propagation to a fixpoint: every node ends up labeled with
     the smallest id reachable from it — the duplicate-cluster id.
 
     The loop is a driver-side iteration over distributed joins (the standard
     Spark shape for iterative graph algorithms when GraphFrames isn't on the
     classpath); each iteration halves the longest chain, so iterations ≈
-    log(diameter), and each one is a hash join on (node). Returns
-    ``(node, component)``."""
+    log(diameter), and each one is a hash join on (node). The convergence
+    check (a counts-only action) runs every ``check_every`` iterations —
+    at scale each action is a full job, so probing every round pays one
+    extra scheduling round-trip per iteration for nothing; an extra
+    propagation round past the fixpoint is a no-op join on an already-stable
+    labels table. Returns ``(node, component)``."""
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
@@ -491,7 +501,7 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", m
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("component", F.col("node"))
     ).cache()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
@@ -505,11 +515,13 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", m
             )
             .cache()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
+        changed = None
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            changed = (
+                new_labels.join(labels.withColumnRenamed("component", "old"), "node")
+                .filter(F.col("component") != F.col("old"))
+                .count()
+            )
         labels.unpersist()
         labels = new_labels
         if changed == 0:
