@@ -4,15 +4,16 @@
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the total wall-clock of one timed pass over all headline queries
-(after a warm-up pass of the session). Per-query seconds are the median-ish
-single timed run — cheap enough to run every iteration while tuning.
+``value`` is the total of per-query medians over ``MEDIAN_OF`` timed passes
+(after a warm-up pass of the session), so ±0.1 s single-run noise can't
+masquerade as a regression signal between rounds.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -22,6 +23,7 @@ from hadoop_web_browsing_logs_spark.plans.registry import all_queries
 from hadoop_web_browsing_logs_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+MEDIAN_OF = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 #: Headline set: one representative per operator family (kept small enough for
 #: a per-round driver run, broad enough to catch a regression in any family).
@@ -65,7 +67,14 @@ def main() -> None:
     for n in names:
         run_once(n)
 
-    per_query = {n: round(run_once(n), 3) for n in names}
+    # Interleaved rounds (all queries, then repeat) rather than back-to-back
+    # repeats per query, so a transient GC pause penalizes one round, not one
+    # query's every sample.
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(MEDIAN_OF):
+        for n in names:
+            samples[n].append(run_once(n))
+    per_query = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
     total = sum(per_query.values())
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -76,6 +85,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "median_of": MEDIAN_OF,
                 "sf": float(sf) if sf else None,
             }
         )

@@ -91,7 +91,6 @@ _STEP4 = (
 )
 
 
-@lru_cache(maxsize=1 << 17)
 @lru_cache(maxsize=1 << 20)
 def porter_stem(word: str) -> str:
     """Stem one lowercase word with the classic Porter algorithm."""

@@ -85,15 +85,19 @@ def read_corpus_dir(spark: SparkSession, path: str) -> DataFrame:
 
     Replaces the reference's per-line mapper + filename parse
     (ProcessData.java:387-401): doc id = integer filename prefix before the last
-    dot, 1-based (ProcessData.java:417, 464). Lines of one file are re-grouped
-    into a single document row; at scale the grouping is a hash shuffle on
-    doc_id, and file-level parallelism is preserved by Spark's file splitting.
+    dot, 1-based (ProcessData.java:417, 464). ``wholetext=True`` reads each file
+    as ONE row, so a document is never split into lines and re-grouped — no
+    shuffle, and line order within a document is the file's byte order by
+    construction (a line-wise read + ``collect_list`` regroup is NOT
+    order-stable after the shuffle). One file = one record; documents are
+    row-sized by definition, and file-level parallelism is preserved (one
+    input split per file).
 
     Returns ``corpus(doc_id INT, text STRING)``.
     """
-    lines = spark.read.text(path).withColumn("_file", F.input_file_name())
+    files = spark.read.text(path, wholetext=True).withColumn("_file", F.input_file_name())
     return (
-        lines.withColumn(
+        files.withColumn(
             "doc_id",
             # try_cast: a non-matching filename yields "" which ANSI cast
             # would throw on (the reference threw NumberFormatException)
@@ -102,8 +106,9 @@ def read_corpus_dir(spark: SparkSession, path: str) -> DataFrame:
         # non-numeric filenames crash the reference with NumberFormatException
         # (SURVEY Q4); here they are skipped explicitly
         .filter(F.col("doc_id").isNotNull())
-        .groupBy("doc_id")
-        .agg(F.concat_ws("\n", F.collect_list("value")).alias("text"))
+        # line-join parity with the reference's per-line reader: no trailing
+        # newline on the reassembled document
+        .select("doc_id", F.regexp_replace("value", r"\n$", "").alias("text"))
     )
 
 
