@@ -423,10 +423,61 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_ref_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ref_pipeline(spark, sf_dir, stem=True)
+
+
+@query(
+    "q_ref_pipeline_unstemmed",
+    oracle=f"""
+    WITH tok AS (
+        SELECT d.doc_id, u.token AS term
+        FROM documents d, UNNEST(string_split_regex(lower(trim(d.text)), '\\s+')) AS u(token)
+        WHERE u.token <> '' AND u.token NOT IN ({_SW_SQL})
+    ),
+    idx AS (
+        SELECT term, list_sort(list(DISTINCT doc_id)) AS postings
+        FROM tok GROUP BY term
+    ),
+    centers AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY term) AS center_id,
+               term AS center_term, postings AS cpostings
+        FROM idx ORDER BY term LIMIT 4
+    ),
+    assigned AS (
+        SELECT term, center_id, center_term,
+               ROW_NUMBER() OVER (
+                   PARTITION BY term
+                   ORDER BY 1 - len(list_intersect(postings, cpostings))
+                            / (sqrt(CAST(len(postings) AS DOUBLE)) * sqrt(CAST(len(cpostings) AS DOUBLE))),
+                            center_id
+               ) AS rn
+        FROM idx CROSS JOIN centers
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY center_id) AS cluster_id,
+           center_term,
+           COUNT(*) AS n_members,
+           array_to_string(list_sort(list(term)), ' ') AS members
+    FROM assigned WHERE rn = 1
+    GROUP BY center_id, center_term
+    """,
+    category="text",
+    description=(
+        "The flagship DAG with stem=False and a FULL DuckDB oracle: driver-"
+        "hash-proves the A8-A19 composition (inverted index → sparse-cosine "
+        "nearest-center → deterministically numbered clusters) end to end, "
+        "leaving only the Porter stage (A7) golden-pinned — VERDICT r2 "
+        "item 2. Reference: ProcessData.java:650-678."
+    ),
+)
+def q_ref_pipeline_unstemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ref_pipeline(spark, sf_dir, stem=False)
+
+
+def _ref_pipeline(spark: SparkSession, sf_dir: str, stem: bool) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    # the index (incl. the pandas_udf stem stage) feeds BOTH the center
-    # selection and the assignment crossJoin — materialize it once
-    idx = inverted_index(spark, docs, stem=True).localCheckpoint(eager=False)
+    # the index (incl. the pandas_udf stem stage when stem=True) feeds BOTH
+    # the center selection and the assignment crossJoin — materialize it once
+    idx = inverted_index(spark, docs, stem=stem).localCheckpoint(eager=False)
     # SPARSE cosine: for 0/1 incidence vectors, a·b = |A∩B| and ‖a‖ = √|A| —
     # computed on the postings sets directly. Densifying first would cost
     # O(n_docs) per term (quadratic overall); this is O(|postings|), which is

@@ -35,76 +35,76 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 #: Explicit driver-facing registration order. The differential-correctness
-#: driver samples only the FIRST 50 registered queries; round 1 registered
-#: modules alphabetically, so the entire reference-parity core (q_text_*,
-#: q_vec_*, q_sim_*, q_stream_*, q_ref_pipeline — ProcessData.java:387-618)
-#: landed after slot 50 and got no driver signal (VERDICT.md round 1, item 1).
-#: This list deliberately fills the 50-slot window with (a) the 43 queries the
-#: round-1 driver never checked, (b) the 5 round-1 hash-FAILs now fixed with
-#: type-aligned casts, and (c) the flagship + bench-tail queries. Everything
-#: already driver-green in round 1 stays covered by the local oracle replay
-#: (tests/) — see COVERAGE.md for the slot-allocation rationale.
+#: driver samples only the FIRST 50 registered queries. Round 2's window
+#: certified the 45 queries round 1 never reached; round 3 rotates the window
+#: to the remaining 40 oracled queries whose last green driver row (round 1)
+#: predates the round-2 shared-infra refactors (top-k rewrite, canonicalizer,
+#: casts), plus 10 sentinels: the NEW fully-oracled flagship prefix
+#: (q_ref_pipeline_unstemmed, VERDICT r2 item 2) and one already-r2-green
+#: query per family to prove the refactor-free families still hold at HEAD.
+#: After this round every oracled query has a driver-green row at
+#: post-round-2 code (VERDICT r2 item 1); see COVERAGE.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Reference-parity core: text pipeline (ProcessData.java job 1)
-    "q_ref_pipeline",
-    "q_text_token_stats",
-    "q_text_term_doc_freq",
-    "q_text_stopword_filter",
-    "q_text_inverted_index",
-    "q_text_stemmed_terms",
-    "q_text_tfidf",
-    "q_text_quality",
-    "q_text_langid",
-    "q_text_fingerprint",
-    "q_text_ngrams",
-    # Reference-parity core: vector/cosine job (ProcessData.java job 2)
-    "q_vec_nearest_center",
-    "q_vec_cluster_groups",
-    "q_vec_kmeans",
-    # Similarity search (ANN surface)
-    "q_sim_cosine_topk",
-    "q_sim_lsh_ann",
-    "q_sim_ivf_ann",
-    # Streaming batch-twins
-    "q_stream_tumbling_batch",
-    "q_stream_sliding_batch",
-    "q_stream_session_batch",
-    "q_stream_dedup_batch",
-    "q_stream_interval_join_batch",
-    # UDF surface
-    "q_udf_grouped_map",
-    "q_udf_grouped_agg",
-    "q_udf_python_row",
-    # Round-1 hash-FAILs, fixed with explicit type-aligned casts
-    "q_scalar_math",
-    "q_scalar_json",
-    "q_scalar_array",
-    "q_llm_token_budget",
-    "q_dedup_simhash",
-    # Relational surface with no round-1 driver signal
-    "q_agg_conditional",
-    "q_window_navigation",
-    "q_scalar_null",
-    "q_subquery_correlated",
-    "q_cte_pipeline",
-    "q_join_right",
-    "q_set_ops_bag",
-    "q_scalar_map",
-    "q_scalar_date2",
-    "q_join_sixway",
-    "q_exists_priority",
-    "q_scalar_url",
-    "q_merge_upsert",
-    "q_agg_bool_bit",
-    "q_scalar_string2",
-    "q_scalar_array2",
-    "q_profile_columns",
-    "q_window_range_frame",
-    # Flagship + new-in-round-2 oracled query (slots 49-50).
-    # q_dedup_minhash_lsh already holds its (rows-only) driver row from
-    # round 1; the fully-oracled simhash-pairs query is the stronger signal.
+    # NEW: flagship A8-A19 composition with a full DuckDB oracle
+    "q_ref_pipeline_unstemmed",
+    # --- re-certification: r1-green queries not in the round-2 window ---
+    # joins
+    "q_join_inner",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_theta",
+    "q_join_range",
+    "q_join_multiway",
+    "q_asof_join",
+    # aggregations
+    "q_agg_stats",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_percentile",
+    "q_agg_variance",
+    "q_agg_stringagg",
+    # windows
+    "q_window_rank",
+    "q_window_lag_lead",
+    "q_window_frames",
+    "q_window_ntile",
+    # relational core
+    "q_filter_project",
+    "q_distinct",
+    "q_pivot",
+    "q_unpivot",
+    "q_set_ops",
+    "q_topk_global",
+    "q_topk_per_group",
+    "q_scalar_string",
+    "q_scalar_date",
+    # dedup family (oracled members)
+    "q_dedup_exact",
+    "q_dedup_jaccard_pairs",
+    "q_dedup_embedding",
+    # LLM pipeline
+    "q_llm_chunk",
+    "q_llm_split",
+    "q_llm_mix_stratified",
+    "q_llm_scrub",
+    "q_llm_quality_rules",
+    "q_llm_decontaminate",
+    # multimodal
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    # --- sentinels: one r2-green query per family, re-proved at HEAD ---
     "q1_pricing_summary",
+    "q_text_inverted_index",
+    "q_text_tfidf",
+    "q_vec_nearest_center",
+    "q_sim_cosine_topk",
     "q_dedup_simhash_pairs",
+    "q_stream_tumbling_batch",
+    "q_udf_grouped_map",
+    "q_scalar_math",
 )
 
 

@@ -80,12 +80,17 @@ def test_driver_priority_window():
     assert names[:50] == list(DRIVER_PRIORITY)
     # every priority name actually resolves to a registered query
     assert set(DRIVER_PRIORITY) <= set(names)
-    # the reference-parity core sits inside the window
+    # round-3 allocation (COVERAGE.md): the fully-oracled flagship prefix
+    # plus one sentinel per family sits inside the window
     window = set(DRIVER_PRIORITY)
-    for core in ("q_ref_pipeline", "q_text_inverted_index", "q_text_tfidf",
-                 "q_vec_nearest_center", "q_vec_cluster_groups",
-                 "q_stream_tumbling_batch", "q_sim_cosine_topk"):
+    for core in ("q_ref_pipeline_unstemmed", "q_text_inverted_index",
+                 "q_text_tfidf", "q_vec_nearest_center", "q_sim_cosine_topk",
+                 "q_dedup_simhash_pairs", "q_stream_tumbling_batch",
+                 "q_udf_grouped_map", "q1_pricing_summary"):
         assert core in window, core
+    # every window entry is oracled — rows-only queries would waste a slot
+    qs = all_queries()
+    assert all(qs[n].oracle is not None for n in DRIVER_PRIORITY)
 
 
 def test_topk_rank_sites_take_ordered(spark):
