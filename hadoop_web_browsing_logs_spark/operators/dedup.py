@@ -192,19 +192,24 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="MinHash-LSH near-dup detection at scale: band signatures (8 bands x 4 rows), equi-join on (band, slot-values) to generate candidates, verify with exact Jaccard.",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     # same strided universe as the brute-force baseline: keeps the pytest
     # recall comparison apples-to-apples, and bounds in-bucket blowup on this
     # intentionally self-similar fixture corpus (tiny shared vocabulary →
     # huge buckets if run unsampled)
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % PAIR_STRIDE == 0)
+    return minhash_lsh_pairs(docs)
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Library form over any ``(doc_id, text)`` corpus — the adversarial-fixture
+    test runs this UNSAMPLED on a heavy-tailed Zipf corpus (VERDICT r2 item 6)."""
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     # token arrays hashed to int64 once per doc: the exact-Jaccard verify
     # then intersects INT arrays (cheap equality) instead of strings; a
     # cross-token hash collision (~n²/2^64) is the only way results could
     # differ from string-set Jaccard
     d = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % PAIR_STRIDE == 0)
-        .select("doc_id", distinct_tokens().alias("stoks"))
+        docs.select("doc_id", distinct_tokens().alias("stoks"))
         .select(
             "doc_id",
             F.array_distinct(F.transform("stoks", lambda tok: F.xxhash64(tok))).alias("toks"),
@@ -319,16 +324,14 @@ _DUCK_POLY = (
     description="SimHash (16-bit, per-bit majority vote over portable polynomial token hashes) — Hamming-distance near-dup key, fully oracle-checked.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _simhash_signatures(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % PAIR_STRIDE == 0)
+    return simhash_signatures(docs)
 
 
-def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash BIGINT, n_tokens BIGINT) over the strided sample."""
-    d = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % PAIR_STRIDE == 0)
-        .select("doc_id", F.transform(distinct_tokens(), _poly_hash).alias("hashes"))
-    )
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash BIGINT, n_tokens BIGINT) over any ``(doc_id, text)``
+    corpus."""
+    d = docs.select("doc_id", F.transform(distinct_tokens(), _poly_hash).alias("hashes"))
     # F.shiftright needs a literal shift amount; with the bit index coming
     # from transform() it's a Column, so shift via exact double powers of two
     # (h < 2^31 and b < 16 keep everything inside the 2^53 exact range).
@@ -393,7 +396,20 @@ HAMMING_MAX = 3  # pigeonhole: <= 3 flipped bits leave >= 1 of 4 bands intact
     ),
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _simhash_signatures(spark, sf_dir).select("doc_id", "simhash")
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % PAIR_STRIDE == 0)
+    return simhash_pairs(docs)
+
+
+def simhash_pairs(docs: DataFrame, sigs: DataFrame | None = None) -> DataFrame:
+    """Banded SimHash near-dup pairs over any ``(doc_id, text)`` corpus —
+    exact for hamming <= HAMMING_MAX by pigeonhole.
+
+    ``sigs`` lets a caller reuse precomputed ``(doc_id, simhash)`` signatures;
+    by default they're computed once and lazily checkpointed — both sides of
+    the band self-join read the materialized blocks instead of re-running the
+    per-token polynomial-hash aggregation twice."""
+    if sigs is None:
+        sigs = simhash_signatures(docs).select("doc_id", "simhash").localCheckpoint(eager=False)
     banded = sigs.select(
         "doc_id",
         "simhash",

@@ -84,16 +84,21 @@ def _hyperplanes() -> list[list[float]]:
     return rng.standard_normal((N_PLANES, EMB_DIM)).tolist()
 
 
-def lsh_band_signatures(vec_col: str) -> F.Column:
+def lsh_band_signatures(vec_col: str, n_bands: int = N_BANDS) -> F.Column:
     """Banded random-hyperplane signatures: ARRAY<STRUCT<band, sig>> where
     band b's sig packs the sign bits of planes [b·w, (b+1)·w). A pair is a
     candidate if ANY band signature matches — the classic OR-of-ANDs
     construction that trades precision for recall. Pure SQL expression over
-    literal planes — stays in codegen, no UDF."""
+    literal planes — stays in codegen, no UDF.
+
+    ``n_bands`` splits the same N_PLANES: more/narrower bands → higher
+    candidate-collision probability 1-(1-p^w)^b for every pairwise angle →
+    higher recall AND more candidate pairs (the theory curve the band-width
+    pytest asserts)."""
     planes = _hyperplanes()
-    width = N_PLANES // N_BANDS
+    width = N_PLANES // n_bands
     bands = []
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         sig = F.lit(0)
         for j in range(width):
             plane = planes[b * width + j]
@@ -111,21 +116,29 @@ def lsh_band_signatures(vec_col: str) -> F.Column:
     description="Random-hyperplane LSH ANN: bucket by 16-bit signature, equi-join candidates, top-k in-bucket; reports recall@k vs the exact brute-force top-k (self-evaluating).",
 )
 def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_ann_recall(spark, sf_dir)
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, n_bands: int = N_BANDS) -> DataFrame:
+    """Deduped LSH candidate pairs (q_id, q_vec, c_id, c_vec) for strided
+    query points — any-band signature match (OR-of-ANDs)."""
     e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", F.explode(lsh_band_signatures("embedding")).alias("bs")
+        "vec_id", "embedding", F.explode(lsh_band_signatures("embedding", n_bands)).alias("bs")
     ).select("vec_id", "embedding", "bs.band", "bs.sig")
     queries = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"), "band", "sig"
     )
     cands = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"), "band", "sig")
-
-    # candidate pairs: any band matches (OR-of-ANDs) → distinct pairs
-    pairs = (
+    return (
         queries.join(cands, ["band", "sig"])
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "q_vec", "c_id", "c_vec")
         .dropDuplicates(["q_id", "c_id"])
     )
+
+
+def lsh_ann_recall(spark: SparkSession, sf_dir: str, n_bands: int = N_BANDS) -> DataFrame:
+    pairs = lsh_candidate_pairs(spark, sf_dir, n_bands)
     sim = cosine_similarity("q_vec", "c_vec")
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     lsh_topk = (
@@ -134,13 +147,18 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
     )
 
-    # queries here is band-EXPLODED (N_BANDS rows per q_id); dedupe before the
-    # exact baseline or the crossJoin makes each true neighbor appear N_BANDS
-    # times and the "top-5" collapses to ~2 distinct neighbors, understating
-    # recall (ADVICE round 1).
+    # the exact baseline takes its query points straight from the table — NOT
+    # from the band-exploded stream (N_BANDS rows per q_id there would make
+    # each true neighbor appear N_BANDS times in the crossJoin and collapse
+    # "top-5" to ~2 distinct neighbors, understating recall — ADVICE round 1).
+    e = t(spark, sf_dir, "embeddings")
     exact = brute_force_topk(
-        F.broadcast(queries.select("q_id", "q_vec").dropDuplicates(["q_id"])),
-        t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")),
+        F.broadcast(
+            e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+                F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+            )
+        ),
+        e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")),
     ).select("q_id", F.col("c_id").alias("exact_c_id"))
 
     hits = lsh_topk.join(

@@ -1,0 +1,185 @@
+"""Adversarial heavy-tailed fixture for the dedup family (VERDICT r2 item 6).
+
+The driver fixture's 31-word vocabulary makes every doc pair mid-similar
+(SCALE.md "fixture pathologies"), so the strided recall tests there can't
+distinguish a well-banded LSH from a lucky one. This module generates a
+Zipf-distributed corpus — realistic head-heavy token frequencies, long tail
+of rare tokens — with PLANTED near-duplicate clusters, and runs the banded
+candidate paths UNSAMPLED against exact brute force on it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_web_browsing_logs_spark.operators.dedup import (
+    HAMMING_MAX,
+    JACCARD_THRESHOLD,
+    MINHASH_BANDS,
+    MINHASH_PERMS,
+    minhash_lsh_pairs,
+    minhash_signature,
+    simhash_pairs,
+    simhash_signatures,
+)
+
+N_DOCS = 4000
+N_VOCAB = 8000
+ZIPF_S = 1.1
+N_PLANTED = 300  # base docs that get a near-duplicate variant
+
+
+def _zipf_corpus(spark):
+    """(doc_id, text) corpus: Zipf token draws + planted near-dup variants.
+
+    Variants perturb ~3% of a base doc's token positions, so the pair's
+    token-SET Jaccard lands around 0.9-0.97 — right at the threshold the
+    banding must not miss. Deterministic (seeded) so failures reproduce.
+    """
+    rng = np.random.default_rng(42)
+    ranks = np.arange(1, N_VOCAB + 1)
+    probs = 1.0 / ranks**ZIPF_S
+    probs /= probs.sum()
+
+    docs = []
+    base_tokens = []
+    for i in range(N_DOCS - N_PLANTED):
+        length = int(rng.integers(40, 120))
+        toks = rng.choice(N_VOCAB, size=length, p=probs)
+        base_tokens.append(toks)
+        docs.append((i + 1, " ".join(f"w{t}" for t in toks)))
+    for j in range(N_PLANTED):
+        toks = base_tokens[j].copy()
+        n_swap = max(1, int(len(toks) * 0.03))
+        pos = rng.choice(len(toks), size=n_swap, replace=False)
+        toks[pos] = rng.choice(N_VOCAB, size=n_swap, p=probs)
+        docs.append((N_DOCS - N_PLANTED + j + 1, " ".join(f"w{t}" for t in toks)))
+    return spark.createDataFrame(docs, "doc_id INT, text STRING")
+
+
+@pytest.fixture(scope="module")
+def zipf_docs(spark):
+    # the corpus feeds brute force + two banded paths; compute it once
+    return _zipf_corpus(spark).localCheckpoint()
+
+
+def _brute_force_jaccard_pairs(docs):
+    """Exact all-pairs token-set Jaccard at the threshold (int-hashed tokens,
+    same trick as the LSH verify stage — cheap integer intersects)."""
+    d = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda x: x != ""),
+                lambda tok: F.xxhash64(tok),
+            )
+        ).alias("toks"),
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter.cast("double") / (F.size("toks_a") + F.size("toks_b") - inter)
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def test_minhash_lsh_recall_on_zipf_corpus(zipf_docs):
+    """Unsampled banded MinHash-LSH vs exact brute force on non-degenerate
+    data: recall >= 0.95 at J >= 0.9 (theory: P(band)=0.9^4≈0.66, >= 2 of
+    8 bands ≈ 0.997)."""
+    brute = {(r.doc_a, r.doc_b) for r in _brute_force_jaccard_pairs(zipf_docs).collect()}
+    assert len(brute) >= N_PLANTED * 0.5, f"fixture planted too few truth pairs: {len(brute)}"
+    lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(zipf_docs).collect()}
+    recall = len(brute & lsh) / len(brute)
+    # precision is 1.0 by construction (exact-Jaccard verify stage); recall is
+    # the banding's claim
+    assert lsh <= brute | lsh  # sanity
+    assert all(p in brute for p in lsh), "verify stage emitted a sub-threshold pair"
+    assert recall >= 0.95, f"LSH recall {recall:.3f} on Zipf corpus ({len(brute)} truth pairs)"
+
+
+def test_minhash_bucket_sizes_bounded_on_zipf_corpus(zipf_docs):
+    """Bucket-size histogram of the band join on realistic data: the fixture
+    corpus's pathological buckets (thousands of docs sharing a band slot) must
+    not appear — the largest bucket stays O(cluster size), so the in-bucket
+    B² pair blowup is bounded at scale."""
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    d = zipf_docs.select(
+        "doc_id",
+        minhash_signature(
+            F.array_distinct(
+                F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda x: x != "")
+            )
+        ).alias("sig"),
+    )
+    banded = d.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[F.element_at("sig", i * rows_per_band + j + 1) for j in range(rows_per_band)],
+                        ).alias("slot"),
+                    )
+                    for i in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bs")
+    ).select("bs.band", "bs.slot")
+    sizes = (
+        banded.groupBy("band", "slot")
+        .count()
+        .groupBy("count")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy("count")
+        .collect()
+    )
+    hist = {int(r["count"]): int(r.n_buckets) for r in sizes}
+    print(f"band-bucket size histogram (Zipf corpus): {hist}")
+    singletons = hist.get(1, 0)
+    total = sum(hist.values())
+    # Head-heavy Zipf data DOES produce some large buckets (docs dominated by
+    # the ~20 head words collide on a band even at low pairwise Jaccard) —
+    # that is real-corpus behavior, not a defect. The scale claim is that the
+    # banding bounds the verify workload: Σ C(B,2) in-bucket candidate pairs
+    # must stay orders of magnitude below all-pairs n(n-1)/2.
+    cand_pairs = sum(b * (b - 1) // 2 * n for b, n in hist.items())
+    all_pairs = N_DOCS * (N_DOCS - 1) // 2
+    ratio = cand_pairs / all_pairs
+    print(f"candidate pairs {cand_pairs} / all-pairs {all_pairs} = {ratio:.4f}")
+    assert ratio < 0.02, f"band join generates {ratio:.1%} of all-pairs — banding is not pruning"
+    assert singletons / total > 0.85, f"only {singletons}/{total} singleton buckets"
+
+
+def test_simhash_banding_exact_on_zipf_corpus(zipf_docs):
+    """The 4-nibble banding is EXACT for hamming <= 3 by pigeonhole — on any
+    corpus. Prove set equality (not just recall) against all-pairs Hamming.
+
+    Runs on a 1200-doc subset: set equality is the claim and corpus size
+    doesn't strengthen it, while 16-bit signatures of head-dominated Zipf
+    docs concentrate into few nibble buckets (quadratic in-bucket work —
+    exactly why the 16-bit demo constant would grow to 64+ bits at scale)."""
+    docs = zipf_docs.filter(F.col("doc_id") % 3 == 0)
+    sigs = simhash_signatures(docs).select("doc_id", "simhash").localCheckpoint()
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    brute = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .collect()
+    }
+    banded = {(r.doc_a, r.doc_b, r.hamming) for r in simhash_pairs(docs, sigs=sigs).collect()}
+    assert banded == brute, (
+        f"banded={len(banded)} brute={len(brute)} "
+        f"missed={len(brute - banded)} extra={len(banded - brute)}"
+    )

@@ -43,8 +43,33 @@ def test_lsh_recall_reasonable(spark):
     assert all(r.k == 5 for r in rows), "exact baseline must have k distinct neighbors"
     # 4-band × 4-bit hyperplane LSH on weakly-similar synthetic vectors:
     # ~25% of pairs examined, recall ≈ 0.62 observed with the corrected
-    # baseline. Floor pins against signature-math breakage (→ ~0).
-    assert mean_recall >= 0.3, f"mean recall {mean_recall}"
+    # baseline. Floor raised 0.3 → 0.5 per VERDICT r2 item 7.
+    assert mean_recall >= 0.5, f"mean recall {mean_recall}"
+
+
+def test_lsh_band_width_tradeoff(spark):
+    """Splitting the same 16 planes into more/narrower bands must move the
+    precision/recall trade as the OR-of-ANDs theory predicts: candidate
+    collision P = 1-(1-p^w)^b rises for every angle when w halves and b
+    doubles, so 4×4 examines MORE candidates and recalls AT LEAST as much
+    as 2×8 (VERDICT r2 item 7)."""
+    from hadoop_web_browsing_logs_spark.operators.similarity import (
+        lsh_ann_recall,
+        lsh_candidate_pairs,
+    )
+
+    cands_2x8 = lsh_candidate_pairs(spark, SF_DIR, n_bands=2).count()
+    cands_4x4 = lsh_candidate_pairs(spark, SF_DIR, n_bands=4).count()
+    assert cands_4x4 > cands_2x8, f"4x4 candidates {cands_4x4} <= 2x8 {cands_2x8}"
+
+    def mean_recall(n_bands):
+        rows = lsh_ann_recall(spark, SF_DIR, n_bands=n_bands).collect()
+        return sum(r.recall for r in rows) / len(rows)
+
+    r_2x8, r_4x4 = mean_recall(2), mean_recall(4)
+    print(f"LSH band-width trade: 2x8 recall={r_2x8:.3f} ({cands_2x8} cands), "
+          f"4x4 recall={r_4x4:.3f} ({cands_4x4} cands)")
+    assert r_4x4 >= r_2x8, f"narrower bands lowered recall: {r_4x4:.3f} < {r_2x8:.3f}"
 
 
 def test_nearest_center_assignment_total(spark):
