@@ -30,6 +30,7 @@ DUMPED = [
     "q_text_tfidf",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash_pairs",
+    "q_ref_pipeline_unstemmed",
 ]
 
 

