@@ -41,7 +41,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from ._util import t
+from ._util import one_group, t
 
 
 def dsum(col: Column | str, ndigits: int = 2) -> Column:
@@ -573,6 +573,75 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.ntile(4).over(w).alias("balance_quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def with_global_rank(df: DataFrame, order_cols: list, num_partitions: int = 32, rn_col: str = "rn") -> DataFrame:
+    """Distributed global row-number over a total order — the scale path that
+    the built-in unpartitioned window (WindowExec, single-partition funnel)
+    can't take.
+
+    Range-repartition on the sort keys → per-partition local ``row_number`` →
+    add broadcast per-partition offsets (prefix sums of the P-row count
+    table). The global position is invariant to where the range boundaries
+    land, so the result is deterministic under any sampling the range
+    partitioner does. Adds ``rn_col`` (BIGINT, 1-based) and ``_n_total``.
+    """
+    s = df.repartitionByRange(num_partitions, *order_cols)
+    pid_df = s.withColumn("_pid", F.spark_partition_id())
+    wl = W.partitionBy("_pid").orderBy(*order_cols)
+    local = pid_df.withColumn("_lrn", F.row_number().over(wl))
+    counts = pid_df.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # prefix-sum offsets over the P-row counts table (single-group window on
+    # P rows — constant-size frame, not a data-sized funnel)
+    wo = W.partitionBy(one_group("_pid")).orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(wo), F.lit(0)).alias("_off")
+    )
+    totals = counts.agg(F.sum("_n").alias("_n_total"))
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(rn_col, (F.col("_lrn") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+@query(
+    "q_window_ntile_distributed",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS balance_quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal DESC, c_custkey), 6) AS pct_rank
+    FROM customer
+    """,
+    category="window",
+    description=(
+        "Global ntile + percent_rank WITHOUT the single-partition window: "
+        "range-repartition + local row_number + broadcast prefix-sum offsets "
+        "give each row its global position, then ntile/percent_rank are "
+        "recomputed arithmetically from (rn, N). Same oracle as "
+        "q_window_ntile — the all-pairs window semantics, the 100 TB plan."
+    ),
+)
+def q_window_ntile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    ranked = with_global_rank(c, order, rn_col="_rn")
+    k = F.lit(4).cast("bigint")
+    n, rn = F.col("_n_total"), F.col("_rn")
+    q = F.floor(n / k).cast("bigint")  # bucket base size
+    r = n % k  # first r buckets get q+1 rows (SQL NTILE semantics)
+    big = q + F.lit(1)
+    bucket = F.when(rn <= r * big, F.ceil(rn / big)).otherwise(
+        r + F.ceil((rn - r * big) / F.greatest(q, F.lit(1)))
+    )
+    # composite order is total → rank == rn, so percent_rank = (rn-1)/(N-1)
+    pct = F.when(n > 1, F.round((rn - 1) / (n - 1), 6)).otherwise(F.lit(0.0))
+    return ranked.select(
+        "c_custkey",
+        bucket.cast("int").alias("balance_quartile"),
+        pct.alias("pct_rank"),
     )
 
 

