@@ -50,6 +50,26 @@ def distinct_tokens(text_col: str = "text") -> Column:
 _DUCK_TOKS = "list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''))"
 
 
+def _poly_hash(tok: Column) -> Column:
+    """Portable 31-base polynomial hash of a token, mod 2^31-1 — identical in
+    DuckDB via list_reduce(string_split(tok,''), acc*31+ascii). Shared by
+    SimHash and the oracle-checkable portable MinHash variant."""
+    chars = F.filter(F.split(tok, ""), lambda c: c != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % HASH_MOD,
+    )
+
+
+_DUCK_POLY = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_filter(string_split(tok, ''), c -> c <> ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, ch) -> (acc * 31 + ch) % 2147483647)"
+)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -152,12 +172,19 @@ def minhash_signature(tokens_col: Column) -> Column:
     1.8× slower at sf0.1 for identical output. An empty token array yields
     the init sentinel [PRIME]*32 (vs NULLs before); empty docs band-match
     each other under both forms, so pair results are unchanged."""
+    base = F.transform(tokens_col, lambda tok: F.abs(F.xxhash64(tok)) % MINHASH_PRIME)
+    return minhash_signature_from_hashes(base)
+
+
+def minhash_signature_from_hashes(hashes_col: Column) -> Column:
+    """MinHash signature from an already-hashed ARRAY<BIGINT> token column
+    (values in [0, MINHASH_PRIME)) — lets the portable variant reuse its
+    polynomial token hashes for both the signature and the verify arrays."""
     params = _minhash_params()
     ab = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params])
-    base = F.transform(tokens_col, lambda tok: F.abs(F.xxhash64(tok)) % MINHASH_PRIME)
     init = F.array_repeat(F.lit(MINHASH_PRIME).cast("bigint"), MINHASH_PERMS)
     return F.aggregate(
-        base, init,
+        hashes_col, init,
         lambda acc, h: F.zip_with(acc, ab, lambda m, p: F.least(m, (h * p["a"] + p["b"]) % MINHASH_PRIME)),
     )
 
@@ -211,21 +238,35 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs)
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(docs: DataFrame, portable: bool = False) -> DataFrame:
     """Library form over any ``(doc_id, text)`` corpus — the adversarial-fixture
-    test runs this UNSAMPLED on a heavy-tailed Zipf corpus (VERDICT r2 item 6)."""
+    test runs this UNSAMPLED on a heavy-tailed Zipf corpus (VERDICT r2 item 6).
+
+    ``portable=True`` swaps xxhash64 for the engine-portable polynomial token
+    hash (the SimHash one), and reuses those hashes for both the signature
+    AND the exact-Jaccard verify arrays — every stage then has a DuckDB twin,
+    so the whole banded pipeline is oracle-checkable (q_dedup_minhash_lsh_
+    portable). xxhash64 (JVM-native, whole-word) stays the default scale
+    path; the polynomial hash is a per-character aggregate."""
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     # token arrays hashed to int64 once per doc: the exact-Jaccard verify
     # then intersects INT arrays (cheap equality) instead of strings; a
     # cross-token hash collision (~n²/2^64) is the only way results could
     # differ from string-set Jaccard
-    d = (
-        docs.select("doc_id", distinct_tokens().alias("stoks"))
-        .select(
+    if portable:
+        hashed = docs.select(
+            "doc_id",
+            F.array_distinct(F.transform(distinct_tokens(), _poly_hash)).alias("toks"),
+        )
+        d = hashed.select("doc_id", "toks", minhash_signature_from_hashes(F.col("toks")).alias("sig"))
+    else:
+        d = docs.select("doc_id", distinct_tokens().alias("stoks")).select(
             "doc_id",
             F.array_distinct(F.transform("stoks", lambda tok: F.xxhash64(tok))).alias("toks"),
             minhash_signature(F.col("stoks")).alias("sig"),
         )
+    d = (
+        d
         # the signature table is consumed 4x (both sides of the band join,
         # both token re-joins) — materialize it once instead of recomputing
         # 32 permutations per use (lazy local checkpoint: first use computes,
@@ -289,28 +330,72 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     return pairs.filter(keep).select("doc_a", "doc_b", exact.alias("jaccard"))
 
 
+def _minhash_lsh_portable_oracle() -> str:
+    """All-pairs DuckDB twin of the PORTABLE banded pipeline: identical
+    polynomial token hashes, identical 32 affine permutations, identical
+    >= 2-of-8-band candidate rule, identical exact-Jaccard threshold — so the
+    bucketed Spark plan must agree bit-for-bit with a quadratic oracle."""
+    from fractions import Fraction
+
+    p = MINHASH_PRIME
+    rpb = MINHASH_PERMS // MINHASH_BANDS
+    sig_exprs = ",\n               ".join(
+        f"list_min(list_transform(hs, h -> (h*{a} + {b}) % {p}))" for a, b in _minhash_params()
+    )
+    band_terms = " + ".join(
+        "(CASE WHEN "
+        + " AND ".join(f"a.sig[{i * rpb + j + 1}] = b.sig[{i * rpb + j + 1}]" for j in range(rpb))
+        + " THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_BANDS)
+    )
+    frac = Fraction(str(JACCARD_THRESHOLD))
+    num, den = frac.numerator, frac.denominator
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_distinct(list_transform({_DUCK_TOKS}, tok -> {_DUCK_POLY})) AS hs
+        FROM documents WHERE doc_id % {PAIR_STRIDE} = 0
+    ),
+    sigs AS (
+        SELECT doc_id, hs,
+               [{sig_exprs}] AS sig
+        FROM d
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+             / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE ({band_terms}) >= 2
+      AND {den + num} * len(list_intersect(a.hs, b.hs)) >= {num} * (len(a.hs) + len(b.hs))
+    """
+
+
+@query(
+    "q_dedup_minhash_lsh_portable",
+    oracle=_minhash_lsh_portable_oracle(),
+    category="dedup",
+    description=(
+        "The banded MinHash-LSH pipeline with FULLY ORACLE-CHECKABLE hashes: "
+        "portable polynomial token hash feeds both the 32-permutation "
+        "signature and the verify arrays, so signature math, >= 2-band "
+        "candidate generation AND the exact-Jaccard verify are all "
+        "hash-proved against an all-pairs DuckDB twin — the MinHash analogue "
+        "of q_dedup_simhash_pairs' scale-correctness evidence. xxhash64 "
+        "(q_dedup_minhash_lsh) remains the throughput path."
+    ),
+)
+def q_dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % PAIR_STRIDE == 0)
+    return minhash_lsh_pairs(docs, portable=True)
+
+
 # ---------------------------------------------------------------------------
 # SimHash (engine-portable polynomial hash → oracle-checkable)
 # ---------------------------------------------------------------------------
 
 
-def _poly_hash(tok: Column) -> Column:
-    """Portable 31-base polynomial hash of a token, mod 2^31-1 — identical in
-    DuckDB via list_reduce(string_split(tok,''), acc*31+ascii)."""
-    chars = F.filter(F.split(tok, ""), lambda c: c != "")
-    return F.aggregate(
-        chars,
-        F.lit(0).cast("bigint"),
-        lambda acc, ch: (acc * 31 + F.ascii(ch)) % HASH_MOD,
-    )
-
-
-_DUCK_POLY = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(list_filter(string_split(tok, ''), c -> c <> ''), "
-    "c -> CAST(ascii(c) AS BIGINT))), "
-    "(acc, ch) -> (acc * 31 + ch) % 2147483647)"
-)
+# (_poly_hash / _DUCK_POLY are defined with the shared helpers at the top of
+# the module — used by both this SimHash section and the portable MinHash.)
 
 
 @query(

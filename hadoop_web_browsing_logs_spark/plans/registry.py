@@ -42,6 +42,11 @@ _REGISTRY: dict[str, Query] = {}
 #: casts), plus 10 sentinels: the NEW fully-oracled flagship prefix
 #: (q_ref_pipeline_unstemmed, VERDICT r2 item 2) and one already-r2-green
 #: query per family to prove the refactor-free families still hold at HEAD.
+#: Two sentinel slots went to the round-3 NEW oracled queries instead —
+#: q_dedup_minhash_lsh_portable (the fully-oracle-checkable banded MinHash
+#: pipeline) and q_window_ntile_distributed (the no-single-partition global
+#: rank twin) — redundant re-proof traded for first driver rows on new
+#: capability; their families keep other slots in the window.
 #: After this round every oracled query has a driver-green row at
 #: post-round-2 code (VERDICT r2 item 1); see COVERAGE.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -98,10 +103,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- sentinels: one r2-green query per family, re-proved at HEAD ---
     "q1_pricing_summary",
     "q_text_inverted_index",
-    "q_text_tfidf",
+    "q_window_ntile_distributed",
     "q_vec_nearest_center",
     "q_sim_cosine_topk",
-    "q_dedup_simhash_pairs",
+    "q_dedup_minhash_lsh_portable",
     "q_stream_tumbling_batch",
     "q_udf_grouped_map",
     "q_scalar_math",
