@@ -643,10 +643,41 @@ def connected_components(
 
 @query(
     "q_dedup_components",
-    oracle=None,  # iterative fixpoint — the SURVEY's non-SQL-expressible
-    # class; structural correctness asserted in pytest.
+    # The distributed side is an iterative fixpoint (min-label propagation),
+    # but the RESULT is still SQL-expressible: a recursive-CTE transitive
+    # closure labels every node with the minimum reachable id — the same
+    # component definition — so the driver hash-checks the whole pipeline
+    # (pair generation -> propagation -> group rollup). The closure is
+    # quadratic per component (oracle-only; fine at driver scale); the Spark
+    # path stays log(diameter) joins.
+    oracle=f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks
+        FROM documents WHERE doc_id % {PAIR_STRIDE} = 0
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
+    SELECT component, COUNT(*) AS n_members,
+           string_agg(CAST(node AS VARCHAR), ' ' ORDER BY node) AS members
+    FROM comp GROUP BY component
+    """,
     category="dedup",
-    description="Duplicate clustering: connected components (min-label propagation) over the J≥0.9 near-dup pairs — turns pairwise matches into dedup groups, keeping one representative per group.",
+    description="Duplicate clustering: connected components (min-label propagation) over the J≥0.9 near-dup pairs — turns pairwise matches into dedup groups, keeping one representative per group. Oracled via a DuckDB recursive-CTE transitive closure (min reachable id == component).",
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")

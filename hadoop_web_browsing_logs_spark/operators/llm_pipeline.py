@@ -315,3 +315,90 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("sh").alias("n_hits"))
         .withColumn("contaminated", F.lit(True))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (GPT-style concat-and-cut) + per-domain caps
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 128  # tokens per packed training sequence
+DOMAIN_CAP = 10  # max docs kept per source domain
+
+
+@query(
+    "q_llm_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d
+    )
+    SELECT doc_id, n_tokens,
+           cum - n_tokens AS token_offset,
+           (cum - n_tokens) // {SEQ_LEN} AS seq_first,
+           (cum - 1) // {SEQ_LEN} AS seq_last
+    FROM c
+    """,
+    category="llm",
+    description=(
+        "Sequence packing, GPT-style concat-and-cut: documents are laid out "
+        "in deterministic doc_id order on one virtual token tape, then the "
+        "tape is cut every SEQ_LEN tokens; each doc learns its global token "
+        "offset and the [seq_first, seq_last] training sequences it lands "
+        "in. The global running sum is with_global_cumsum (range-repartition "
+        "+ broadcast prefix offsets) — NOT an unpartitioned window, so the "
+        "layout step scales; the oracle's single-window SUM OVER is the "
+        "semantic twin."
+    ),
+)
+def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import with_global_cumsum
+
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    c = with_global_cumsum(d, [F.col("doc_id")], "n_tokens", out_col="cum")
+    off = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        off.alias("token_offset"),
+        F.floor(off / SEQ_LEN).cast("bigint").alias("seq_first"),
+        F.floor((F.col("cum") - 1) / SEQ_LEN).cast("bigint").alias("seq_last"),
+    )
+
+
+@query(
+    "q_llm_domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(text), doc_id) AS rn
+        FROM documents
+    )
+    SELECT source, doc_id FROM ranked WHERE rn <= {DOMAIN_CAP}
+    """,
+    category="llm",
+    description=(
+        "Per-domain document caps (source-mixing control): keep at most "
+        "DOMAIN_CAP docs per source, selected by MD5-fingerprint order — a "
+        "deterministic uniform draw with no RNG, reproducible across "
+        "clusters. Partitioned window, shuffles on source only; a skewed "
+        "mega-domain is exactly the case where the cap fires, and row_number "
+        "short-circuits past rank DOMAIN_CAP."
+    ),
+)
+def q_llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5("text"), F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= DOMAIN_CAP)
+        .select("source", "doc_id")
+    )

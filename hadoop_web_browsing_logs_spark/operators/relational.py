@@ -586,8 +586,14 @@ def with_global_rank(df: DataFrame, order_cols: list, num_partitions: int = 32, 
     table). The global position is invariant to where the range boundaries
     land, so the result is deterministic under any sampling the range
     partitioner does. Adds ``rn_col`` (BIGINT, 1-based) and ``_n_total``.
+
+    The range-partitioned input feeds two branches (local ranks and the
+    per-partition count table); a lazy localCheckpoint materializes it once —
+    no recomputation of the upstream plan, and both branches structurally see
+    the SAME partition boundaries instead of relying on the range sampler
+    re-executing identically.
     """
-    s = df.repartitionByRange(num_partitions, *order_cols)
+    s = df.repartitionByRange(num_partitions, *order_cols).localCheckpoint(eager=False)
     pid_df = s.withColumn("_pid", F.spark_partition_id())
     wl = W.partitionBy("_pid").orderBy(*order_cols)
     local = pid_df.withColumn("_lrn", F.row_number().over(wl))
@@ -604,6 +610,40 @@ def with_global_rank(df: DataFrame, order_cols: list, num_partitions: int = 32, 
         .crossJoin(F.broadcast(totals))
         .withColumn(rn_col, (F.col("_lrn") + F.col("_off")).cast("bigint"))
         .drop("_pid", "_lrn", "_off")
+    )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    num_partitions: int = 32,
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """Distributed running SUM over a total order — the cumulative-sum twin of
+    :func:`with_global_rank`, replacing the unpartitioned
+    ``SUM() OVER (ORDER BY ...)`` single-partition funnel.
+
+    Range-repartition on the sort keys → per-partition local running sum →
+    add broadcast per-partition value totals' prefix sums. Adds ``out_col``
+    (BIGINT, inclusive running total in the global order). As in
+    :func:`with_global_rank`, the partitioned input is lazily
+    localCheckpoint'd — both consumers read the same materialized blocks."""
+    s = df.repartitionByRange(num_partitions, *order_cols).localCheckpoint(eager=False)
+    pid_df = s.withColumn("_pid", F.spark_partition_id())
+    wl = (
+        W.partitionBy("_pid").orderBy(*order_cols).rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = pid_df.withColumn("_lcs", F.sum(value_col).over(wl))
+    sums = pid_df.groupBy("_pid").agg(F.sum(value_col).alias("_s"))
+    wo = W.partitionBy(one_group("_pid")).orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sums.select(
+        "_pid", F.coalesce(F.sum("_s").over(wo), F.lit(0)).alias("_soff")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_lcs") + F.col("_soff")).cast("bigint"))
+        .drop("_pid", "_lcs", "_soff")
     )
 
 

@@ -80,13 +80,15 @@ def test_driver_priority_window():
     assert names[:50] == list(DRIVER_PRIORITY)
     # every priority name actually resolves to a registered query
     assert set(DRIVER_PRIORITY) <= set(names)
-    # round-3 allocation (COVERAGE.md): the fully-oracled flagship prefix
-    # plus one sentinel per family sits inside the window
+    # round-3 allocation (COVERAGE.md): the fully-oracled flagship prefix,
+    # one sentinel per family, and the two queries NEW in round 3 (which
+    # took the two redundant-sentinel slots) sit inside the window
     window = set(DRIVER_PRIORITY)
     for core in ("q_ref_pipeline_unstemmed", "q_text_inverted_index",
-                 "q_text_tfidf", "q_vec_nearest_center", "q_sim_cosine_topk",
-                 "q_dedup_simhash_pairs", "q_stream_tumbling_batch",
-                 "q_udf_grouped_map", "q1_pricing_summary"):
+                 "q_vec_nearest_center", "q_sim_cosine_topk",
+                 "q_stream_tumbling_batch", "q_udf_grouped_map",
+                 "q1_pricing_summary", "q_dedup_minhash_lsh_portable",
+                 "q_window_ntile_distributed"):
         assert core in window, core
     # every window entry is oracled — rows-only queries would waste a slot
     qs = all_queries()
@@ -105,10 +107,15 @@ def test_cte_pipeline_take_ordered(spark):
 
 
 def test_ntile_distributed_plan(spark):
-    """Round-3: the distributed global-rank path range-partitions the data
-    and keeps every window partitioned — no single-partition WindowExec."""
+    """Round-3: the distributed global-rank path keeps every window
+    partitioned — no single-partition WindowExec. The range-repartitioned
+    input is lazily localCheckpoint'd (materialized once, read by both the
+    local-rank and counts branches), so it surfaces as Scan ExistingRDD in
+    the outer plan rather than a rangepartitioning exchange; the offsets
+    arrive via BroadcastExchange."""
     plan = _plan(spark, "q_window_ntile_distributed")
-    assert "rangepartitioning" in plan.lower()
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastExchange" in plan
     for line in plan.splitlines():
         if "windowspecdefinition(" in line:
             first_arg = line.split("windowspecdefinition(", 1)[1].split(",")[0]
