@@ -31,6 +31,10 @@ DUMPED = [
     "q_dedup_minhash_lsh",
     "q_dedup_simhash_pairs",
     "q_ref_pipeline_unstemmed",
+    "q_dedup_minhash_lsh_portable",
+    "q_llm_pack_sequences",
+    "q_llm_domain_cap",
+    "q_window_ntile_distributed",
 ]
 
 
