@@ -249,3 +249,92 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("found", F.lit(0)) / F.col("k")).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checkable LSH candidate generation (the embedding analogue of
+# q_dedup_minhash_lsh_portable's scale-correctness evidence)
+# ---------------------------------------------------------------------------
+
+CAND_STRIDE = 5  # bounds the oracle's quadratic all-pairs side
+
+
+def _lsh_candidates_oracle() -> str:
+    """All-pairs DuckDB twin of the banded hyperplane candidate generation:
+    the SAME seeded plane literals, the SAME sequential-DOUBLE dot products
+    (sign-of-dot is bit-portable — see functions/vector.py determinism
+    contract), the SAME any-band-match rule — so the bucketed Spark plan's
+    candidate SET and every cosine value must agree bit-for-bit with a
+    quadratic oracle."""
+    from ..functions.vector import duck_dot, duck_norm
+
+    planes = _hyperplanes()
+    width = N_PLANES // N_BANDS
+
+    def dot_lit(vec: str, plane: list[float]) -> str:
+        lits = "[" + ",".join(repr(x) for x in plane) + "]"
+        return (
+            f"list_sum(list_transform(range(1, {EMB_DIM}+1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lits}[i])))"
+        )
+
+    def band_sig(vec: str, b: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN {dot_lit(vec, planes[b * width + j])} >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(width)
+        )
+        return f"({terms})"
+
+    sig_list = "[" + ", ".join(band_sig("embedding", b) for b in range(N_BANDS)) + "]"
+    any_band = " OR ".join(f"a.sig[{b + 1}] = b.sig[{b + 1}]" for b in range(N_BANDS))
+    return f"""
+    WITH s AS (
+      SELECT vec_id, embedding, {duck_norm("embedding")} AS nrm, {sig_list} AS sig
+      FROM embeddings WHERE vec_id % {CAND_STRIDE} = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {duck_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+    FROM s a JOIN s b ON a.vec_id < b.vec_id
+    WHERE {any_band}
+    """
+
+
+@query(
+    "q_sim_lsh_candidates_portable",
+    oracle=_lsh_candidates_oracle(),
+    category="similarity",
+    description=(
+        "Hyperplane-LSH candidate generation, hash-proved: every "
+        "(band, signature)-bucket-joined pair plus its exact cosine, checked "
+        "bit-for-bit against an all-pairs DuckDB twin evaluating the same "
+        "seeded plane literals. Threshold-free on purpose — it certifies the "
+        "bucketing math itself (signature signs, any-band rule, verify "
+        "cosine), which the self-evaluating recall queries build on. Scale "
+        "shape mirrors the MinHash path: the band join carries IDs only, "
+        "embeddings re-join for the verify, the base table is checkpointed "
+        "once."
+    ),
+)
+def q_sim_lsh_candidates_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % CAND_STRIDE == 0)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=False)
+    )
+    sigs = e0.select("vec_id", F.explode(lsh_band_signatures("embedding")).alias("bs")).select(
+        "vec_id", "bs.band", "bs.sig"
+    )
+    a = sigs.select(F.col("vec_id").alias("id_a"), "band", "sig")
+    b = sigs.select(F.col("vec_id").alias("id_b"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    return (
+        cand.join(e0.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")), "id_a")
+        .join(e0.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")), "id_b")
+        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("sim"))
+    )
