@@ -159,17 +159,23 @@ def lsh_ann_recall(spark: SparkSession, sf_dir: str, n_bands: int = N_BANDS) -> 
             )
         ),
         e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")),
-    ).select("q_id", F.col("c_id").alias("exact_c_id"))
+    ).select(F.col("q_id").alias("exact_q_id"), F.col("c_id").alias("exact_c_id"))
 
     hits = lsh_topk.join(
-        exact, (lsh_topk.q_id == exact.q_id) & (lsh_topk.c_id == exact.exact_c_id), "left_semi"
+        exact,
+        (F.col("q_id") == F.col("exact_q_id")) & (F.col("c_id") == F.col("exact_c_id")),
+        "left_semi",
     )
     return (
-        exact.groupBy("q_id")
+        exact.groupBy("exact_q_id")
         .agg(F.count(F.lit(1)).alias("k"))
-        .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("found")), "q_id", "left")
+        .join(
+            hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("found")),
+            F.col("exact_q_id") == F.col("q_id"),
+            "left",
+        )
         .select(
-            "q_id",
+            F.col("exact_q_id").alias("q_id"),
             "k",
             F.coalesce("found", F.lit(0)).alias("found"),
             (F.coalesce("found", F.lit(0)) / F.col("k")).alias("recall"),
@@ -234,16 +240,22 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = brute_force_topk(
         F.broadcast(queries),
         e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")),
-    ).select("q_id", F.col("c_id").alias("exact_c_id"))
+    ).select(F.col("q_id").alias("exact_q_id"), F.col("c_id").alias("exact_c_id"))
     hits = ivf_topk.join(
-        exact, (ivf_topk.q_id == exact.q_id) & (ivf_topk.c_id == exact.exact_c_id), "left_semi"
+        exact,
+        (F.col("q_id") == F.col("exact_q_id")) & (F.col("c_id") == F.col("exact_c_id")),
+        "left_semi",
     )
     return (
-        exact.groupBy("q_id")
+        exact.groupBy("exact_q_id")
         .agg(F.count(F.lit(1)).alias("k"))
-        .join(hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("found")), "q_id", "left")
+        .join(
+            hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("found")),
+            F.col("exact_q_id") == F.col("q_id"),
+            "left",
+        )
         .select(
-            "q_id",
+            F.col("exact_q_id").alias("q_id"),
             "k",
             F.coalesce("found", F.lit(0)).alias("found"),
             (F.coalesce("found", F.lit(0)) / F.col("k")).alias("recall"),

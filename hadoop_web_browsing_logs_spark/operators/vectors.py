@@ -129,6 +129,67 @@ def q_vec_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_vec_quantize_int8",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, xd,
+               GREATEST(list_max(list_transform(xd, x -> abs(x))), 1e-30) AS scale
+        FROM base
+    ),
+    qq AS (
+        SELECT vec_id, xd, scale,
+               list_transform(xd, x -> CAST(FLOOR(x * 127.0 / scale + 0.5) AS BIGINT)) AS q
+        FROM s
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT) AS q_abs_sum,
+           CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS q_sq_sum,
+           list_max(list_transform(range(1, len(xd)+1),
+                    i -> abs(xd[i] - CAST(q[i] AS DOUBLE) * scale / 127.0))) AS max_abs_err
+    FROM qq
+    """,
+    category="vector",
+    description=(
+        "Symmetric int8 quantization of the embedding column: per-vector "
+        "max-abs scale, FLOOR-half-up rounding (engine-portable — no ROUND, "
+        "whose half-case differs across engines), integer checksums of the "
+        "quantized codes, and max reconstruction error. The 4x "
+        "storage-compression pass a 100 TB embedding store runs before ANN "
+        "indexing; all math is codegen'd array HOFs, the narrow int8 codes "
+        "(not the floats) are what a real sink would write."
+    ),
+)
+def q_vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.greatest(F.array_max(F.transform("xd", F.abs)), F.lit(1e-30))
+    quant = F.transform("xd", lambda x: F.floor(x * 127.0 / F.col("scale") + 0.5).cast("long"))
+
+    def long_sum(arr: F.Column) -> F.Column:
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    err = F.zip_with("xd", "q", lambda x, qi: F.abs(x - qi.cast("double") * F.col("scale") / 127.0))
+    return (
+        e.select("vec_id", xd.alias("xd"))
+        .withColumn("scale", scale)
+        .withColumn("q", quant)
+        .select(
+            "vec_id",
+            "scale",
+            long_sum(F.col("q")).alias("q_sum"),
+            long_sum(F.transform("q", F.abs)).alias("q_abs_sum"),
+            long_sum(F.transform("q", lambda v: v * v)).alias("q_sq_sum"),
+            F.array_max(err).alias("max_abs_err"),
+        )
+    )
+
+
+@query(
     "q_vec_kmeans",
     oracle=None,  # iterative MLlib algorithm — seeded-deterministic, but no
     # SQL twin; convergence/purity asserted in pytest instead.

@@ -42,11 +42,15 @@ _REGISTRY: dict[str, Query] = {}
 #: casts), plus 10 sentinels: the NEW fully-oracled flagship prefix
 #: (q_ref_pipeline_unstemmed, VERDICT r2 item 2) and one already-r2-green
 #: query per family to prove the refactor-free families still hold at HEAD.
-#: Two sentinel slots went to the round-3 NEW oracled queries instead —
+#: Four sentinel slots went to the round-3 NEW oracled queries instead —
 #: q_dedup_minhash_lsh_portable (the fully-oracle-checkable banded MinHash
-#: pipeline) and q_window_ntile_distributed (the no-single-partition global
-#: rank twin) — redundant re-proof traded for first driver rows on new
-#: capability; their families keep other slots in the window.
+#: pipeline), q_window_ntile_distributed (the no-single-partition global
+#: rank twin), q_sim_lsh_candidates_portable (the hash-proved bucketed
+#: hyperplane candidate generation), and q_vec_quantize_int8 (portable
+#: int8 embedding quantization) — redundant re-proof traded for first
+#: driver rows on new capability; their families keep other slots in the
+#: window (and every displaced query stays locally oracle-replayed by
+#: pytest at each run).
 #: After this round every oracled query has a driver-green row at
 #: post-round-2 code (VERDICT r2 item 1); see COVERAGE.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -104,8 +108,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q_text_inverted_index",
     "q_window_ntile_distributed",
-    "q_vec_nearest_center",
-    "q_sim_cosine_topk",
+    "q_vec_quantize_int8",
+    "q_sim_lsh_candidates_portable",
     "q_dedup_minhash_lsh_portable",
     "q_stream_tumbling_batch",
     "q_udf_grouped_map",
