@@ -35,6 +35,8 @@ DUMPED = [
     "q_llm_pack_sequences",
     "q_llm_domain_cap",
     "q_window_ntile_distributed",
+    "q_sim_lsh_candidates_portable",
+    "q_vec_quantize_int8",
 ]
 
 
