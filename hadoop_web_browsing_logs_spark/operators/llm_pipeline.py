@@ -402,3 +402,114 @@ def q_llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= DOMAIN_CAP)
         .select("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (dup / top n-gram fractions)
+# ---------------------------------------------------------------------------
+
+TOP2_MAX = 0.08  # max fraction of tokens covered by the single most-frequent 2-gram
+DUP2_MAX = 0.15  # max fraction of tokens covered by 2-grams occurring >= 2 times
+DUP3_MAX = 0.05  # same for 3-grams
+
+
+@query(
+    "q_llm_repetition_rules",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang, {_TOKS} AS toks FROM documents
+    ),
+    g AS (
+        SELECT lang, len(toks) AS n_tok,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1]) AS g2,
+               list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+        FROM d WHERE len(toks) >= 3
+    ),
+    m AS (
+        SELECT lang, n_tok,
+               CAST(list_max(list_transform(list_distinct(g2),
+                    u -> len(list_filter(g2, x -> x = u)))) AS DOUBLE) * 2 / n_tok AS top2_frac,
+               CAST(list_sum(list_transform(list_distinct(g2),
+                    u -> CASE WHEN len(list_filter(g2, x -> x = u)) >= 2
+                              THEN len(list_filter(g2, x -> x = u)) ELSE 0 END)) AS DOUBLE) * 2 / n_tok AS dup2_frac,
+               CAST(list_sum(list_transform(list_distinct(g3),
+                    u -> CASE WHEN len(list_filter(g3, x -> x = u)) >= 2
+                              THEN len(list_filter(g3, x -> x = u)) ELSE 0 END)) AS DOUBLE) * 3 / n_tok AS dup3_frac
+        FROM g
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE top2_frac <= {TOP2_MAX}) AS pass_top2,
+           COUNT(*) FILTER (WHERE dup2_frac <= {DUP2_MAX}) AS pass_dup2,
+           COUNT(*) FILTER (WHERE dup3_frac <= {DUP3_MAX}) AS pass_dup3,
+           COUNT(*) FILTER (WHERE top2_frac <= {TOP2_MAX}
+                            AND dup2_frac <= {DUP2_MAX}
+                            AND dup3_frac <= {DUP3_MAX}) AS pass_all
+    FROM m
+    GROUP BY lang
+    """,
+    category="llm",
+    description=(
+        "Gopher repetition rules (the n-gram half q_llm_quality_rules leaves "
+        "out): per-doc fraction of tokens covered by the top 2-gram, by "
+        "duplicated 2-grams, and by duplicated 3-grams, thresholded and "
+        "aggregated to per-language pass counts. All within-document array "
+        "HOFs in codegen — the only shuffle is the per-language count "
+        "aggregate; fractions are exact-integer ratios so the pass counts "
+        "hash-match DuckDB bit-for-bit."
+    ),
+)
+def q_llm_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("lang", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+
+    def ngrams(n: int) -> F.Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("toks", i + j) for j in range(n)]
+            ),
+        )
+
+    g = d.select("lang", F.size("toks").alias("n_tok"), ngrams(2).alias("g2"), ngrams(3).alias("g3"))
+
+    def counts(col: str) -> F.Column:
+        return F.transform(
+            F.array_distinct(col), lambda u: F.size(F.filter(col, lambda x: x == u))
+        )
+
+    def dup_frac(col: str, n: int) -> F.Column:
+        dup_tokens = F.aggregate(
+            counts(col),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + F.when(c >= 2, c.cast("long")).otherwise(F.lit(0).cast("long")),
+        )
+        return dup_tokens.cast("double") * n / F.col("n_tok")
+
+    top2 = F.array_max(counts("g2")).cast("double") * 2 / F.col("n_tok")
+    m = g.select(
+        "lang",
+        top2.alias("top2_frac"),
+        dup_frac("g2", 2).alias("dup2_frac"),
+        dup_frac("g3", 3).alias("dup3_frac"),
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("top2_frac") <= TOP2_MAX, 1)).alias("pass_top2"),
+        F.count(F.when(F.col("dup2_frac") <= DUP2_MAX, 1)).alias("pass_dup2"),
+        F.count(F.when(F.col("dup3_frac") <= DUP3_MAX, 1)).alias("pass_dup3"),
+        F.count(
+            F.when(
+                (F.col("top2_frac") <= TOP2_MAX)
+                & (F.col("dup2_frac") <= DUP2_MAX)
+                & (F.col("dup3_frac") <= DUP3_MAX),
+                1,
+            )
+        ).alias("pass_all"),
+    )
