@@ -689,3 +689,68 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.sort_array(F.collect_list("node")), " ").alias("members"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup at window granularity (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better" — the suffix-array exact-match
+# pass, re-expressed as rolling-window fingerprints so it distributes)
+# ---------------------------------------------------------------------------
+
+SUBSTR_WINDOW = 10  # tokens per rolling window
+
+
+@query(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               md5(array_to_string(toks[i:i+{SUBSTR_WINDOW}-1], ' ')) AS win_hash
+        FROM d, UNNEST(range(1, len(toks) - {SUBSTR_WINDOW} + 2)) AS u(i)
+        WHERE len(toks) >= {SUBSTR_WINDOW}
+    )
+    SELECT win_hash,
+           COUNT(*) AS n_occ,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS keeper_doc
+    FROM w GROUP BY win_hash HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+    category="dedup",
+    description=(
+        "Exact-substring dedup, window granularity: every rolling "
+        "10-token window is MD5-fingerprinted and windows appearing in more "
+        "than one document are flagged with occurrence/document counts and "
+        "the canonical keeper (min doc_id) — the distributed re-expression "
+        "of suffix-array exact-match dedup. Scale shape: only the 16-byte "
+        "fingerprint and doc_id ride the shuffle (never window text), and "
+        "the group-by gets map-side partial aggregation; the removal step is "
+        "then an anti-join of flagged spans back to documents."
+    ),
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = SUBSTR_WINDOW
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= w)
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (w - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, w))),
+    )
+    return (
+        d.select("doc_id", F.explode(wins).alias("win_hash"))
+        .groupBy("win_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
