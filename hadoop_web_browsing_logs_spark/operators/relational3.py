@@ -442,3 +442,108 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_below_1k"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling (the validation pass a pipeline runs before training on a
+# new dataset drop): equi-width histogram + per-column stats
+# ---------------------------------------------------------------------------
+
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 600000.0, 24
+
+
+@query(
+    "q_agg_histogram",
+    # DuckDB has no width_bucket; the twin spells out the SQL-standard
+    # semantics with the same float sequence Spark's WidthBucket uses
+    # ((x - lo) / bucket_width, then FLOOR) — verified bit-identical.
+    oracle=f"""
+    WITH b AS (
+        SELECT CASE WHEN o_totalprice < {HIST_LO} THEN 0
+                    WHEN o_totalprice >= {HIST_HI} THEN {HIST_BUCKETS} + 1
+                    ELSE CAST(FLOOR((o_totalprice - {HIST_LO})
+                              / (({HIST_HI} - {HIST_LO}) / {HIST_BUCKETS})) AS BIGINT) + 1
+               END AS bucket
+        FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n,
+           {HIST_LO} + (bucket - 1) * ({HIST_HI} - {HIST_LO}) / {HIST_BUCKETS} AS bucket_lo
+    FROM b GROUP BY bucket
+    """,
+    category="aggregation",
+    description=(
+        "Equi-width histogram of order totals via SQL-standard width_bucket "
+        "— the single-pass distribution profile a pipeline computes on every "
+        "new data drop. One groupBy on a small integer key (map-side "
+        "partial), bucket count fixed, so the reduce side is k rows "
+        "regardless of input scale."
+    ),
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    b = F.width_bucket("o_totalprice", F.lit(HIST_LO), F.lit(HIST_HI), F.lit(HIST_BUCKETS))
+    return (
+        o.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "bucket_lo",
+            F.lit(HIST_LO) + (F.col("bucket") - 1) * (HIST_HI - HIST_LO) / HIST_BUCKETS,
+        )
+    )
+
+
+@query(
+    "q_profile_documents",
+    oracle="""
+    SELECT 'doc_id' AS col, COUNT(*) - COUNT(doc_id) AS n_null,
+           COUNT(DISTINCT doc_id) AS n_distinct,
+           MIN(LENGTH(CAST(doc_id AS VARCHAR))) AS min_len,
+           MAX(LENGTH(CAST(doc_id AS VARCHAR))) AS max_len
+    FROM documents
+    UNION ALL
+    SELECT 'text', COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+           MIN(LENGTH(text)), MAX(LENGTH(text)) FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+           MIN(LENGTH(lang)), MAX(LENGTH(lang)) FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+           MIN(LENGTH(source)), MAX(LENGTH(source)) FROM documents
+    """,
+    category="aggregation",
+    description=(
+        "Per-column dataset profile (null count, distinct count, min/max "
+        "stringified length) for the documents table — the schema-validation "
+        "pass before a training run. One aggregation per column batched into "
+        "a single scan on the Spark side (every stat is an agg expression in "
+        "one groupBy-less agg), then unpivoted to rows; the oracle's UNION "
+        "of per-column scans is the semantic twin."
+    ),
+)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source"]
+    aggs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.min(F.length(s)).alias(f"{c}__min_len"),
+            F.max(F.length(s)).alias(f"{c}__max_len"),
+        ]
+    wide = d.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__n_null").cast("bigint").alias("n_null"),
+                F.col(f"{c}__n_distinct").cast("bigint").alias("n_distinct"),
+                F.col(f"{c}__min_len").cast("bigint").alias("min_len"),
+                F.col(f"{c}__max_len").cast("bigint").alias("max_len"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
