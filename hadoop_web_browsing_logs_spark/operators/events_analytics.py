@@ -1,0 +1,137 @@
+"""Event-log analytics: ordered funnels and cohort retention.
+
+The classic product-analytics pair a clickstream warehouse runs daily, over
+the same ``events`` table the streaming operators consume. Both are
+single-shuffle designs: every per-user computation is a window (or group-by)
+partitioned on ``user_id``, so one exchange feeds all steps.
+
+Portability notes: week indices are ``floor(epoch_seconds / 604800)`` — plain
+integer arithmetic, identical in both engines — rather than ``date_trunc``,
+whose week-start conventions are an engine-semantics trap. Funnel steps
+compare raw timestamps (microsecond-identical across engines; see
+sources/readers.load_table's nanos handling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ._util import t
+
+WEEK_SECONDS = 7 * 86400
+
+
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'view') AS fv
+        FROM events GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id,
+               MIN(e.ts) FILTER (WHERE e.event_type = 'click' AND e.ts > s1.fv
+                                 AND e.ts <= s1.fv + INTERVAL 24 HOUR) AS fc
+        FROM events e JOIN s1 USING (user_id)
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id,
+               MIN(e.ts) FILTER (WHERE e.event_type = 'purchase' AND e.ts > s2.fc
+                                 AND e.ts <= s2.fc + INTERVAL 24 HOUR) AS fp
+        FROM events e JOIN s2 USING (user_id)
+        GROUP BY e.user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(s1.fv) AS n_view,
+           COUNT(s2.fc) AS n_view_click,
+           COUNT(s3.fp) AS n_full_funnel
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+    category="aggregation",
+    description=(
+        "Ordered conversion funnel (view -> click -> purchase): each user's "
+        "first view, first click within 24h after it, first purchase within "
+        "24h after that, rolled up to per-step user counts. Spark side is three "
+        "window passes over ONE user_id exchange (each step's min reuses the "
+        "same partitioning — no extra shuffle, no self-joins); the oracle's "
+        "stepwise join chain is the semantic twin."
+    ),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    fv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    e = e.withColumn("fv", fv)
+    day = F.expr("INTERVAL 24 HOURS")
+    fc = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("fv"))
+            & (F.col("ts") <= F.col("fv") + day),
+            F.col("ts"),
+        )
+    ).over(w)
+    e = e.withColumn("fc", fc)
+    fp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("fc"))
+            & (F.col("ts") <= F.col("fc") + day),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        e.withColumn("fp", fp)
+        .groupBy("user_id")
+        .agg(F.min("fv").alias("fv"), F.min("fc").alias("fc"), F.min("fp").alias("fp"))
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("fv").alias("n_view"),
+        F.count("fc").alias("n_view_click"),
+        F.count("fp").alias("n_full_funnel"),
+    )
+
+
+@query(
+    "q_events_retention",
+    oracle=f"""
+    WITH wk AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(epoch(ts) / {WEEK_SECONDS}) AS BIGINT) AS widx
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(widx) AS cohort_week FROM wk GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           w.widx - c.cohort_week AS week_offset,
+           COUNT(*) AS n_users
+    FROM wk w JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    category="aggregation",
+    description=(
+        "Cohort retention: users bucketed by first-active week, counted in "
+        "every (cohort, week-offset) cell they were active in — the "
+        "triangular retention matrix. Week index is integer epoch "
+        "arithmetic (engine-portable, no date_trunc week-start trap); the "
+        "per-user cohort is a window min over the same user_id exchange the "
+        "distinct-week dedup uses."
+    ),
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    widx = F.floor(F.unix_timestamp("ts") / WEEK_SECONDS).cast("bigint")
+    wk = e.select("user_id", widx.alias("widx")).dropDuplicates(["user_id", "widx"])
+    cohort = F.min("widx").over(W.partitionBy("user_id"))
+    return (
+        wk.withColumn("cohort_week", cohort)
+        .groupBy("cohort_week", (F.col("widx") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

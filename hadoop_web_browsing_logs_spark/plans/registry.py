@@ -145,6 +145,7 @@ def _ensure_loaded() -> None:
     # top level) to avoid circular imports with the operators package.
     from ..operators import (  # noqa: F401
         dedup,
+        events_analytics,
         llm_pipeline,
         multimodal,
         relational,
