@@ -556,3 +556,74 @@ def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = agg.orderBy(F.col("n").desc(), "bigram").limit(20)
     w = W.partitionBy(one_group("bigram")).orderBy(F.col("n").desc(), F.col("bigram"))
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+COLLOC_MIN_COUNT = 20
+
+
+@query(
+    "q_text_collocations",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    big AS (
+        SELECT toks[i] AS tok_a, toks[i+1] AS tok_b
+        FROM d, UNNEST(range(1, GREATEST(len(toks), 1))) AS u(i)
+    ),
+    cab AS (SELECT tok_a, tok_b, COUNT(*) AS n_ab FROM big GROUP BY tok_a, tok_b),
+    uni AS (SELECT u.token AS tok, COUNT(*) AS n FROM d, UNNEST(toks) AS u(token) GROUP BY u.token),
+    nb AS (SELECT SUM(n_ab) AS nb FROM cab)
+    SELECT c.tok_a, c.tok_b, c.n_ab,
+           ROUND(LN(CAST(nb.nb AS DOUBLE) * c.n_ab / (a.n * b.n)), 6) AS pmi
+    FROM cab c
+    JOIN uni a ON c.tok_a = a.tok
+    JOIN uni b ON c.tok_b = b.tok
+    CROSS JOIN nb
+    WHERE c.n_ab >= {COLLOC_MIN_COUNT}
+    """,
+    category="text",
+    description=(
+        "Collocation extraction: pointwise mutual information "
+        "ln(N*c_ab/(c_a*c_b)) for every bigram seen >= 20 times — the "
+        "corpus-statistics pass behind phrase mining. One bigram shuffle + "
+        "one unigram shuffle; the vocabulary-sized unigram table and the "
+        "1-row bigram total are broadcast back (same shape as tf-idf's "
+        "df/N), so the big side shuffles once. PMI is ROUND(ln, 6) on both "
+        "engines — the q_scalar_math last-ulp-absorption pattern."
+    ),
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(ws_tokens("text"), lambda x: x != "")
+    d = docs.select("doc_id", toks.alias("toks"))
+    pairs = d.filter(F.size("toks") > 1).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("tok_a"),
+                    F.element_at("toks", i + 1).alias("tok_b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    cab = pairs.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("n_ab"))
+    uni = (
+        d.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nb = cab.agg(F.sum("n_ab").alias("nb"))
+    pmi = F.round(
+        F.log(F.col("nb").cast("double") * F.col("n_ab") / (F.col("na") * F.col("nb_u"))), 6
+    )
+    return (
+        cab.filter(F.col("n_ab") >= COLLOC_MIN_COUNT)
+        .join(F.broadcast(uni.select(F.col("tok").alias("tok_a"), F.col("n").alias("na"))), "tok_a")
+        .join(F.broadcast(uni.select(F.col("tok").alias("tok_b"), F.col("n").alias("nb_u"))), "tok_b")
+        .crossJoin(F.broadcast(nb))
+        .select("tok_a", "tok_b", "n_ab", pmi.alias("pmi"))
+    )
