@@ -37,6 +37,9 @@ DUMPED = [
     "q_window_ntile_distributed",
     "q_sim_lsh_candidates_portable",
     "q_vec_quantize_int8",
+    "q_events_funnel",
+    "q_dedup_substring",
+    "q_text_collocations",
 ]
 
 
