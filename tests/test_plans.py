@@ -136,3 +136,32 @@ def test_topk_rank_sites_take_ordered(spark):
                 spec = line.split("windowspecdefinition(", 1)[1]
                 first_arg = spec.split(",")[0]
                 assert "ASC" not in first_arg and "DESC" not in first_arg, (name, line)
+
+
+def test_quantize_is_map_only(spark):
+    """Round-3: int8 quantization must stay a shuffle-free scan->project pass
+    (a map-only 4x compression job at 100 TB)."""
+    plan = _plan(spark, "q_vec_quantize_int8")
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_funnel_single_user_exchange(spark):
+    """Round-3: the three funnel window passes and the per-user group-by all
+    reuse ONE user_id hash exchange; only the final single-row rollup
+    re-exchanges."""
+    plan = _plan(spark, "q_events_funnel")
+    n_hash_exchanges = plan.count("Exchange hashpartitioning(user_id")
+    assert n_hash_exchanges == 1, plan[:500]
+    # and no unpartitioned window snuck in
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            first_arg = line.split("windowspecdefinition(", 1)[1].split(",")[0]
+            assert "ASC" not in first_arg and "DESC" not in first_arg, line
+
+
+def test_substring_dedup_shuffles_hashes_only(spark):
+    """Round-3: the window-fingerprint dedup's exchange must carry the MD5
+    hash and doc_id — never the token arrays or window text."""
+    plan = _plan(spark, "q_dedup_substring")
+    assert "Exchange hashpartitioning(win_hash" in plan, plan[:800]
