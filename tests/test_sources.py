@@ -147,3 +147,23 @@ def test_tsv_sink(spark, tmpdir):
     lines = [l for f in glob.glob(f"{out}/part-*") for l in open(f).read().splitlines()]
     assert len(lines) == 5
     assert all(len(l.split("\t")) == 3 for l in lines)
+
+
+def test_python_datasource_browsinglog(spark, tmpdir):
+    """Spark 4 Python Data Source API: the custom `browsinglog` format reads
+    the reference corpus layout with one partition per file and agrees
+    row-for-row with the built-in-source reader (read_corpus_dir)."""
+    from hadoop_web_browsing_logs_spark.sources.pyds import BrowsingLogDataSource
+
+    for i in range(1, 7):
+        with open(os.path.join(tmpdir, f"{i}.log"), "w") as f:
+            f.write(f"alpha beta {i}\ngamma {i}\n")
+    with open(os.path.join(tmpdir, "README.txt"), "w") as f:
+        f.write("not a document")  # non-numeric name: skipped, not a crash
+
+    spark.dataSource.register(BrowsingLogDataSource)
+    via_pyds = spark.read.format("browsinglog").load(str(tmpdir))
+    assert [f.name for f in via_pyds.schema.fields] == ["doc_id", "text"]
+    got = {r.doc_id: r.text for r in via_pyds.collect()}
+    want = {r.doc_id: r.text for r in read_corpus_dir(spark, str(tmpdir)).collect()}
+    assert got == want and set(got) == set(range(1, 7))
