@@ -547,3 +547,43 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+@query(
+    "q_join_nullsafe",
+    # NULLIF(key, 3) synthesizes NULL keys on both sides: under plain
+    # equality those rows drop (NULL = NULL is NULL); under null-safe
+    # equality they pair up. n_matched counts both channels so the twin is
+    # discriminating against an accidental plain-equality implementation.
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_matched,
+           COUNT(*) FILTER (WHERE c.c_nationkey = 3) AS via_null_channel
+    FROM customer c
+    JOIN nation n
+      ON NULLIF(c.c_nationkey, 3) IS NOT DISTINCT FROM NULLIF(n.n_nationkey, 3)
+    GROUP BY n.n_name
+    """,
+    category="join",
+    description=(
+        "Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match "
+        "NULL keys instead of silently dropping. EqualNullSafe is a valid "
+        "hash-join key in Spark, so the plan stays a broadcast hash join — "
+        "no fallback to nested-loop — which is what makes the variant usable "
+        "on a fact table with nullable keys at scale."
+    ),
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    ck = F.nullif(F.col("c_nationkey"), F.lit(3))
+    nk = F.nullif(F.col("n_nationkey"), F.lit(3))
+    return (
+        c.withColumn("_ck", ck)
+        .join(F.broadcast(n.withColumn("_nk", nk)), F.col("_ck").eqNullSafe(F.col("_nk")))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.count(F.when(F.col("c_nationkey") == 3, 1)).alias("via_null_channel"),
+        )
+    )
