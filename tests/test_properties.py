@@ -90,3 +90,60 @@ def test_salted_join_equals_plain_join(spark):
     plain_l = big.join(small, "k", "left")
     salted_l = salted_join(big, small, "k", "left", n_salts=4)
     assert sorted(map(tuple, plain_l.collect())) == sorted(map(tuple, salted_l.collect()))
+
+
+def test_quantize_int8_bounds_and_roundtrip(spark):
+    """Int8 quantization invariants: codes in [-127, 127] (so they fit a
+    TINYINT sink) and per-element reconstruction error <= half a quantization
+    step (scale/254), the bound symmetric FLOOR-half-up rounding guarantees."""
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    rows = get_query("q_vec_quantize_int8").fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        step_half = r.scale / 254.0
+        assert r.max_abs_err <= step_half * (1 + 1e-12), (r.vec_id, r.max_abs_err, step_half)
+        # q_abs_sum bounds every |code|: a 64-dim vector of codes <= 127
+        assert r.q_abs_sum <= 127 * 64
+        assert r.q_sq_sum <= 127 * 127 * 64
+
+
+def test_funnel_counts_monotone(spark):
+    """Each funnel step can only lose users, and a user counted at step k
+    must exist at step k-1 (strict containment by construction)."""
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    row = get_query("q_events_funnel").fn(spark, SF_DIR).collect()[0]
+    assert row.n_users >= row.n_view >= row.n_view_click >= row.n_full_funnel >= 0
+    assert row.n_view_click < row.n_view  # 24h window actually prunes on the fixture
+
+
+def test_substring_dedup_flags_real_repeats(spark):
+    """Every flagged window fingerprint must genuinely occur in >= 2 distinct
+    documents — re-derived from the raw corpus for a sample of flags."""
+    from pyspark.sql import functions as F
+
+    from hadoop_web_browsing_logs_spark.operators.dedup import SUBSTR_WINDOW, q_dedup_substring
+    from hadoop_web_browsing_logs_spark.sources.readers import load_table
+
+    flagged = q_dedup_substring(spark, SF_DIR).limit(20)
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", toks.alias("toks"))
+    wins = docs.filter(F.size("toks") >= SUBSTR_WINDOW).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (SUBSTR_WINDOW - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, SUBSTR_WINDOW))),
+            )
+        ).alias("win_hash"),
+    )
+    recount = (
+        wins.join(flagged.select("win_hash", "n_docs"), "win_hash")
+        .groupBy("win_hash", "n_docs")
+        .agg(F.countDistinct("doc_id").alias("true_docs"))
+        .collect()
+    )
+    assert recount
+    for r in recount:
+        assert r.true_docs == r.n_docs and r.true_docs >= 2
