@@ -261,3 +261,76 @@ def q_stream_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = e.filter(F.col("event_type") == "view")
     purchases = e.filter(F.col("event_type") == "purchase")
     return interval_join_views_purchases(views, purchases)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static dimension join (enrichment): the static side is a dimension
+# table joined into every micro-batch — Spark broadcasts it per batch, no
+# stream state needed, which is why this is THE pattern for enriching a
+# 100 TB/day event stream with slowly-changing reference data.
+# ---------------------------------------------------------------------------
+
+EVENT_CATEGORIES = [
+    ("view", "engagement", 1),
+    ("click", "engagement", 1),
+    ("purchase", "revenue", 3),
+    ("signup", "growth", 2),
+    ("error", "ops", 0),
+]
+
+
+def event_category_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        EVENT_CATEGORIES, "event_type string, category string, weight int"
+    )
+
+
+def enrich_and_rollup(events: DataFrame, spark: SparkSession) -> DataFrame:
+    """Works identically on a streaming or batch events frame: broadcast-join
+    the static dim, roll up per category (integer-cents dsum keeps the
+    weighted sum order-independent, so stream and batch agree exactly)."""
+    from ..operators.relational import dsum
+
+    dim = F.broadcast(event_category_dim(spark))
+    return (
+        events.join(dim, "event_type")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value") * F.col("weight"), 2).alias("weighted_value"),
+        )
+    )
+
+
+def _category_values_sql() -> str:
+    rows = ", ".join(f"('{t}', '{c}', {w})" for t, c, w in EVENT_CATEGORIES)
+    return f"(VALUES {rows}) AS d(event_type, category, weight)"
+
+
+def _stream_static_oracle() -> str:
+    from ..operators.relational import dsum_sql
+
+    return f"""
+    SELECT d.category,
+           COUNT(*) AS n_events,
+           {dsum_sql('e.value * d.weight', 2)} AS weighted_value
+    FROM events e JOIN {_category_values_sql()} ON e.event_type = d.event_type
+    GROUP BY d.category
+    """
+
+
+@query(
+    "q_stream_static_join_batch",
+    oracle=_stream_static_oracle(),
+    category="streaming",
+    description=(
+        "Stream-static dimension join: events enriched with an in-code "
+        "category dim (broadcast into every micro-batch in streaming mode — "
+        "no join state), rolled up per category with an integer-cents "
+        "weighted sum. Batch twin of the enrichment topology; "
+        "tests/test_streaming.py replays the same DAG through readStream "
+        "and asserts stream == batch."
+    ),
+)
+def q_stream_static_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enrich_and_rollup(_batch_events(spark, sf_dir), spark)

@@ -259,3 +259,19 @@ def test_kafka_source_gated(spark):
     if not kafka_available(spark):
         with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
             read_events_kafka(spark, "localhost:9092")
+
+
+def test_stream_static_join_equals_batch(spark, events_dir):
+    """Stream-static enrichment: the static dim joins into each micro-batch
+    (broadcast, no stream state); final rollup must equal the batch twin."""
+    stream = SW.read_events_stream(spark, events_dir)
+    agg = SW.enrich_and_rollup(stream, spark)
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName("static_join_out").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _canon(spark.sql("SELECT * FROM static_join_out").collect())
+    want = _canon(get_query("q_stream_static_join_batch").fn(spark, SF_DIR).collect())
+    assert got == want
