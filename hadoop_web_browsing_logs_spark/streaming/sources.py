@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .windows import EVENTS_SCHEMA
+from pyspark.sql import types as T
+
+from .windows import _events_schema
+
+#: Kafka wire contract: JSON values carry event time as int64 epoch-nanos
+#: (producer-side convention), converted to µs TimestampType on ingest.
+KAFKA_EVENTS_SCHEMA = _events_schema(T.LongType())
 
 
 def kafka_available(spark: SparkSession) -> bool:
@@ -48,6 +54,6 @@ def read_events_kafka(
         .load()
     )
     parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e")
+        F.from_json(F.col("value").cast("string"), KAFKA_EVENTS_SCHEMA).alias("e")
     ).select("e.*")
     return parsed.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

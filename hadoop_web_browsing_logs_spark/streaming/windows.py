@@ -22,6 +22,8 @@ with the watermark bounding the dedup state window.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -29,28 +31,62 @@ from pyspark.sql import types as T
 from ..operators.relational import dsum, dsum_sql
 from ..plans.registry import query
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _events_ts_unit(path: str) -> str:
+    """Probe the parquet footer for the ``ts`` column's timestamp unit.
+
+    The fixture generator has emitted both TIMESTAMP(NANOS) and TIMESTAMP(US)
+    across rounds; streaming reads take a user schema (readStream requires
+    one), so the right schema depends on the physical unit. One footer read
+    of one file — no data scan."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    if os.path.isfile(path):
+        candidates = [path]
+    else:
+        candidates = sorted(_glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+            _glob.glob(path)
+        )
+    for f in candidates:
+        try:
+            return getattr(_pq.read_schema(f).field("ts").type, "unit", "us")
+        except Exception:
+            continue
+    return "us"
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source streaming read of events parquet (nanos → µs ts), one file
-    per micro-batch — the local replay harness for what would be a Kafka
-    source in production. ``path`` may be a file, glob, or directory."""
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    """File-source streaming read of events parquet, one file per micro-batch —
+    the local replay harness for what would be a Kafka source in production.
+    ``path`` may be a file, glob, or directory. Handles either nanos (read as
+    int64, converted) or native micros timestamps."""
+    if _events_ts_unit(path) == "ns":
+        raw = (
+            spark.readStream.schema(_events_schema(T.LongType()))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        # integer DIV: ns values exceed 2^53, double division loses precision
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return (
+        spark.readStream.schema(_events_schema(T.TimestampType()))
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
