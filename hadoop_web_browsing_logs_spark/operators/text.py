@@ -486,25 +486,42 @@ def _ref_pipeline(spark: SparkSession, sf_dir: str, stem: bool) -> DataFrame:
     sparse = idx.select("term", "postings")
 
     # center set: the 4 alphabetically-first terms' vectors (stands in for
-    # centers.txt, ProcessData.java:579-590; deterministic)
-    # 4 alphabetically-first terms via distributed TakeOrdered, then number
-    # the 4-row result — not a row_number() window over the whole vocab
-    # (single-partition sort of ~1e8 rows at a 100 TB corpus).
-    centers = (
+    # centers.txt, ProcessData.java:579-590; deterministic). Distributed
+    # TakeOrdered picks them — not a row_number() window over the whole vocab
+    # (single-partition sort of ~1e8 rows at a 100 TB corpus) — and
+    # array_sort on (term, postings) structs numbers them by array position.
+    centers_arr = (
         sparse.orderBy("term")
         .limit(4)
-        .withColumn("rn", F.row_number().over(W.partitionBy(one_group("term")).orderBy("term")))
-        .select(F.col("rn").alias("center_id"), F.col("term").alias("center_term"), F.col("postings").alias("cpostings"))
+        .agg(F.array_sort(F.collect_list(F.struct("term", "postings"))).alias("_cs"))
     )
-    dist = 1 - F.size(F.array_intersect("postings", "cpostings")) / (
-        F.sqrt(F.size("postings").cast("double")) * F.sqrt(F.size("cpostings").cast("double"))
+    # per-term argmin as array_min over per-center (dist, center_id,
+    # center_term) structs — map-only; the window form exchanged 4 rows per
+    # term just to pick the minimum. Struct comparison = ORDER BY dist,
+    # center_id (center_term is functionally dependent on center_id).
+    cand = F.transform(
+        F.col("_cs"),
+        lambda c, i: F.struct(
+            (
+                1
+                - F.size(F.array_intersect("postings", c["postings"]))
+                / (
+                    F.sqrt(F.size("postings").cast("double"))
+                    * F.sqrt(F.size(c["postings"]).cast("double"))
+                )
+            ).alias("dist"),
+            (i + F.lit(1)).alias("center_id"),
+            c["term"].alias("center_term"),
+        ),
     )
-    w_assign = W.partitionBy("term").orderBy("dist", "center_id")
     assigned = (
-        sparse.crossJoin(F.broadcast(centers))
-        .select("term", "center_id", "center_term", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
+        sparse.crossJoin(F.broadcast(centers_arr))
+        .withColumn("_best", F.array_min(cand))
+        .select(
+            "term",
+            F.col("_best.center_id").alias("center_id"),
+            F.col("_best.center_term").alias("center_term"),
+        )
     )
     return (
         assigned.groupBy("center_id", "center_term")

@@ -7,10 +7,11 @@ center and number the groups with mutable reducer state (:607-618). Spark-first
 re-expression, with the evident intent (correct cosine B1, correct argmin B2,
 deterministic numbering B4):
 
-- centers = a small DataFrame, **broadcast** (A12) into a crossJoin — the same
-  physical op (BroadcastNestedLoopJoin) the reference hand-rolled;
-- nearest center = window ``row_number() over (partition by point order by
-  dist, center_id) = 1`` — deterministic argmin with tie-break (A14);
+- centers = a small DataFrame, **broadcast** (A12) as one array-of-structs row
+  into a crossJoin — the same side-load the reference hand-rolled;
+- nearest center = ``array_min`` over per-center (dist, center_id) structs —
+  deterministic argmin with tie-break (A14), evaluated map-side with no
+  exchange;
 - group members = ``collect_list`` with ``sort_array`` (A16, deterministic
   where the reference depended on shuffle arrival order);
 - cluster ordinal = ``row_number() over (order by center_id)`` (A18 — global
@@ -18,10 +19,9 @@ deterministic numbering B4):
 - full iterative Lloyd's k-means (the capability the job's name promises,
   A20) via ``pyspark.ml.clustering.KMeans`` with a fixed seed.
 
-Scale: the crossJoin is points × k with k small — the broadcast side is the
-centers, so the big side never shuffles; the argmin window partitions by
-point id, which re-uses the scan partitioning (no extra exchange beyond the
-one the window needs). For k in the thousands, switch to LSH pre-bucketing
+Scale: the broadcast side is the k-center array, so the big side never
+shuffles — the whole assignment is a map-only pass over the scan
+partitioning. For k in the thousands, switch to LSH pre-bucketing
 (see similarity.py).
 """
 
@@ -42,20 +42,36 @@ def nearest_center(points: DataFrame, centers: DataFrame, id_col: str = "vec_id"
     """Assign every point to its nearest center by cosine distance
     (A13+A14, correct math). ``centers`` must have (center_id, cvec).
 
-    Point/center norms are computed once per vector, not once per (point,
-    center) pair — same doubles, k× less array work."""
+    The k centers are folded into ONE broadcast row holding an array of
+    (center_id, cvec, norm) structs; each point then evaluates its argmin as
+    ``array_min`` over that array — a codegen'd fold, so the assignment is
+    map-only. The earlier window form (row_number over partitionBy point)
+    exchanged k rows per point just to pick the minimum; this shape never
+    shuffles the big side at all. Tie-break parity: ``array_min`` compares
+    struct fields in order (dist, center_id) — identical to the window's
+    ORDER BY dist, center_id. Point/center norms are computed once per
+    vector, not once per (point, center) pair."""
     from ..functions.vector import dot, norm
 
     p = points.withColumn("_pn", norm(vec_col))
     c = centers.withColumn("_cn", norm("cvec"))
-    dist = F.lit(1.0) - dot(vec_col, "cvec") / (F.col("_pn") * F.col("_cn"))
-    w = W.partitionBy(id_col).orderBy("dist", "center_id")
+    c_arr = c.agg(F.collect_list(F.struct("center_id", "cvec", "_cn")).alias("_cs"))
+    best = F.array_min(
+        F.transform(
+            "_cs",
+            lambda c0: F.struct(
+                (
+                    F.lit(1.0)
+                    - dot(F.col(vec_col), c0["cvec"]) / (F.col("_pn") * c0["_cn"])
+                ).alias("dist"),
+                c0["center_id"].alias("center_id"),
+            ),
+        )
+    )
     return (
-        p.crossJoin(F.broadcast(c))
-        .select(id_col, "center_id", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        p.crossJoin(F.broadcast(c_arr))
+        .withColumn("_best", best)
+        .select(id_col, F.col("_best.center_id").alias("center_id"), F.col("_best.dist").alias("dist"))
     )
 
 
