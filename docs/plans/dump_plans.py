@@ -40,6 +40,7 @@ DUMPED = [
     "q_events_funnel",
     "q_dedup_substring",
     "q_text_collocations",
+    "q_vec_nearest_center",
 ]
 
 
