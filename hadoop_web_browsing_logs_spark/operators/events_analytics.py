@@ -135,3 +135,76 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", (F.col("widx") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "q_events_gapfill",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+        FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT event_type,
+               UNNEST(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS h
+        FROM hourly GROUP BY event_type
+    ),
+    joined AS (
+        SELECT s.event_type, s.h,
+               hy.n_events AS obs_n, hy.sum_value AS obs_sum
+        FROM spine s LEFT JOIN hourly hy
+          ON s.event_type = hy.event_type AND s.h = hy.h
+    )
+    SELECT event_type, h AS hour,
+           COALESCE(obs_n, 0) AS n_events,
+           CAST(CASE WHEN obs_n IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap,
+           (MAX(CASE WHEN obs_sum IS NOT NULL THEN {'h': h, 's': obs_sum} END)
+                OVER (PARTITION BY event_type ORDER BY h
+                      ROWS UNBOUNDED PRECEDING)).s AS filled_sum
+    FROM joined
+    """,
+    category="aggregation",
+    description=(
+        "Time-series gap-fill + forward fill: per event_type, an hourly "
+        "spine from the type's first to last active hour (sequence + "
+        "explode), left-joined to the hourly rollup; missing hours appear "
+        "with n_events=0 and carry the last observed hourly sum forward. "
+        "The carry-forward is MAX over (hour, value) structs IGNORE-NULLS "
+        "style — engine-portable (no IGNORE NULLS clause, which Spark's "
+        "last() and DuckDB spell differently). The resample/interpolate "
+        "primitive every metrics pipeline needs; spine generation is "
+        "per-key arithmetic, the fill is one bounded window over the "
+        "key's own rows."
+    ),
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import dsum
+
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.select("event_type", F.date_trunc("hour", "ts").alias("h"), "value")
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("obs_n"), dsum("value").alias("obs_sum"))
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "h"], "left")
+    wfill = W.partitionBy("event_type").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    carry = F.max(
+        F.when(F.col("obs_sum").isNotNull(), F.struct(F.col("h"), F.col("obs_sum").alias("s")))
+    ).over(wfill)
+    return joined.select(
+        "event_type",
+        F.col("h").alias("hour"),
+        F.coalesce("obs_n", F.lit(0)).alias("n_events"),
+        F.col("obs_n").isNull().cast("int").alias("is_gap"),
+        carry["s"].alias("filled_sum"),
+    )

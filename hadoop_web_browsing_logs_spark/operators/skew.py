@@ -1,6 +1,8 @@
-"""Skew mitigation — salted joins for hot keys (SCALE.md: the manual fallback
-when AQE's skew-join splitting isn't enough, e.g. a single key holding >5% of
-a 100 TB fact table).
+"""Physical-distribution utilities: salted joins for hot keys and a
+Bloom-filter runtime prefilter for selective joins.
+
+Salting (SCALE.md): the manual fallback when AQE's skew-join splitting isn't
+enough, e.g. a single key holding >5% of a 100 TB fact table.
 
 Technique: append a deterministic salt in [0, n) to the skewed (big) side's
 key, replicate the small side n× (one row per salt value), join on
@@ -12,8 +14,11 @@ rest of the engine).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ._util import t
 
 
 def salted_join(
@@ -35,3 +40,102 @@ def salted_join(
     small_s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     joined = big_s.join(small_s, [key, "_salt"], how)
     return joined.drop("_salt")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime prefilter
+#
+# Spark's optimizer injects bloom runtime filters itself when statistics
+# justify it (spark.sql.optimizer.runtime.bloomFilter.enabled), but the
+# aggregate it uses (bloom_filter_agg) is internal — not callable from the
+# public API. This is the same pattern as a first-class, declarative
+# operator: build a bitset over the selective (dim) side's join keys, ship
+# it as ONE broadcast row, and drop non-matching fact rows BEFORE the join
+# shuffle. No false negatives by construction, so the join result is
+# bit-identical to the unfiltered join — which is exactly what the DuckDB
+# oracle checks.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16  # 64 Kib = 1024 longs per filter; scale with dim count
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(key: F.Column) -> F.Column:
+    """k deterministic bit positions for a key: xxhash64(key, i) mod m."""
+    return F.array(
+        *[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(BLOOM_BITS)) for i in range(BLOOM_HASHES)]
+    )
+
+
+def bloom_filter_join(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str) -> DataFrame:
+    """``fact ⋈ dim`` with a Bloom prefilter on the fact side.
+
+    The dim side aggregates its keys into a sparse bitset (map word-index →
+    long) in one pass; the fact side keeps a row only if ALL k of its key's
+    bit positions are set. The surviving rows join normally. At 100 TB the
+    point is the prefilter runs map-side on the scan — fact rows whose key
+    cannot match never enter the join exchange."""
+    dim_bits = dim.select(F.explode(_bloom_positions(F.col(dim_key))).alias("pos")).select(
+        (F.col("pos") / 64).cast("int").alias("w"),
+        F.call_function("shiftleft", F.lit(1).cast("bigint"), F.pmod(F.col("pos"), F.lit(64)).cast("int")).alias("bit"),
+    )
+    bloom = (
+        dim_bits.groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("bloom"))
+    )
+    probe = _bloom_positions(F.col(fact_key))
+    hit = F.forall(
+        probe,
+        lambda pos: (
+            F.coalesce(
+                F.element_at(F.col("bloom"), (pos / 64).cast("int")),
+                F.lit(0).cast("bigint"),
+            ).bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("bigint"), F.pmod(pos, F.lit(64)).cast("int")))
+            != 0
+        ),
+    )
+    pre = fact.crossJoin(F.broadcast(bloom)).filter(hit).drop("bloom")
+    return pre.join(dim, pre[fact_key] == dim[dim_key])
+
+
+@query(
+    "q_join_bloom_prefilter",
+    oracle="""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+    category="join",
+    description=(
+        "Join with a hand-built Bloom runtime prefilter: the selective dim "
+        "side (urgent orders) folds its keys into a sparse 64 Kib bitset "
+        "(map word→long, pure SQL aggregation), broadcast as ONE row; fact "
+        "rows failing any of the k=4 bit probes are dropped map-side BEFORE "
+        "the join exchange. No false negatives, so the result is "
+        "bit-identical to the plain join — which is what the oracle proves. "
+        "The declarative twin of spark.sql.optimizer.runtime.bloomFilter "
+        "(whose bloom_filter_agg is not publicly callable); at 100 TB the "
+        "prefilter cuts the fact-side shuffle by the dim's selectivity."
+    ),
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import dsum
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    joined = bloom_filter_join(li, urgent, "l_orderkey", "o_orderkey")
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )

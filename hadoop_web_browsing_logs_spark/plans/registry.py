@@ -42,14 +42,16 @@ _REGISTRY: dict[str, Query] = {}
 #: casts), plus 10 sentinels: the NEW fully-oracled flagship prefix
 #: (q_ref_pipeline_unstemmed, VERDICT r2 item 2) and one already-r2-green
 #: query per family to prove the refactor-free families still hold at HEAD.
-#: Four sentinel slots went to the round-3 NEW oracled queries instead —
+#: Six sentinel slots went to the round-3 NEW oracled queries instead —
 #: q_dedup_minhash_lsh_portable (the fully-oracle-checkable banded MinHash
 #: pipeline), q_window_ntile_distributed (the no-single-partition global
 #: rank twin), q_sim_lsh_candidates_portable (the hash-proved bucketed
-#: hyperplane candidate generation), and q_vec_quantize_int8 (portable
-#: int8 embedding quantization) — redundant re-proof traded for first
-#: driver rows on new capability; their families keep other slots in the
-#: window (and every displaced query stays locally oracle-replayed by
+#: hyperplane candidate generation), q_vec_quantize_int8 (portable int8
+#: embedding quantization), q_join_bloom_prefilter (Bloom runtime
+#: prefilter, bit-identical to the plain join), and q_events_gapfill
+#: (time-spine gap-fill + forward fill) — redundant re-proof traded for
+#: first driver rows on new capability; their families keep other slots in
+#: the window (and every displaced query stays locally oracle-replayed by
 #: pytest at each run).
 #: After this round every oracled query has a driver-green row at
 #: post-round-2 code (VERDICT r2 item 1); see COVERAGE.md.
@@ -112,8 +114,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sim_lsh_candidates_portable",
     "q_dedup_minhash_lsh_portable",
     "q_stream_tumbling_batch",
-    "q_udf_grouped_map",
-    "q_scalar_math",
+    # two late-round-3 NEW oracled queries take the last two sentinel slots
+    # (the displaced q_udf_grouped_map / q_scalar_math are r2-green on code
+    # unchanged since, and stay locally oracle-replayed by pytest):
+    "q_join_bloom_prefilter",
+    "q_events_gapfill",
 )
 
 
@@ -152,6 +157,7 @@ def _ensure_loaded() -> None:
         relational2,
         relational3,
         similarity,
+        skew,
         text,
         udf_surface,
         vectors,

@@ -31,3 +31,90 @@ def test_approx_count_distinct_within_bounds(spark):
     for r in rows:
         # HLL++ default rsd = 5%; allow generous 15% envelope on small groups
         assert abs(r.approx_orders - r.exact_orders) <= max(5, 0.15 * r.exact_orders)
+
+
+def test_bloom_prefilter_selectivity_and_no_false_negatives(spark):
+    """The Bloom prefilter must pass every true match (no false negatives —
+    the oracle replay proves result equality) and actually DROP rows on the
+    fact side (otherwise it isn't filtering anything)."""
+    import pyspark.sql.functions as F
+
+    from hadoop_web_browsing_logs_spark.operators.skew import (
+        _bloom_positions,
+        bloom_filter_join,
+    )
+    from hadoop_web_browsing_logs_spark.sources.readers import load_table
+
+    from .conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey")
+    urgent = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    n_fact = li.count()
+    n_true = li.join(urgent, li.l_orderkey == urgent.o_orderkey).count()
+    n_joined = bloom_filter_join(li, urgent, "l_orderkey", "o_orderkey").count()
+    assert n_joined == n_true  # no false negatives
+    # measure the prefilter's survivor count directly: rebuild the bloom and
+    # probe the fact side without the final join
+    dim_bits = urgent.select(F.explode(_bloom_positions(F.col("o_orderkey"))).alias("pos")).select(
+        (F.col("pos") / 64).cast("int").alias("w"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), F.pmod(F.col("pos"), F.lit(64)).cast("int")
+        ).alias("bit"),
+    )
+    bloom = (
+        dim_bits.groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("bloom"))
+    )
+    probe = _bloom_positions(F.col("l_orderkey"))
+    hit = F.forall(
+        probe,
+        lambda pos: (
+            F.coalesce(
+                F.element_at(F.col("bloom"), (pos / 64).cast("int")), F.lit(0).cast("bigint")
+            ).bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("bigint"), F.pmod(pos, F.lit(64)).cast("int")
+                )
+            )
+            != 0
+        ),
+    )
+    n_survivors = li.crossJoin(F.broadcast(bloom)).filter(hit).count()
+    # ~25% of orders are urgent; the prefilter must cut a visible fraction of
+    # the fact side (false-positive rate at 64Kib/k=4 is tiny at this scale)
+    assert n_survivors < n_fact
+    assert n_survivors >= n_true
+
+
+def test_gapfill_gaps_carry_forward(spark):
+    """Gap rows exist on the fixture, carry the previous observed sum, and
+    every (event_type, hour) spine cell is contiguous hourly."""
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    from .conftest import SF_DIR
+
+    rows = get_query("q_events_gapfill").fn(spark, SF_DIR).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert by_type
+    for evs in by_type.values():
+        evs.sort(key=lambda r: r.hour)
+        # contiguous hourly spine
+        for a, b in zip(evs, evs[1:]):
+            assert (b.hour - a.hour).total_seconds() == 3600
+        # first row is observed (spine starts at first active hour)
+        assert evs[0].is_gap == 0
+        last_obs = None
+        for r in evs:
+            if r.is_gap:
+                assert r.n_events == 0
+                assert r.filled_sum == last_obs
+            else:
+                last_obs = r.filled_sum
+            assert r.filled_sum is not None
