@@ -138,6 +138,53 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_events_scd2",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+    FROM changes
+    """,
+    category="window",
+    description=(
+        "SCD Type-2 interval build from an event stream: collapse "
+        "consecutive duplicate states per user (lag change-detection), then "
+        "each surviving row opens a validity interval closed by the next "
+        "change's timestamp (lead; NULL = current). The standard "
+        "dimension-history pattern; both window passes and the implicit "
+        "dedup ride ONE user_id exchange. Tie-break on (ts, event_id) makes "
+        "the change sequence deterministic."
+    ),
+)
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+
+
+@query(
     "q_events_gapfill",
     oracle="""
     WITH hourly AS (

@@ -81,12 +81,13 @@ def test_driver_priority_window():
     # every priority name actually resolves to a registered query
     assert set(DRIVER_PRIORITY) <= set(names)
     # round-3 allocation (COVERAGE.md): the fully-oracled flagship prefix,
-    # one sentinel per family, and the four queries NEW in round 3 (which
+    # one sentinel per family, and the six queries NEW in round 3 (which
     # took the redundant-sentinel slots) sit inside the window
     window = set(DRIVER_PRIORITY)
     for core in ("q_ref_pipeline_unstemmed", "q_text_inverted_index",
                  "q_vec_quantize_int8", "q_sim_lsh_candidates_portable",
-                 "q_stream_tumbling_batch", "q_udf_grouped_map",
+                 "q_stream_tumbling_batch", "q_join_bloom_prefilter",
+                 "q_events_gapfill",
                  "q1_pricing_summary", "q_dedup_minhash_lsh_portable",
                  "q_window_ntile_distributed"):
         assert core in window, core
