@@ -138,6 +138,70 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_events_rollup_multires",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS hour_bucket,
+               -- CAST: DuckDB's date_trunc('day') yields DATE, Spark's a
+               -- TIMESTAMP — align the type for the hash gate
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_bucket,
+               CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS week_idx,
+               value
+        FROM events
+    )
+    SELECT event_type,
+           CASE WHEN hour_bucket IS NOT NULL THEN 'hour'
+                WHEN day_bucket IS NOT NULL THEN 'day'
+                ELSE 'week' END AS grain,
+           hour_bucket, day_bucket, week_idx,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+    FROM base
+    GROUP BY GROUPING SETS ((event_type, hour_bucket),
+                            (event_type, day_bucket),
+                            (event_type, week_idx))
+    """,
+    category="aggregation",
+    description=(
+        "Multi-resolution time rollup (the hypertable continuous-aggregate "
+        "shape): hour, day, and week grains computed in ONE grouping-sets "
+        "pass over the fact — one scan, one shuffle, partial aggregation "
+        "per set — instead of three separate jobs. Week is epoch integer "
+        "arithmetic (no date_trunc week-start trap); grain is derived from "
+        "which bucket column survived the set, portable across engines."
+    ),
+)
+def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import dsum_sql
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("_mr_events")
+    return spark.sql(
+        f"""
+        WITH base AS (
+            SELECT event_type,
+                   date_trunc('hour', ts) AS hour_bucket,
+                   date_trunc('day', ts) AS day_bucket,
+                   CAST(FLOOR(unix_timestamp(ts) / 604800) AS BIGINT) AS week_idx,
+                   value
+            FROM _mr_events
+        )
+        SELECT event_type,
+               CASE WHEN hour_bucket IS NOT NULL THEN 'hour'
+                    WHEN day_bucket IS NOT NULL THEN 'day'
+                    ELSE 'week' END AS grain,
+               hour_bucket, day_bucket, week_idx,
+               COUNT(*) AS n_events,
+               {dsum_sql('value')} AS sum_value
+        FROM base
+        GROUP BY GROUPING SETS ((event_type, hour_bucket),
+                                (event_type, day_bucket),
+                                (event_type, week_idx))
+        """
+    )
+
+
+@query(
     "q_events_scd2",
     oracle="""
     WITH ordered AS (

@@ -450,6 +450,37 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_agg_approx_percentile",
+    oracle=None,  # approximate (KLL-style quantile sketch) — no exact SQL
+    # twin; the query is self-evaluating (est vs exact per quantile) and the
+    # error envelope is asserted in pytest.
+    category="aggregation",
+    description=(
+        "approx_percentile (mergeable quantile sketch, accuracy 10k) vs the "
+        "exact percentile at p50/p90/p99 — the 100 TB path for quantiles: "
+        "the sketch merges across partitions in fixed memory where exact "
+        "percentile must materialize and sort each group. Self-evaluating "
+        "output carries both values and the relative error per quantile."
+    ),
+)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000).alias("est"),
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").alias("exact"),
+    )
+    cols = [agg.returnflag]
+    for i, p in enumerate(("p50", "p90", "p99"), start=1):
+        e, x = F.element_at("est", i), F.element_at("exact", i)
+        cols += [
+            e.alias(f"{p}_est"),
+            x.alias(f"{p}_exact"),
+            (F.abs(e - x) / x).alias(f"{p}_rel_err"),
+        ]
+    return agg.select(*cols)
+
+
 # ---------------------------------------------------------------------------
 # Window functions (B5)
 # ---------------------------------------------------------------------------

@@ -118,3 +118,17 @@ def test_gapfill_gaps_carry_forward(spark):
             else:
                 last_obs = r.filled_sum
             assert r.filled_sum is not None
+
+
+def test_approx_percentile_error_envelope(spark):
+    """approx_percentile at accuracy 10k: relative error per quantile must
+    sit well inside 1% on the fixture (measured ~2e-4)."""
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    from .conftest import SF_DIR
+
+    rows = get_query("q_agg_approx_percentile").fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        for p in ("p50", "p90", "p99"):
+            assert r[f"{p}_rel_err"] <= 0.01, (r.returnflag, p, r[f"{p}_rel_err"])
