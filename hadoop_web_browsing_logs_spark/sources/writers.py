@@ -55,3 +55,33 @@ def write_reference_text(index_df: DataFrame, path: str, term_col: str = "term",
         .write.mode("overwrite")
         .text(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet directory into
+    ``ceil(total_bytes / target_bytes)`` right-sized files. Returns the
+    output file count.
+
+    The operational pass every streaming/incremental sink needs at scale —
+    micro-batches and per-partition task writes leave thousands of small
+    files whose per-file open/footer cost dominates later scans. Input size
+    comes from the filesystem listing (no data scan); the rewrite is one
+    ``repartition(n)`` job, shuffling each row exactly once. For
+    partitioned tables, run per partition directory so pruning still holds.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src).repartition(n_out).write.mode("overwrite").parquet(dst)
+    return n_out

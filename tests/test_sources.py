@@ -167,3 +167,33 @@ def test_python_datasource_browsinglog(spark, tmpdir):
     got = {r.doc_id: r.text for r in via_pyds.collect()}
     want = {r.doc_id: r.text for r in read_corpus_dir(spark, str(tmpdir)).collect()}
     assert got == want and set(got) == set(range(1, 7))
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """50 tiny files in → size-targeted file count out, same rows."""
+    import glob
+
+    from hadoop_web_browsing_logs_spark.sources.readers import load_table
+    from hadoop_web_browsing_logs_spark.sources.writers import compact_parquet
+
+    from .conftest import SF_DIR
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    li = load_table(spark, SF_DIR, "lineitem")
+    n_rows = li.count()
+    li.repartition(50).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 50
+
+    # target far above total size → exactly one output file
+    n_out = compact_parquet(spark, src, dst)
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert n_out == 1 and len(files) == 1
+    assert spark.read.parquet(dst).count() == n_rows
+
+    # tiny target → multiple right-sized files, still all rows
+    dst2 = str(tmp_path / "compacted2")
+    n_out2 = compact_parquet(spark, src, dst2, target_bytes=64 * 1024)
+    assert n_out2 > 1
+    assert len(glob.glob(f"{dst2}/part-*.parquet")) == n_out2
+    assert spark.read.parquet(dst2).count() == n_rows
