@@ -41,6 +41,10 @@ DUMPED = [
     "q_dedup_substring",
     "q_text_collocations",
     "q_vec_nearest_center",
+    "q_join_bloom_prefilter",
+    "q_events_gapfill",
+    "q_events_scd2",
+    "q_events_rollup_multires",
 ]
 
 
