@@ -28,6 +28,49 @@ LSH_SEED = 42
 EMB_DIM = 64
 
 
+#: ~the 99th-percentile pairwise cosine on the fixture (max ≈ 0.45) — high
+#: enough to be a selective radius, low enough to return real neighbor sets.
+RANGE_TAU = 0.3
+
+
+@query(
+    "q_sim_range_search",
+    oracle=f"""
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           {duck_cosine_similarity('q.embedding', 'c.embedding')} AS sim
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id % {QUERY_STRIDE} = 0 AND q.vec_id <> c.vec_id
+      AND {duck_cosine_similarity('q.embedding', 'c.embedding')} >= {RANGE_TAU}
+    """,
+    category="similarity",
+    description=(
+        "Cosine range search (all neighbors with sim >= tau, not top-k) for "
+        "strided query points — the radius-query twin of the top-k scan. "
+        "Map-only after broadcasting the query side: no window, no shuffle "
+        "of the candidate corpus; only over-threshold pairs survive the "
+        "scan stage. The exact baseline the banded-LSH candidate join "
+        "approximates at 100 TB."
+    ),
+)
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import norm
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    ).withColumn("q_norm", norm("q_vec"))
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")).withColumn(
+        "c_norm", norm("c_vec")
+    )
+    sim = dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", sim.alias("sim"))
+        .filter(F.col("sim") >= RANGE_TAU)
+    )
+
+
 def brute_force_topk(
     queries: DataFrame, candidates: DataFrame, k: int = TOP_K
 ) -> DataFrame:
