@@ -691,6 +691,87 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_keep_canonical",
+    # Extends the components transitive closure with the keep/drop decision:
+    # per duplicate cluster, the canonical survivor is the LONGEST document
+    # (ties -> lowest doc_id), everything else is dropped. The argmax is
+    # MAX over (length, -doc_id) structs — portable, no arg_max/max_by
+    # engine differences.
+    oracle=f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks
+        FROM documents WHERE doc_id % {PAIR_STRIDE} = 0
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+    best AS (
+        SELECT c.component,
+               MAX({{'l': CAST(length(doc.text) AS BIGINT), 'n': -c.node}}) AS b,
+               COUNT(*) AS n_members,
+               list_sort(list(c.node)) AS members
+        FROM comp c JOIN documents doc ON doc.doc_id = c.node
+        GROUP BY c.component
+    )
+    SELECT component,
+           -(b).n AS keeper_doc,
+           (b).l AS keeper_len,
+           n_members,
+           n_members - 1 AS n_dropped,
+           array_to_string(list_filter(members, x -> x <> -(b).n), ' ') AS dropped
+    FROM best
+    """,
+    category="dedup",
+    description=(
+        "Canonical-document selection — the keep/drop decision a dedup "
+        "pipeline ends with: near-dup pairs -> connected components -> per "
+        "cluster keep the LONGEST document (ties -> lowest doc_id), list "
+        "the rest as drops. The argmax is a MAX over (length, -doc_id) "
+        "structs (portable; no arg_max semantics differences), so the "
+        "whole pairs->clusters->survivors pipeline is driver-hash-proved. "
+        "Scale: adds one broadcast-sized join (cluster members -> doc "
+        "lengths) and a partial-agg groupBy on top of the component labels; "
+        "document text never rides any shuffle."
+    ),
+)
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.length("text").cast("bigint").alias("tlen")
+    )
+    j = comp.join(docs, comp["node"] == docs["doc_id"])
+    best = j.groupBy("component").agg(
+        F.max(F.struct(F.col("tlen").alias("l"), (-F.col("node")).alias("n"))).alias("b"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.sort_array(F.collect_list("node")).alias("members"),
+    )
+    keeper = -F.col("b.n")
+    return best.select(
+        "component",
+        keeper.alias("keeper_doc"),
+        F.col("b.l").alias("keeper_len"),
+        "n_members",
+        (F.col("n_members") - 1).alias("n_dropped"),
+        F.array_join(F.filter("members", lambda x: x != keeper), " ").alias("dropped"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact-substring dedup at window granularity (Lee et al. 2021, "Deduplicating
 # Training Data Makes Language Models Better" — the suffix-array exact-match

@@ -155,6 +155,53 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_scd2(events: DataFrame) -> DataFrame:
+    """Streaming SCD Type-2: per-user state machine over
+    ``applyInPandasWithState`` that emits a CLOSED validity interval
+    (user_id, state, valid_from, valid_to) every time the user's event_type
+    changes; the open interval lives in GroupState across micro-batches.
+
+    Contract: per-key event-time order across batches (what a Kafka source
+    partitioned by user_id delivers). Within a batch, rows are sorted by
+    (ts, event_id) — the same deterministic tie-break as the batch twin
+    ``q_events_scd2``; with in-order batches the emitted closed intervals
+    equal the batch build's closed intervals exactly
+    (tests/test_streaming.py::test_streaming_scd2_equals_batch_closed)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id BIGINT, state STRING, valid_from TIMESTAMP, valid_to TIMESTAMP"
+    state_schema = "cur STRING, since BIGINT"  # since = epoch microseconds
+
+    def update(key, pdfs, st: GroupState):
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        out: list[tuple] = []
+        cur, since = (st.get if st.exists else (None, None))
+        if frames:
+            rows = pd.concat(frames, ignore_index=True).sort_values(["ts", "event_id"])
+            for r in rows.itertuples():
+                ts_us = r.ts.value // 1000  # pandas ns -> µs
+                if cur is None:
+                    cur, since = r.event_type, ts_us
+                elif r.event_type != cur:
+                    out.append((key[0], cur, since, ts_us))
+                    cur, since = r.event_type, ts_us
+        if cur is not None:
+            st.update((cur, int(since)))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([o[0] for o in out], dtype="int64"),
+                "state": pd.Series([o[1] for o in out], dtype="object"),
+                "valid_from": pd.to_datetime([o[2] for o in out], unit="us"),
+                "valid_to": pd.to_datetime([o[3] for o in out], unit="us"),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch twins (driver oracle gate) — same expressions, batch source
 # ---------------------------------------------------------------------------

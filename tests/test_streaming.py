@@ -275,3 +275,37 @@ def test_stream_static_join_equals_batch(spark, events_dir):
     got = _canon(spark.sql("SELECT * FROM static_join_out").collect())
     want = _canon(get_query("q_stream_static_join_batch").fn(spark, SF_DIR).collect())
     assert got == want
+
+
+@pytest.fixture()
+def time_split_dir(spark):
+    """events split into two files by TIME (per-key in-order batches — the
+    Kafka per-partition ordering contract the streaming SCD2 documents)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(os.path.join(SF_DIR, "events.parquet")).sort_by(
+        [("ts", "ascending"), ("event_id", "ascending")]
+    )
+    d = tempfile.mkdtemp()
+    half = src.num_rows // 2
+    pq.write_table(src.slice(0, half), os.path.join(d, "batch_000.parquet"))
+    pq.write_table(src.slice(half), os.path.join(d, "batch_001.parquet"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_scd2_equals_batch_closed(spark, time_split_dir):
+    """With in-order micro-batches, the streaming SCD2's emitted CLOSED
+    intervals must equal the batch build's closed intervals — including
+    intervals that OPEN in batch 1 and CLOSE in batch 2 (state crossing the
+    batch boundary)."""
+    stream = SW.read_events_stream(spark, time_split_dir)
+    scd2 = SW.streaming_scd2(stream)
+    q = scd2.writeStream.outputMode("append").format("memory").queryName("scd2_out").start()
+    q.processAllAvailable()
+    q.stop()
+    got = _canon(spark.sql("SELECT * FROM scd2_out").collect())
+    batch = get_query("q_events_scd2").fn(spark, SF_DIR)
+    want = _canon(batch.filter("valid_to IS NOT NULL").collect())
+    assert got == want
