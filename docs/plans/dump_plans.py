@@ -45,6 +45,8 @@ DUMPED = [
     "q_events_gapfill",
     "q_events_scd2",
     "q_events_rollup_multires",
+    "q_sim_range_search",
+    "q_dedup_keep_canonical",
 ]
 
 
