@@ -591,6 +591,7 @@ def connected_components(
     b: str = "doc_b",
     max_iter: int = 25,
     check_every: int = 2,
+    truncate_every: int = 4,
 ) -> DataFrame:
     """Min-label propagation to a fixpoint: every node ends up labeled with
     the smallest id reachable from it — the duplicate-cluster id.
@@ -603,7 +604,15 @@ def connected_components(
     at scale each action is a full job, so probing every round pays one
     extra scheduling round-trip per iteration for nothing; an extra
     propagation round past the fixpoint is a no-op join on an already-stable
-    labels table. Returns ``(node, component)``."""
+    labels table.
+
+    ``cache()`` short-circuits recomputation but does NOT truncate the
+    logical plan — the lineage grows by one join per iteration and Catalyst
+    re-analyzes the whole tree every round (observed: a ~10k-line explain
+    after the fixpoint loop). Every ``truncate_every`` iterations the labels
+    table is ``localCheckpoint``ed, cutting lineage back to a leaf so
+    planning cost stays O(truncate_every) instead of O(iterations).
+    Returns ``(node, component)``."""
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
@@ -619,14 +628,15 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias("component"),
-            )
-            .cache()
+        new_labels = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias("component"),
         )
+        if (it + 1) % truncate_every == 0:
+            # materialize + cut lineage (see docstring)
+            new_labels = new_labels.localCheckpoint(eager=False)
+        else:
+            new_labels = new_labels.cache()
         changed = None
         if (it + 1) % check_every == 0 or it == max_iter - 1:
             changed = (
