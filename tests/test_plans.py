@@ -166,3 +166,24 @@ def test_substring_dedup_shuffles_hashes_only(spark):
     hash and doc_id — never the token arrays or window text."""
     plan = _plan(spark, "q_dedup_substring")
     assert "Exchange hashpartitioning(win_hash" in plan, plan[:800]
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """Registry-wide plan lint: NO query may compile to a CartesianProduct.
+    Pair-generation queries must stay broadcast-nested-loop (small side
+    broadcast, documented sampled baselines) or bucketed equi-joins — an
+    unbroadcastable cartesian is the canonical 100 TB scale-killer, and this
+    pins every current and future registry entry against it."""
+    from hadoop_web_browsing_logs_spark.plans.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    offenders = []
+    for name, q in all_queries().items():
+        df = q.fn(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian plans: {offenders}"
