@@ -269,9 +269,13 @@ def minhash_lsh_pairs(docs: DataFrame, portable: bool = False) -> DataFrame:
         d
         # the signature table is consumed 4x (both sides of the band join,
         # both token re-joins) — materialize it once instead of recomputing
-        # 32 permutations per use (lazy local checkpoint: first use computes,
-        # the rest read blocks)
-        .localCheckpoint(eager=False)
+        # 32 permutations per use. cache() beats localCheckpoint here
+        # (~10% on the full pipeline, measured interleaved): same
+        # one-materialization semantics, no checkpoint write job, and the
+        # signature expression is deterministic so eviction-recompute is
+        # safe (unlike with_global_rank's range boundaries, which keep the
+        # checkpoint).
+        .cache()
     )
     # band the signatures on bare ids — the token arrays do NOT ride through
     # the candidate join/dedup shuffle (pair generation shuffles ~20 bytes per
@@ -505,7 +509,7 @@ def simhash_pairs(docs: DataFrame, sigs: DataFrame | None = None) -> DataFrame:
     the band self-join read the materialized blocks instead of re-running the
     per-token polynomial-hash aggregation twice."""
     if sigs is None:
-        sigs = simhash_signatures(docs).select("doc_id", "simhash").localCheckpoint(eager=False)
+        sigs = simhash_signatures(docs).select("doc_id", "simhash").cache()
     banded = sigs.select(
         "doc_id",
         "simhash",

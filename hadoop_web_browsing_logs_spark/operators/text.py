@@ -477,7 +477,9 @@ def _ref_pipeline(spark: SparkSession, sf_dir: str, stem: bool) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     # the index (incl. the pandas_udf stem stage when stem=True) feeds BOTH
     # the center selection and the assignment crossJoin — materialize it once
-    idx = inverted_index(spark, docs, stem=stem).localCheckpoint(eager=False)
+    # (cache, not checkpoint: deterministic plan, so eviction-recompute is
+    # safe and the checkpoint write job is avoided)
+    idx = inverted_index(spark, docs, stem=stem).cache()
     # SPARSE cosine: for 0/1 incidence vectors, a·b = |A∩B| and ‖a‖ = √|A| —
     # computed on the postings sets directly. Densifying first would cost
     # O(n_docs) per term (quadratic overall); this is O(|postings|), which is
