@@ -187,3 +187,23 @@ def test_no_cartesian_product_anywhere(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"cartesian plans: {offenders}"
+
+
+def test_multires_rollup_single_expand_single_exchange(spark):
+    """The hour/day/week rollup must be ONE grouping-sets pass: one Expand,
+    one hash exchange — not three separate aggregation jobs."""
+    plan = _plan(spark, "q_events_rollup_multires")
+    assert plan.count("Expand") == 1, plan[:400]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:400]
+
+
+def test_gapfill_windows_are_partitioned(spark):
+    """The forward-fill window must partition on the series key — no
+    single-partition window; and the whole plan needs only the hourly-rollup
+    and spine-join exchanges."""
+    plan = _plan(spark, "q_events_gapfill")
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:400]
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            first_arg = line.split("windowspecdefinition(", 1)[1].split(",")[0]
+            assert "ASC" not in first_arg and "DESC" not in first_arg, line
