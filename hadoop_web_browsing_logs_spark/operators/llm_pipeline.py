@@ -513,3 +513,68 @@ def q_llm_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pass_all"),
     )
+
+
+@query(
+    "q_llm_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS toks
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT src, src FROM edges
+        UNION SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+    keyed AS (
+        SELECT doc.doc_id,
+               COALESCE(c.component, doc.doc_id) AS gid
+        FROM documents doc LEFT JOIN comp c ON c.node = doc.doc_id
+    )
+    SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT gid) AS n_groups FROM (
+        SELECT gid,
+               CASE WHEN {{b}} < 8 THEN 'train'
+                    WHEN {{b}} = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM keyed
+    ) GROUP BY split
+    """.replace("{b}", _duck_hash_bucket("CAST(gid AS VARCHAR)", 10)),
+    category="llm",
+    description=(
+        "Leakage-safe train/val/test split: near-duplicate clusters (from "
+        "the Jaccard pairs' connected components) are split as ATOMIC "
+        "GROUPS — the hash bucket keys on the cluster id, not the document "
+        "— so near-dups can never straddle train and eval (the "
+        "contamination mode a per-document split allows). Singletons key "
+        "on their own id. Same MD5-prefix bucket arithmetic as q_llm_split; "
+        "the whole pairs->clusters->group-split chain hash-matches the "
+        "recursive-CTE DuckDB twin."
+    ),
+)
+def q_llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import connected_components, q_dedup_jaccard_pairs
+
+    pairs = q_dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("gid")
+    )
+    b = _hash_bucket(F.col("gid").cast("string"), 10)
+    split = F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
+    return keyed.select("gid", split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("gid").alias("n_groups"),
+    )

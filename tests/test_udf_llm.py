@@ -62,3 +62,30 @@ def test_split_is_deterministic_across_runs(spark):
     a = sorted(tuple(r) for r in get_query("q_llm_split").fn(spark, SF_DIR).collect())
     b = sorted(tuple(r) for r in get_query("q_llm_split").fn(spark, SF_DIR).collect())
     assert a == b
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """No near-duplicate cluster may straddle two splits — the property the
+    group-keyed hash guarantees and a per-document split violates."""
+    import pyspark.sql.functions as F
+
+    from hadoop_web_browsing_logs_spark.operators.dedup import (
+        connected_components,
+        q_dedup_jaccard_pairs,
+    )
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import _hash_bucket
+
+    from .conftest import SF_DIR
+
+    pairs = q_dedup_jaccard_pairs(spark, SF_DIR).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    b = _hash_bucket(F.col("component").cast("string"), 10)
+    split = F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
+    spans = (
+        comp.select("component", split.alias("split"))
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0
