@@ -319,3 +319,68 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("obs_n").isNull().cast("int").alias("is_gap"),
         carry["s"].alias("filled_sum"),
     )
+
+
+@query(
+    "q_events_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        -- mean and sample variance from EXACT integer-cent sums: identical
+        -- doubles in both engines (no engine-specific streaming-variance
+        -- accumulation order)
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(sum_value * 100) AS BIGINT)) AS DOUBLE) / 100 AS s1,
+               CAST(SUM(CAST(ROUND(sum_value * 100) AS BIGINT) * CAST(ROUND(sum_value * 100) AS BIGINT)) AS DOUBLE) / 10000 AS s2
+        FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour, h.sum_value,
+           (h.sum_value - s.s1 / s.n)
+             / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS zscore,
+           CAST(ABS((h.sum_value - s.s1 / s.n)
+             / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))) > 2.0 AS INTEGER) AS is_anomaly
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    """,
+    category="aggregation",
+    description=(
+        "Hourly anomaly detection per event_type: z-score of each hour's "
+        "value sum against the type's mean/stddev, where mean and sample "
+        "variance derive from EXACT integer-cent sums (sum and "
+        "sum-of-squares as BIGINT) — so the doubles, the z-scores, and the "
+        "|z| > 2 flags are bit-identical across engines with no "
+        "streaming-variance accumulation-order dependence. Two aggs (hourly, "
+        "then per-type) + a broadcast join back; the monitoring primitive "
+        "over any metric stream."
+    ),
+)
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import dsum
+
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.select("event_type", F.date_trunc("hour", "ts").alias("hour"), "value")
+        .groupBy("event_type", "hour")
+        .agg(dsum("value").alias("sum_value"))
+    )
+    cents = F.round(F.col("sum_value") * 100).cast("bigint")
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents).cast("double") / 100).alias("s1"),
+        (F.sum(cents * cents).cast("double") / 10000).alias("s2"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("sum_value") - mean) / F.sqrt(var)
+    return j.select(
+        "event_type",
+        "hour",
+        "sum_value",
+        z.alias("zscore"),
+        (F.abs(z) > 2.0).cast("int").alias("is_anomaly"),
+    )
