@@ -46,6 +46,7 @@ DUMPED = [
     "q_events_scd2",
     "q_events_rollup_multires",
     "q_sim_range_search",
+    "q_events_anomaly_zscore",
     # q_dedup_keep_canonical is NOT dumped: connected-components builds its
     # plan by iterative lineage extension, so the explain output is ~10k
     # lines of repeated join blocks — noise, not evidence. Its scale shape

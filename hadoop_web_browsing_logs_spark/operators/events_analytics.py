@@ -1,9 +1,11 @@
-"""Event-log analytics: ordered funnels and cohort retention.
+"""Event-log analytics: ordered funnels, cohort retention, SCD Type-2
+interval builds, hourly gap-fill with forward fill, multi-resolution time
+rollups, and z-score anomaly flags.
 
-The classic product-analytics pair a clickstream warehouse runs daily, over
-the same ``events`` table the streaming operators consume. Both are
-single-shuffle designs: every per-user computation is a window (or group-by)
-partitioned on ``user_id``, so one exchange feeds all steps.
+The product-analytics and observability passes a clickstream warehouse runs
+daily, over the same ``events`` table the streaming operators consume. All
+are single-exchange-per-stage designs: per-user computations share one
+user_id exchange; per-type series work shares the hourly rollup exchange.
 
 Portability notes: week indices are ``floor(epoch_seconds / 604800)`` — plain
 integer arithmetic, identical in both engines — rather than ``date_trunc``,
