@@ -386,3 +386,75 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         (F.abs(z) > 2.0).cast("int").alias("is_anomaly"),
     )
+
+
+@query(
+    "q_events_attribution",
+    oracle="""
+    WITH joined AS (
+        SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, p.value,
+               v.ts AS view_ts, v.event_id AS view_id
+        FROM events p LEFT JOIN events v
+          ON v.user_id = p.user_id AND v.event_type = 'view'
+         AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        WHERE p.event_type = 'purchase'
+    )
+    SELECT purchase_id, user_id, purchase_ts, value,
+           (MAX(CASE WHEN view_ts IS NOT NULL
+                     THEN {'t': view_ts, 'i': view_id} END)).t AS attributed_view_ts,
+           (MAX(CASE WHEN view_ts IS NOT NULL
+                     THEN {'t': view_ts, 'i': view_id} END)).i AS attributed_view_id,
+           COUNT(view_id) AS n_candidate_views
+    FROM joined
+    GROUP BY purchase_id, user_id, purchase_ts, value
+    """,
+    category="aggregation",
+    description=(
+        "Last-touch attribution: each purchase credits the LATEST view by "
+        "the same user in the preceding hour (ties -> highest view id), "
+        "NULL when no view qualifies. The interval join is time-band "
+        "bounded (the state-expirable stream-join shape); the per-purchase "
+        "argmax is a MAX over (view_ts, view_id) structs — no window pass, "
+        "and the groupBy rides the join's user_id exchange. The marketing "
+        "attribution primitive over any clickstream."
+    ),
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = p.join(v, cond, "left")
+    best = F.max(
+        F.when(
+            F.col("view_ts").isNotNull(),
+            F.struct(F.col("view_ts").alias("t"), F.col("view_id").alias("i")),
+        )
+    )
+    return (
+        joined.groupBy("purchase_id", "user_id", "purchase_ts", "value")
+        # one struct-max buffer; fields projected after the agg
+        .agg(best.alias("_b"), F.count("view_id").alias("n_candidate_views"))
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            "value",
+            F.col("_b.t").alias("attributed_view_ts"),
+            F.col("_b.i").alias("attributed_view_id"),
+            "n_candidate_views",
+        )
+    )
