@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, dot, duck_cosine_similarity
+from ..functions.vector import (
+    cosine_similarity,
+    dot,
+    duck_cosine_distance,
+    duck_cosine_similarity,
+)
 from ..plans.registry import query
 from ._util import t
 
@@ -223,6 +228,88 @@ def lsh_ann_recall(spark: SparkSession, sf_dir: str, n_bands: int = N_BANDS) -> 
             F.coalesce("found", F.lit(0)).alias("found"),
             (F.coalesce("found", F.lit(0)) / F.col("k")).alias("recall"),
         )
+    )
+
+
+@query(
+    "q_sim_ivf_candidates",
+    oracle=f"""
+    WITH centers AS (
+        SELECT CAST(vec_id AS INTEGER) AS center_id, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8
+    ),
+    assign AS (
+        SELECT e.vec_id, c.center_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_cosine_distance('e.embedding', 'c.cvec')}, c.center_id) AS rn
+        FROM embeddings e CROSS JOIN centers c
+    ),
+    cells AS (SELECT vec_id, center_id FROM assign WHERE rn = 1),
+    probes AS (
+        SELECT q.vec_id AS q_id, c.center_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {duck_cosine_distance('q.embedding', 'c.cvec')}, c.center_id) AS rn
+        FROM embeddings q CROSS JOIN centers c
+        WHERE q.vec_id % {QUERY_STRIDE} = 0
+    )
+    SELECT p.q_id, d.vec_id AS c_id,
+           {duck_cosine_similarity('q.embedding', 'd.embedding')} AS sim
+    FROM probes p
+    JOIN cells ce ON ce.center_id = p.center_id
+    JOIN embeddings d ON d.vec_id = ce.vec_id
+    JOIN embeddings q ON q.vec_id = p.q_id
+    WHERE p.rn <= 2 AND d.vec_id <> p.q_id
+    """,
+    category="similarity",
+    description=(
+        "IVF candidate generation, hash-proved: cell assignment for every "
+        "vector (the nearest-center quantizer), each query probes its 2 "
+        "nearest cells via a map-only sorted-slice over the broadcast "
+        "center array (no window exchange), and the candidate set + exact "
+        "cosine per candidate must match the quadratic DuckDB twin row for "
+        "row. With the deterministic first-8 centers the whole bucketed "
+        "probe path is SQL-expressible — this is the driver-hash evidence "
+        "that the IVF index probes the right cells; q_sim_ivf_ann layers "
+        "the approximate top-k + recall on top."
+    ),
+)
+def q_sim_ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import norm
+    from .vectors import fixture_centers, nearest_center
+
+    e = t(spark, sf_dir, "embeddings")
+    centers = fixture_centers(spark, sf_dir)
+    cells = nearest_center(e, centers).select(
+        F.col("vec_id").alias("cell_vec"), F.col("center_id").alias("cell_center")
+    )
+
+    cn = centers.withColumn("_cn", norm("cvec"))
+    c_arr = cn.agg(F.collect_list(F.struct("center_id", "cvec", "_cn")).alias("_cs"))
+    qn = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    ).withColumn("_qn", norm("q_vec"))
+    cand = F.transform(
+        "_cs",
+        lambda c: F.struct(
+            (F.lit(1.0) - dot(F.col("q_vec"), c["cvec"]) / (F.col("_qn") * c["_cn"])).alias("qdist"),
+            c["center_id"].alias("center_id"),
+        ),
+    )
+    probes = (
+        qn.crossJoin(F.broadcast(c_arr))
+        .select("q_id", "q_vec", "_qn", F.slice(F.array_sort(cand), 1, 2).alias("_top2"))
+        .select("q_id", "q_vec", "_qn", F.explode("_top2").alias("_p"))
+        .select("q_id", "q_vec", "_qn", F.col("_p.center_id").alias("center_id"))
+    )
+    data = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")).withColumn(
+        "_dn", norm("c_vec")
+    )
+    sim = dot("q_vec", "c_vec") / (F.col("_qn") * F.col("_dn"))
+    return (
+        probes.join(cells, probes["center_id"] == cells["cell_center"])
+        .join(data, F.col("cell_vec") == F.col("c_id"))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", sim.alias("sim"))
     )
 
 
