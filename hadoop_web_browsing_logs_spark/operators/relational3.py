@@ -587,3 +587,82 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("c_nationkey") == 3, 1)).alias("via_null_channel"),
         )
     )
+
+
+@query(
+    "q_quality_expectations",
+    oracle="""
+    SELECT 'lineitem_quantity_in_range' AS check_name,
+           COUNT(*) AS n_checked,
+           COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_in_range',
+           COUNT(*),
+           COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.9)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_shipdate_not_null',
+           COUNT(*),
+           COUNT(*) - COUNT(l_shipdate)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           COUNT(*),
+           COUNT(*) - COUNT(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           COUNT(*),
+           COUNT(*) FILTER (WHERE o.o_orderkey IS NULL)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    category="aggregation",
+    description=(
+        "Declarative data-quality expectations (the dbt-test / "
+        "Great-Expectations primitive): range, not-null, uniqueness, and "
+        "referential-integrity checks, each a single aggregation (the FK "
+        "check a left join + null count), UNION ALL'd into one "
+        "(check_name, n_checked, n_violations) report. Every check is one "
+        "pass over its table with map-side partial aggregation; the FK "
+        "check's join key is the fact's own join key, so at scale it rides "
+        "the same co-partitioning the real workload uses."
+    ),
+)
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+
+    def report(name: str, df, n_violations):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_checked"),
+            n_violations.alias("n_violations"),
+        )
+
+    qty = report(
+        "lineitem_quantity_in_range",
+        li,
+        F.count(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)),
+    )
+    disc = report(
+        "lineitem_discount_in_range",
+        li,
+        F.count(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.9), 1)),
+    )
+    ship = report(
+        "lineitem_shipdate_not_null",
+        li,
+        F.count(F.lit(1)) - F.count("l_shipdate"),
+    )
+    uniq = report(
+        "orders_orderkey_unique",
+        o,
+        F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
+    )
+    fk = report(
+        "lineitem_orderkey_fk",
+        li.join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)),
+    )
+    return qty.unionAll(disc).unionAll(ship).unionAll(uniq).unionAll(fk)
