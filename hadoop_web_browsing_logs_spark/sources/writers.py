@@ -85,3 +85,22 @@ def compact_parquet(
     n_out = max(1, math.ceil(total / target_bytes))
     spark.read.parquet(src).repartition(n_out).write.mode("overwrite").parquet(dst)
     return n_out
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition + sort-within-partition write: rows are globally
+    range-distributed on ``sort_cols`` and each output file is internally
+    sorted on them, so parquet row-group min/max statistics become tight,
+    disjoint ranges — scans with predicates on the sort columns skip whole
+    row groups/files instead of reading and filtering. The write-side twin
+    of predicate pushdown, and the single highest-leverage layout decision
+    for a 100 TB append-only fact table (a coarse Z-order substitute when
+    one sort dimension dominates)."""
+    out = df.repartitionByRange(*( [n_files] if n_files else [] ), *sort_cols)
+    out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)

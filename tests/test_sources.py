@@ -197,3 +197,45 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert n_out2 > 1
     assert len(glob.glob(f"{dst2}/part-*.parquet")) == n_out2
     assert spark.read.parquet(dst2).count() == n_rows
+
+
+def test_sorted_write_produces_disjoint_rowgroup_ranges(spark, tmp_path):
+    """write_sorted_parquet must yield files whose row-group min/max ranges
+    on the sort column are internally monotonic and pairwise disjoint across
+    files — the property that lets predicate scans skip row groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hadoop_web_browsing_logs_spark.sources.readers import load_table
+    from hadoop_web_browsing_logs_spark.sources.writers import write_sorted_parquet
+
+    from .conftest import SF_DIR
+
+    out = str(tmp_path / "sorted")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice")
+    write_sorted_parquet(li, out, ["l_orderkey"], n_files=4)
+
+    ranges = []
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo = hi = None
+        prev_max = None
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # l_orderkey
+            st = col.statistics
+            assert st is not None and st.has_min_max
+            # row groups within a file are sorted → monotonic ranges
+            if prev_max is not None:
+                assert st.min >= prev_max
+            prev_max = st.max
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        ranges.append((lo, hi))
+    assert len(ranges) == 4
+    # files are range-partitioned → pairwise disjoint [lo, hi] spans
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    # and the data is intact
+    assert spark.read.parquet(out).count() == li.count()
