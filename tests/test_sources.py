@@ -239,3 +239,29 @@ def test_sorted_write_produces_disjoint_rowgroup_ranges(spark, tmp_path):
         assert hi1 <= lo2
     # and the data is intact
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution: a v2 writer adds a column; mergeSchema reads the
+    union schema with NULL backfill for v1 rows — the append-only table
+    evolution pattern a long-lived 100 TB dataset needs."""
+    import pyspark.sql.functions as F
+
+    from hadoop_web_browsing_logs_spark.sources.readers import load_table
+
+    from .conftest import SF_DIR
+
+    out = str(tmp_path / "evolving")
+    n = load_table(spark, SF_DIR, "nation")
+    n.select("n_nationkey", "n_name").write.parquet(f"{out}/v=1")
+    n.select("n_nationkey", "n_name", F.lit("emea").alias("region_tag")).write.parquet(
+        f"{out}/v=2"
+    )
+    merged = spark.read.option("mergeSchema", "true").option("basePath", out).parquet(
+        f"{out}/v=*"
+    )
+    assert set(merged.columns) == {"n_nationkey", "n_name", "region_tag", "v"}
+    assert merged.count() == 2 * n.count()
+    v1 = merged.filter("v = 1")
+    assert v1.filter(F.col("region_tag").isNull()).count() == n.count()
+    assert merged.filter("v = 2").filter(F.col("region_tag") == "emea").count() == n.count()
