@@ -207,20 +207,20 @@ def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_events_scd2",
     oracle="""
     WITH ordered AS (
-        SELECT user_id, event_type, ts,
+        SELECT user_id, event_type, ts, event_id,
                LAG(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev_type
         FROM events
     ),
     changes AS (
-        SELECT user_id, event_type, ts
+        SELECT user_id, event_type, ts, event_id
         FROM ordered
         WHERE prev_type IS NULL OR event_type <> prev_type
     )
     SELECT user_id,
            event_type AS state,
            ts AS valid_from,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
     FROM changes
     """,
     category="window",
@@ -241,7 +241,10 @@ def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("prev_type", F.lag("event_type").over(w))
         .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
     )
-    w2 = W.partitionBy("user_id").orderBy("ts")
+    # valid_to closure tie-breaks on (ts, event_id) exactly like the change
+    # detection above — equal-ts state changes would otherwise close
+    # intervals nondeterministically (and diverge from the streaming twin).
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id",
         F.col("event_type").alias("state"),
@@ -342,10 +345,13 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hourly GROUP BY event_type
     )
     SELECT h.event_type, h.hour, h.sum_value,
-           (h.sum_value - s.s1 / s.n)
-             / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS zscore,
-           CAST(ABS((h.sum_value - s.s1 / s.n)
-             / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))) > 2.0 AS INTEGER) AS is_anomaly
+           CASE WHEN s.n > 1 AND (s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1) > 0
+                THEN (h.sum_value - s.s1 / s.n)
+                     / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) END AS zscore,
+           CAST(CASE WHEN s.n > 1 AND (s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1) > 0
+                     THEN ABS((h.sum_value - s.s1 / s.n)
+                          / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))) > 2.0
+                END AS INTEGER) AS is_anomaly
     FROM hourly h JOIN stats s ON h.event_type = s.event_type
     """,
     category="aggregation",
@@ -378,7 +384,11 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = hourly.join(F.broadcast(stats), "event_type")
     mean = F.col("s1") / F.col("n")
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
-    z = (F.col("sum_value") - mean) / F.sqrt(var)
+    # Degenerate series guard, mirrored verbatim in the oracle: a single
+    # observed hour (n-1 = 0) or a zero-variance series rounding slightly
+    # negative must yield NULL zscore in BOTH engines (DuckDB's sqrt of a
+    # negative raises; Spark returns NaN — neither is a hashable answer).
+    z = F.when((F.col("n") > 1) & (var > 0), (F.col("sum_value") - mean) / F.sqrt(var))
     return j.select(
         "event_type",
         "hour",

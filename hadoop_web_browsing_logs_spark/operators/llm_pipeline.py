@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import query
 from ._util import t
+from .dedup import JACCARD_THRESHOLD, PAIR_STRIDE
 
 CHUNK_TOKENS = 20
 CHUNK_STRIDE = 15  # 5-token overlap
@@ -289,7 +290,7 @@ def q_llm_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_hits, TRUE AS contaminated FROM hits
     """,
     category="llm",
-    description="Benchmark decontamination: 5-gram shingle overlap between the corpus and a held-out 'benchmark' subset — contaminated docs flagged via a shingle equi-join (broadcast at real benchmark sizes).",
+    description="Benchmark decontamination: 5-gram shingle overlap between the corpus and a held-out 'benchmark' subset — contaminated docs flagged via a shingle equi-join (hinted broadcast only when the caller bounds the benchmark size).",
 )
 def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
@@ -308,9 +309,29 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingles = d.select("doc_id", F.explode(sh).alias("sh"))
     bench = shingles.filter(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    # The fixture's "benchmark" is derived from the corpus itself (~1% of
+    # docs), so it is corpus-sized, not suite-sized: no broadcast hint here.
+    # Callers with a genuinely small external suite use decontaminate(...,
+    # bench_is_small=True) to force the hint.
+    return decontaminate(shingles.filter(F.col("doc_id") % 97 != 0), bench)
+
+
+def decontaminate(
+    corpus_shingles: DataFrame, bench_shingles: DataFrame, *, bench_is_small: bool = False
+) -> DataFrame:
+    """Flag corpus docs sharing >=1 shingle with a benchmark shingle set.
+
+    ``bench_is_small=True`` force-broadcasts the benchmark side — correct for
+    real eval suites (MMLU/GSM8K-scale, a few million shingles at most). Left
+    False, AQE broadcasts while the measured size fits the threshold and
+    shuffle-joins beyond, which is the safe default when the benchmark set's
+    cardinality is unknown or corpus-derived.
+    """
+    bench = bench_shingles.select("sh").distinct()
+    if bench_is_small:
+        bench = F.broadcast(bench)
     return (
-        shingles.filter(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(bench), "sh")
+        corpus_shingles.join(bench, "sh")
         .groupBy("doc_id")
         .agg(F.countDistinct("sh").alias("n_hits"))
         .withColumn("contaminated", F.lit(True))
@@ -521,13 +542,13 @@ def q_llm_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE d AS (
         SELECT doc_id,
                list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS toks
-        FROM documents WHERE doc_id % 5 = 0
+        FROM documents WHERE doc_id % {PAIR_STRIDE} = 0
     ),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM d a JOIN d b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= {JACCARD_THRESHOLD}
     ),
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs

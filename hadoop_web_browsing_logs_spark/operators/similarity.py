@@ -23,6 +23,7 @@ from ..functions.vector import (
 )
 from ..plans.registry import query
 from ._util import t
+from .vectors import N_CENTERS
 
 TOP_K = 5
 QUERY_STRIDE = 50  # vec_id % stride == 0 → query points
@@ -236,7 +237,7 @@ def lsh_ann_recall(spark: SparkSession, sf_dir: str, n_bands: int = N_BANDS) -> 
     oracle=f"""
     WITH centers AS (
         SELECT CAST(vec_id AS INTEGER) AS center_id, embedding AS cvec
-        FROM embeddings WHERE vec_id < 8
+        FROM embeddings WHERE vec_id < {N_CENTERS}
     ),
     assign AS (
         SELECT e.vec_id, c.center_id,

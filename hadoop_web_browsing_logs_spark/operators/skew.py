@@ -56,35 +56,50 @@ def salted_join(
 # oracle checks.
 # ---------------------------------------------------------------------------
 
-BLOOM_BITS = 1 << 16  # 64 Kib = 1024 longs per filter; scale with dim count
+BLOOM_BITS_PER_KEY = 10  # m ≈ 10 bits/key → ~1.2% false positives at k=4
 BLOOM_HASHES = 4
+BLOOM_MIN_BITS = 1 << 10
+#: 2^27 bits = 16 MiB of longs — stays comfortably under any broadcast
+#: threshold; beyond ~13M dim keys the filter saturates its usefulness and
+#: the caller should rethink whether the dim side is "selective" at all.
+BLOOM_MAX_BITS = 1 << 27
 
 
-def _bloom_positions(key: F.Column) -> F.Column:
+def sized_bloom_bits(n_keys: int) -> int:
+    """Bitset size for ``n_keys`` dim keys: 10 bits/key rounded up to a power
+    of two, clamped to [2^10, 2^27]. At the default k=4 this keeps the
+    false-positive rate ~1% instead of the ~60% a fixed 64 Kib bitset hits
+    once the dim side grows past a few thousand keys."""
+    target = max(BLOOM_MIN_BITS, n_keys * BLOOM_BITS_PER_KEY)
+    return min(BLOOM_MAX_BITS, 1 << (target - 1).bit_length())
+
+
+def _bloom_positions(key: F.Column, bits: int) -> F.Column:
     """k deterministic bit positions for a key: xxhash64(key, i) mod m."""
     return F.array(
-        *[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(BLOOM_BITS)) for i in range(BLOOM_HASHES)]
+        *[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(bits)) for i in range(BLOOM_HASHES)]
     )
 
 
-def bloom_filter_join(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str) -> DataFrame:
-    """``fact ⋈ dim`` with a Bloom prefilter on the fact side.
-
-    The dim side aggregates its keys into a sparse bitset (map word-index →
-    long) in one pass; the fact side keeps a row only if ALL k of its key's
-    bit positions are set. The surviving rows join normally. At 100 TB the
-    point is the prefilter runs map-side on the scan — fact rows whose key
-    cannot match never enter the join exchange."""
-    dim_bits = dim.select(F.explode(_bloom_positions(F.col(dim_key))).alias("pos")).select(
+def build_bloom(dim: DataFrame, dim_key: str, bits: int) -> DataFrame:
+    """One-row DataFrame holding the dim keys' bitset as a sparse map
+    word-index → long (only set words are stored, so a huge-but-sparse m
+    costs memory proportional to keys, not to m)."""
+    dim_bits = dim.select(F.explode(_bloom_positions(F.col(dim_key), bits)).alias("pos")).select(
         (F.col("pos") / 64).cast("int").alias("w"),
         F.call_function("shiftleft", F.lit(1).cast("bigint"), F.pmod(F.col("pos"), F.lit(64)).cast("int")).alias("bit"),
     )
-    bloom = (
+    return (
         dim_bits.groupBy("w")
         .agg(F.bit_or("bit").alias("word"))
         .agg(F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("bloom"))
     )
-    probe = _bloom_positions(F.col(fact_key))
+
+
+def bloom_prefilter(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str, bits: int) -> DataFrame:
+    """The fact side with rows whose key cannot exist in ``dim`` dropped
+    map-side (no false negatives by construction)."""
+    probe = _bloom_positions(F.col(fact_key), bits)
     hit = F.forall(
         probe,
         lambda pos: (
@@ -95,7 +110,29 @@ def bloom_filter_join(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: s
             != 0
         ),
     )
-    pre = fact.crossJoin(F.broadcast(bloom)).filter(hit).drop("bloom")
+    return fact.crossJoin(F.broadcast(build_bloom(dim, dim_key, bits))).filter(hit).drop("bloom")
+
+
+def bloom_filter_join(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str, bits: int | None = None
+) -> DataFrame:
+    """``fact ⋈ dim`` with a Bloom prefilter on the fact side.
+
+    The dim side aggregates its keys into a sparse bitset (map word-index →
+    long) in one pass; the fact side keeps a row only if ALL k of its key's
+    bit positions are set. The surviving rows join normally. At 100 TB the
+    point is the prefilter runs map-side on the scan — fact rows whose key
+    cannot match never enter the join exchange.
+
+    ``bits=None`` sizes the bitset from an ``approx_count_distinct`` pass
+    over the dim keys (10 bits/key, power-of-two) — one tiny stats job on
+    the SMALL side before planning, the same move Spark's own runtime
+    bloom-filter injection makes from column statistics. Pass ``bits``
+    explicitly to skip that job when the dim cardinality is known."""
+    if bits is None:
+        n_keys = dim.select(F.approx_count_distinct(dim_key).alias("n")).first()["n"]
+        bits = sized_bloom_bits(int(n_keys))
+    pre = bloom_prefilter(fact, dim, fact_key, dim_key, bits)
     return pre.join(dim, pre[fact_key] == dim[dim_key])
 
 
@@ -113,7 +150,8 @@ def bloom_filter_join(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: s
     category="join",
     description=(
         "Join with a hand-built Bloom runtime prefilter: the selective dim "
-        "side (urgent orders) folds its keys into a sparse 64 Kib bitset "
+        "side (urgent orders) folds its keys into a sparse bitset sized at "
+        "~10 bits/key from an approx key count "
         "(map word→long, pure SQL aggregation), broadcast as ONE row; fact "
         "rows failing any of the k=4 bit probes are dropped map-side BEFORE "
         "the join exchange. No false negatives, so the result is "

@@ -304,7 +304,11 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("doc_id").orderBy(raw.desc(), F.col("term"))
     return (
         tf.filter(F.col("doc_id") % 20 == 0)
-        .join(F.broadcast(df), "term")
+        # NO broadcast hint on df: it is vocabulary-sized (unbounded at corpus
+        # scale). AQE broadcasts it while it fits the threshold and falls back
+        # to a shuffle join beyond — a forced hint would OOM at ~1e8 terms.
+        # Only the genuinely-bounded 1-row corpus total keeps its hint.
+        .join(df, "term")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "term", "tf", "df", F.round(raw, 6).alias("tfidf"), F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 5)
@@ -608,9 +612,10 @@ COLLOC_MIN_COUNT = 20
         "Collocation extraction: pointwise mutual information "
         "ln(N*c_ab/(c_a*c_b)) for every bigram seen >= 20 times — the "
         "corpus-statistics pass behind phrase mining. One bigram shuffle + "
-        "one unigram shuffle; the vocabulary-sized unigram table and the "
-        "1-row bigram total are broadcast back (same shape as tf-idf's "
-        "df/N), so the big side shuffles once. PMI is ROUND(ln, 6) on both "
+        "one unigram shuffle; the unigram joins are UNHINTED (the vocabulary "
+        "is unbounded at corpus scale — AQE broadcasts while it fits, "
+        "shuffle-joins beyond) and only the 1-row bigram total is "
+        "broadcast. PMI is ROUND(ln, 6) on both "
         "engines — the q_scalar_math last-ulp-absorption pattern."
     ),
 )
@@ -641,8 +646,12 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cab.filter(F.col("n_ab") >= COLLOC_MIN_COUNT)
-        .join(F.broadcast(uni.select(F.col("tok").alias("tok_a"), F.col("n").alias("na"))), "tok_a")
-        .join(F.broadcast(uni.select(F.col("tok").alias("tok_b"), F.col("n").alias("nb_u"))), "tok_b")
+        # NO broadcast hints on the unigram joins: uni is vocabulary-sized
+        # (unbounded at corpus scale) while cab is already thinned to
+        # n_ab >= COLLOC_MIN_COUNT, so AQE picks broadcast-vs-shuffle from
+        # observed sizes. Only the 1-row bigram total keeps its hint.
+        .join(uni.select(F.col("tok").alias("tok_a"), F.col("n").alias("na")), "tok_a")
+        .join(uni.select(F.col("tok").alias("tok_b"), F.col("n").alias("nb_u")), "tok_b")
         .crossJoin(F.broadcast(nb))
         .select("tok_a", "tok_b", "n_ab", pmi.alias("pmi"))
     )

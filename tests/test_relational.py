@@ -40,8 +40,9 @@ def test_bloom_prefilter_selectivity_and_no_false_negatives(spark):
     import pyspark.sql.functions as F
 
     from hadoop_web_browsing_logs_spark.operators.skew import (
-        _bloom_positions,
         bloom_filter_join,
+        bloom_prefilter,
+        sized_bloom_bits,
     )
     from hadoop_web_browsing_logs_spark.sources.readers import load_table
 
@@ -57,38 +58,12 @@ def test_bloom_prefilter_selectivity_and_no_false_negatives(spark):
     n_true = li.join(urgent, li.l_orderkey == urgent.o_orderkey).count()
     n_joined = bloom_filter_join(li, urgent, "l_orderkey", "o_orderkey").count()
     assert n_joined == n_true  # no false negatives
-    # measure the prefilter's survivor count directly: rebuild the bloom and
-    # probe the fact side without the final join
-    dim_bits = urgent.select(F.explode(_bloom_positions(F.col("o_orderkey"))).alias("pos")).select(
-        (F.col("pos") / 64).cast("int").alias("w"),
-        F.call_function(
-            "shiftleft", F.lit(1).cast("bigint"), F.pmod(F.col("pos"), F.lit(64)).cast("int")
-        ).alias("bit"),
-    )
-    bloom = (
-        dim_bits.groupBy("w")
-        .agg(F.bit_or("bit").alias("word"))
-        .agg(F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("bloom"))
-    )
-    probe = _bloom_positions(F.col("l_orderkey"))
-    hit = F.forall(
-        probe,
-        lambda pos: (
-            F.coalesce(
-                F.element_at(F.col("bloom"), (pos / 64).cast("int")), F.lit(0).cast("bigint")
-            ).bitwiseAND(
-                F.call_function(
-                    "shiftleft", F.lit(1).cast("bigint"), F.pmod(pos, F.lit(64)).cast("int")
-                )
-            )
-            != 0
-        ),
-    )
-    n_survivors = li.crossJoin(F.broadcast(bloom)).filter(hit).count()
-    # ~25% of orders are urgent; the prefilter must cut a visible fraction of
-    # the fact side (false-positive rate at 64Kib/k=4 is tiny at this scale)
-    assert n_survivors < n_fact
+    # the key-count-sized bitset keeps the false-positive rate ~1%: survivors
+    # beyond the true matches must stay under 5% of the fact side
+    bits = sized_bloom_bits(urgent.count())
+    n_survivors = bloom_prefilter(li, urgent, "l_orderkey", "o_orderkey", bits).count()
     assert n_survivors >= n_true
+    assert n_survivors - n_true <= 0.05 * n_fact
 
 
 def test_gapfill_gaps_carry_forward(spark):
