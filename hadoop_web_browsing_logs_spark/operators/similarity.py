@@ -481,3 +481,53 @@ def q_sim_lsh_candidates_portable(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(e0.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")), "id_b")
         .select("id_a", "id_b", cosine_similarity("va", "vb").alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-hashable gates for the approximate family
+#
+# The LSH/IVF ANN queries are approximate by construction, so their outputs
+# can't hash-match a SQL twin. The gates convert the self-evaluating recall
+# into a deterministic boolean: Spark computes mean recall@k vs brute force
+# and emits ok = (recall >= floor); the oracle is the constant the healthy
+# engine must produce. A regression in bucketing, probing, or the verify
+# cosine flips ok to false → driver hash mismatch → red row.
+# ---------------------------------------------------------------------------
+
+LSH_RECALL_FLOOR = 0.5  # matches tests/test_vectors.py::test_lsh_recall_reasonable
+IVF_RECALL_FLOOR = 0.25  # matches tests/test_vectors.py::test_ivf_recall_reasonable
+
+
+def _recall_gate(per_query: DataFrame, floor: float) -> DataFrame:
+    return per_query.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("recall").alias("_r")
+    ).select(((F.col("_n") > 0) & (F.col("_r") >= floor)).alias("ok"))
+
+
+@query(
+    "q_sim_lsh_ann_gate",
+    oracle="SELECT TRUE AS ok",
+    category="similarity",
+    description=(
+        "Driver gate for the LSH ANN path: mean recall@5 over all strided "
+        "query points must clear 0.5 (the pytest floor; ~0.62 observed on "
+        "the fixture). Hash-comparable despite the underlying query being "
+        "approximate — the oracle is the constant a healthy engine emits."
+    ),
+)
+def q_sim_lsh_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_gate(lsh_ann_recall(spark, sf_dir), LSH_RECALL_FLOOR)
+
+
+@query(
+    "q_sim_ivf_ann_gate",
+    oracle="SELECT TRUE AS ok",
+    category="similarity",
+    description=(
+        "Driver gate for the IVF ANN path: mean recall@5 with a 2-cell "
+        "probe must clear 0.25 (the pytest floor; ~0.52 observed). Same "
+        "constant-oracle pattern as the LSH gate."
+    ),
+)
+def q_sim_ivf_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_gate(q_sim_ivf_ann(spark, sf_dir), IVF_RECALL_FLOOR)

@@ -35,89 +35,74 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 #: Explicit driver-facing registration order. The differential-correctness
-#: driver samples only the FIRST 50 registered queries. Round 2's window
-#: certified the 45 queries round 1 never reached; round 3 rotates the window
-#: to the remaining 40 oracled queries whose last green driver row (round 1)
-#: predates the round-2 shared-infra refactors (top-k rewrite, canonicalizer,
-#: casts), plus 10 sentinels: the NEW fully-oracled flagship prefix
-#: (q_ref_pipeline_unstemmed, VERDICT r2 item 2) and one already-r2-green
-#: query per family to prove the refactor-free families still hold at HEAD.
-#: Six sentinel slots went to the round-3 NEW oracled queries instead —
-#: q_dedup_minhash_lsh_portable (the fully-oracle-checkable banded MinHash
-#: pipeline), q_window_ntile_distributed (the no-single-partition global
-#: rank twin), q_sim_lsh_candidates_portable (the hash-proved bucketed
-#: hyperplane candidate generation), q_vec_quantize_int8 (portable int8
-#: embedding quantization), q_join_bloom_prefilter (Bloom runtime
-#: prefilter, bit-identical to the plain join), and q_events_gapfill
-#: (time-spine gap-fill + forward fill) — redundant re-proof traded for
-#: first driver rows on new capability; their families keep other slots in
-#: the window (and every displaced query stays locally oracle-replayed by
-#: pytest at each run).
-#: After this round every oracled query has a driver-green row at
-#: post-round-2 code (VERDICT r2 item 1); see COVERAGE.md.
+#: driver samples only the FIRST 50 registered queries. Round 2 certified
+#: the 45 queries round 1 never reached; round 3 re-certified the 40 whose
+#: last green row predated the round-2 refactors. Round 4 completes the
+#: rotation (VERDICT r3 item 1): the 21 oracled queries registered late in
+#: round 3 that have pytest-oracle certification but no driver row yet,
+#: plus the 3 queries NEW in round 4 (the salted two-phase top-k twin and
+#: the two ANN recall gates, VERDICT items 4 and 7), plus 4 slots
+#: re-certifying the queries whose code round 4 modified (tf-idf and
+#: decontaminate broadcast-hint removal, Bloom bitset resizing, the
+#: window-rank oracle now shared with the salted twin), and 22 sentinels —
+#: one already-green query per family re-proved at HEAD. After this round
+#: EVERY oracled query has had a driver-green row, and every family has one
+#: at current code; displaced queries stay locally oracle-replayed by
+#: pytest at each run.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # NEW: flagship A8-A19 composition with a full DuckDB oracle
-    "q_ref_pipeline_unstemmed",
-    # --- re-certification: r1-green queries not in the round-2 window ---
-    # joins
-    "q_join_inner",
-    "q_join_left",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_theta",
-    "q_join_range",
-    "q_join_multiway",
-    "q_asof_join",
-    # aggregations
-    "q_agg_stats",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_percentile",
-    "q_agg_variance",
-    "q_agg_stringagg",
-    # windows
-    "q_window_rank",
-    "q_window_lag_lead",
-    "q_window_frames",
-    "q_window_ntile",
-    # relational core
-    "q_filter_project",
-    "q_distinct",
-    "q_pivot",
-    "q_unpivot",
-    "q_set_ops",
-    "q_topk_global",
-    "q_topk_per_group",
-    "q_scalar_string",
-    "q_scalar_date",
-    # dedup family (oracled members)
-    "q_dedup_exact",
-    "q_dedup_jaccard_pairs",
-    "q_dedup_embedding",
-    # LLM pipeline
-    "q_llm_chunk",
-    "q_llm_split",
-    "q_llm_mix_stratified",
-    "q_llm_scrub",
-    "q_llm_quality_rules",
+    # --- the 21 oracled queries never driver-certified (VERDICT r3 item 1) ---
+    "q_events_funnel",
+    "q_events_retention",
+    "q_events_scd2",
+    "q_events_rollup_multires",
+    "q_events_anomaly_zscore",
+    "q_events_attribution",
+    "q_dedup_components",
+    "q_dedup_keep_canonical",
+    "q_dedup_substring",
+    "q_llm_pack_sequences",
+    "q_llm_domain_cap",
+    "q_llm_repetition_rules",
+    "q_llm_split_leakage_safe",
+    "q_agg_histogram",
+    "q_profile_documents",
+    "q_join_nullsafe",
+    "q_quality_expectations",
+    "q_sim_range_search",
+    "q_sim_ivf_candidates",
+    "q_text_collocations",
+    "q_stream_static_join_batch",
+    # --- NEW in round 4 ---
+    "q_window_rank_salted",
+    "q_sim_lsh_ann_gate",
+    "q_sim_ivf_ann_gate",
+    # --- re-certification of round-4-modified code paths ---
+    "q_text_tfidf",
     "q_llm_decontaminate",
-    # multimodal
-    "q_multimodal_features",
-    "q_multimodal_frame_sample",
-    # --- sentinels: one r2-green query per family, re-proved at HEAD ---
-    "q1_pricing_summary",
-    "q_text_inverted_index",
-    "q_window_ntile_distributed",
-    "q_vec_quantize_int8",
-    "q_sim_lsh_candidates_portable",
-    "q_dedup_minhash_lsh_portable",
-    "q_stream_tumbling_batch",
-    # two late-round-3 NEW oracled queries take the last two sentinel slots
-    # (the displaced q_udf_grouped_map / q_scalar_math are r2-green on code
-    # unchanged since, and stay locally oracle-replayed by pytest):
     "q_join_bloom_prefilter",
+    "q_window_rank",
+    # --- sentinels: one already-green query per family, re-proved at HEAD ---
+    "q_ref_pipeline_unstemmed",
+    "q1_pricing_summary",
+    "q_join_inner",
+    "q_agg_stats",
+    "q_filter_project",
+    "q_scalar_string",
+    "q_scalar_math",
+    "q_topk_global",
+    "q_set_ops",
+    "q_window_ntile_distributed",
+    "q_text_inverted_index",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh_portable",
+    "q_sim_cosine_topk",
+    "q_sim_lsh_candidates_portable",
+    "q_vec_quantize_int8",
+    "q_vec_nearest_center",
+    "q_stream_tumbling_batch",
+    "q_stream_session_batch",
+    "q_multimodal_features",
+    "q_udf_grouped_map",
     "q_events_gapfill",
 )
 

@@ -80,16 +80,18 @@ def test_driver_priority_window():
     assert names[:50] == list(DRIVER_PRIORITY)
     # every priority name actually resolves to a registered query
     assert set(DRIVER_PRIORITY) <= set(names)
-    # round-3 allocation (COVERAGE.md): the fully-oracled flagship prefix,
-    # one sentinel per family, and the six queries NEW in round 3 (which
-    # took the redundant-sentinel slots) sit inside the window
+    # round-4 allocation (COVERAGE.md): the 21 never-driver-certified
+    # queries, the 3 round-4 additions, the 4 modified-code
+    # re-certifications, and per-family sentinels sit inside the window
     window = set(DRIVER_PRIORITY)
-    for core in ("q_ref_pipeline_unstemmed", "q_text_inverted_index",
-                 "q_vec_quantize_int8", "q_sim_lsh_candidates_portable",
-                 "q_stream_tumbling_batch", "q_join_bloom_prefilter",
-                 "q_events_gapfill",
-                 "q1_pricing_summary", "q_dedup_minhash_lsh_portable",
-                 "q_window_ntile_distributed"):
+    for core in ("q_events_funnel", "q_events_scd2", "q_dedup_components",
+                 "q_llm_pack_sequences", "q_text_collocations",
+                 "q_stream_static_join_batch",
+                 "q_window_rank_salted", "q_sim_lsh_ann_gate",
+                 "q_sim_ivf_ann_gate",
+                 "q_text_tfidf", "q_llm_decontaminate",
+                 "q_join_bloom_prefilter", "q_window_rank",
+                 "q_ref_pipeline_unstemmed", "q1_pricing_summary"):
         assert core in window, core
     # every window entry is oracled — rows-only queries would waste a slot
     qs = all_queries()
@@ -207,3 +209,25 @@ def test_gapfill_windows_are_partitioned(spark):
         if "windowspecdefinition(" in line:
             first_arg = line.split("windowspecdefinition(", 1)[1].split(",")[0]
             assert "ASC" not in first_arg and "DESC" not in first_arg, line
+
+
+def test_window_rank_salted_two_phase(spark):
+    """Round-4: the salted top-k twin must run a LOCAL top-5 window per
+    (l_returnflag, _salt) — spread over 8 tasks per flag — before the final
+    ranking window sees the <= 40 survivors per flag."""
+    plan = _plan(spark, "q_window_rank_salted")
+    assert "Exchange hashpartitioning(l_returnflag" in plan
+    specs = [l for l in plan.splitlines() if "windowspecdefinition(" in l]
+    assert len(specs) >= 2, plan[:600]
+    assert any("_salt" in s for s in specs), specs
+
+
+def test_tfidf_collocations_vocab_joins_unhinted(spark):
+    """Round-4 (VERDICT r3 item 2): the vocabulary-sized df/unigram joins
+    carry NO forced broadcast hint — only the 1-row corpus/bigram total may
+    be hinted. AQE broadcasting the vocab side at fixture scale is fine; a
+    FORCED hint on unbounded cardinality is the 100 TB OOM."""
+    for name in ("q_text_tfidf", "q_text_collocations"):
+        df = get_query(name).fn(spark, SF_DIR)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("ResolvedHint") <= 1, (name, analyzed[:800])
