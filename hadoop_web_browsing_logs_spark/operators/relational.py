@@ -481,6 +481,45 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(*cols)
 
 
+@query(
+    "q_agg_approx_distinct_gate",
+    oracle="SELECT TRUE AS ok",
+    category="aggregation",
+    description=(
+        "Driver gate for HLL++ cardinality: every group's "
+        "approx_count_distinct must sit within the pytest envelope "
+        "(max(5, 15%) of exact). Constant-oracle pattern — the sketch's "
+        "exact output isn't portable, its error bound is."
+    ),
+)
+def q_agg_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = q_agg_approx_distinct(spark, sf_dir)
+    within = F.abs(F.col("approx_orders") - F.col("exact_orders")) <= F.greatest(
+        F.lit(5.0), F.lit(0.15) * F.col("exact_orders")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("_n"), F.min(within.cast("int")).alias("_m")
+    ).select(((F.col("_n") > 0) & (F.col("_m") == 1)).alias("ok"))
+
+
+@query(
+    "q_agg_approx_percentile_gate",
+    oracle="SELECT TRUE AS ok",
+    category="aggregation",
+    description=(
+        "Driver gate for the quantile sketch: every group's p50/p90/p99 "
+        "relative error must stay under 1% at accuracy 10k (the pytest "
+        "envelope). Constant-oracle pattern."
+    ),
+)
+def q_agg_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = q_agg_approx_percentile(spark, sf_dir)
+    within = F.greatest("p50_rel_err", "p90_rel_err", "p99_rel_err") <= 0.01
+    return p.agg(
+        F.count(F.lit(1)).alias("_n"), F.min(within.cast("int")).alias("_m")
+    ).select(((F.col("_n") > 0) & (F.col("_m") == 1)).alias("ok"))
+
+
 # ---------------------------------------------------------------------------
 # Window functions (B5)
 # ---------------------------------------------------------------------------

@@ -50,10 +50,10 @@ def salted_join(
 # aggregate it uses (bloom_filter_agg) is internal — not callable from the
 # public API. This is the same pattern as a first-class, declarative
 # operator: build a bitset over the selective (dim) side's join keys, ship
-# it as ONE broadcast row, and drop non-matching fact rows BEFORE the join
-# shuffle. No false negatives by construction, so the join result is
-# bit-identical to the unfiltered join — which is exactly what the DuckDB
-# oracle checks.
+# it to every fact task via broadcast, and drop non-matching fact rows
+# BEFORE the join shuffle. No false negatives by construction, so the join
+# result is bit-identical to the unfiltered join — which is exactly what
+# the DuckDB oracle checks.
 # ---------------------------------------------------------------------------
 
 BLOOM_BITS_PER_KEY = 10  # m ≈ 10 bits/key → ~1.2% false positives at k=4
@@ -82,35 +82,43 @@ def _bloom_positions(key: F.Column, bits: int) -> F.Column:
 
 
 def build_bloom(dim: DataFrame, dim_key: str, bits: int) -> DataFrame:
-    """One-row DataFrame holding the dim keys' bitset as a sparse map
-    word-index → long (only set words are stored, so a huge-but-sparse m
-    costs memory proportional to keys, not to m)."""
+    """The dim keys' bitset as sparse (word-index, long) rows — only set
+    words are stored, so a huge-but-mostly-empty m costs memory proportional
+    to keys, not to m. At the 2^27-bit cap this is <= 2M rows / ~24 MB
+    broadcast."""
     dim_bits = dim.select(F.explode(_bloom_positions(F.col(dim_key), bits)).alias("pos")).select(
         (F.col("pos") / 64).cast("int").alias("w"),
         F.call_function("shiftleft", F.lit(1).cast("bigint"), F.pmod(F.col("pos"), F.lit(64)).cast("int")).alias("bit"),
     )
-    return (
-        dim_bits.groupBy("w")
-        .agg(F.bit_or("bit").alias("word"))
-        .agg(F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("bloom"))
-    )
+    return dim_bits.groupBy("w").agg(F.bit_or("bit").alias("word"))
 
 
 def bloom_prefilter(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str, bits: int) -> DataFrame:
     """The fact side with rows whose key cannot exist in ``dim`` dropped
-    map-side (no false negatives by construction)."""
-    probe = _bloom_positions(F.col(fact_key), bits)
-    hit = F.forall(
-        probe,
-        lambda pos: (
-            F.coalesce(
-                F.element_at(F.col("bloom"), (pos / 64).cast("int")),
-                F.lit(0).cast("bigint"),
-            ).bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("bigint"), F.pmod(pos, F.lit(64)).cast("int")))
-            != 0
-        ),
-    )
-    return fact.crossJoin(F.broadcast(build_bloom(dim, dim_key, bits))).filter(hit).drop("bloom")
+    map-side (no false negatives by construction).
+
+    Each of the k probes is a broadcast HASH join on the probe's word index
+    with the bit test as the residual condition — O(1) per probe, still
+    entirely map-side. (The previous shape, one broadcast row holding a
+    word->long MAP probed with element_at, was a trap: Spark's map lookup
+    is a LINEAR scan of the entries array, so a properly-sized filter —
+    tens of thousands of words — made each row pay k full scans, 50x
+    slower than the join form at sf0.1. Spark's own InjectRuntimeFilter
+    likewise ships its bloom via broadcast exchange, not a map literal.)"""
+    words = build_bloom(dim, dim_key, bits)
+    out = fact
+    for i in range(BLOOM_HASHES):
+        pos = F.pmod(F.xxhash64(F.col(fact_key), F.lit(i)), F.lit(bits))
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), F.pmod(pos, F.lit(64)).cast("int")
+        )
+        wt = words.select(F.col("w").alias(f"_bw{i}"), F.col("word").alias(f"_bword{i}"))
+        out = out.join(
+            F.broadcast(wt),
+            ((pos / 64).cast("int") == F.col(f"_bw{i}"))
+            & (F.col(f"_bword{i}").bitwiseAND(bit) != 0),
+        ).drop(f"_bw{i}", f"_bword{i}")
+    return out
 
 
 def bloom_filter_join(
@@ -150,10 +158,11 @@ def bloom_filter_join(
     category="join",
     description=(
         "Join with a hand-built Bloom runtime prefilter: the selective dim "
-        "side (urgent orders) folds its keys into a sparse bitset sized at "
-        "~10 bits/key from an approx key count "
-        "(map word→long, pure SQL aggregation), broadcast as ONE row; fact "
-        "rows failing any of the k=4 bit probes are dropped map-side BEFORE "
+        "side (urgent orders) folds its keys into sparse (word, long) "
+        "bitset rows sized at ~10 bits/key from an approx key count; each "
+        "of the k=4 probes is a broadcast hash join on the probe's word "
+        "index (bit test as residual), so fact "
+        "rows failing any probe are dropped map-side BEFORE "
         "the join exchange. No false negatives, so the result is "
         "bit-identical to the plain join — which is what the oracle proves. "
         "The declarative twin of spark.sql.optimizer.runtime.bloomFilter "

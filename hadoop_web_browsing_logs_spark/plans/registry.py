@@ -40,8 +40,9 @@ _REGISTRY: dict[str, Query] = {}
 #: last green row predated the round-2 refactors. Round 4 completes the
 #: rotation (VERDICT r3 item 1): the 21 oracled queries registered late in
 #: round 3 that have pytest-oracle certification but no driver row yet,
-#: plus the 3 queries NEW in round 4 (the salted two-phase top-k twin and
-#: the two ANN recall gates, VERDICT items 4 and 7), plus 4 slots
+#: plus the 5 queries NEW in round 4 (the salted two-phase top-k twin and
+#: the four approximate-family gates — ANN recall, HLL cardinality,
+#: quantile-sketch error — VERDICT items 4 and 7), plus 4 slots
 #: re-certifying the queries whose code round 4 modified (tf-idf and
 #: decontaminate broadcast-hint removal, Bloom bitset resizing, the
 #: window-rank oracle now shared with the salted twin), and 22 sentinels —
@@ -76,6 +77,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_window_rank_salted",
     "q_sim_lsh_ann_gate",
     "q_sim_ivf_ann_gate",
+    "q_agg_approx_distinct_gate",
+    "q_agg_approx_percentile_gate",
     # --- re-certification of round-4-modified code paths ---
     "q_text_tfidf",
     "q_llm_decontaminate",
@@ -90,7 +93,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_scalar_string",
     "q_scalar_math",
     "q_topk_global",
-    "q_set_ops",
     "q_window_ntile_distributed",
     "q_text_inverted_index",
     "q_dedup_exact",
@@ -100,7 +102,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_vec_quantize_int8",
     "q_vec_nearest_center",
     "q_stream_tumbling_batch",
-    "q_stream_session_batch",
     "q_multimodal_features",
     "q_udf_grouped_map",
     "q_events_gapfill",
