@@ -47,6 +47,8 @@ DUMPED = [
     "q_events_rollup_multires",
     "q_sim_range_search",
     "q_events_anomaly_zscore",
+    # round-4 additions
+    "q_window_rank_salted",
     # q_dedup_keep_canonical is NOT dumped: connected-components builds its
     # plan by iterative lineage extension, so the explain output is ~10k
     # lines of repeated join blocks — noise, not evidence. Its scale shape

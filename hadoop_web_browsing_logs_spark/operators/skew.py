@@ -105,7 +105,10 @@ def bloom_prefilter(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
     tens of thousands of words — made each row pay k full scans, 50x
     slower than the join form at sf0.1. Spark's own InjectRuntimeFilter
     likewise ships its bloom via broadcast exchange, not a map literal.)"""
-    words = build_bloom(dim, dim_key, bits)
+    # lazy localCheckpoint: the k probe joins all broadcast projections of
+    # the SAME words table — without it each join re-runs the scan + explode
+    # + bit_or aggregation (the plan showed 4 identical build subtrees)
+    words = build_bloom(dim, dim_key, bits).localCheckpoint(eager=False)
     out = fact
     for i in range(BLOOM_HASHES):
         pos = F.pmod(F.xxhash64(F.col(fact_key), F.lit(i)), F.lit(bits))
