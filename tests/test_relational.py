@@ -107,3 +107,19 @@ def test_approx_percentile_error_envelope(spark):
     for r in rows:
         for p in ("p50", "p90", "p99"):
             assert r[f"{p}_rel_err"] <= 0.01, (r.returnflag, p, r[f"{p}_rel_err"])
+
+
+def test_sized_bloom_bits_properties():
+    """Power-of-two, >= 10 bits/key, clamped to [2^10, 2^27]."""
+    from hadoop_web_browsing_logs_spark.operators.skew import (
+        BLOOM_MAX_BITS,
+        BLOOM_MIN_BITS,
+        sized_bloom_bits,
+    )
+
+    for n in (0, 1, 100, 102, 103, 6553, 150_000, 10**9):
+        m = sized_bloom_bits(n)
+        assert m & (m - 1) == 0, (n, m)
+        assert BLOOM_MIN_BITS <= m <= BLOOM_MAX_BITS
+        if BLOOM_MIN_BITS < m < BLOOM_MAX_BITS:
+            assert m >= 10 * n and m // 2 < 10 * n, (n, m)
