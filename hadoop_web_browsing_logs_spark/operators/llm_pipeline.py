@@ -293,27 +293,26 @@ def q_llm_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Benchmark decontamination: 5-gram shingle overlap between the corpus and a held-out 'benchmark' subset — contaminated docs flagged via a shingle equi-join (hinted broadcast only when the caller bounds the benchmark size).",
 )
 def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
-    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 5)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - 4),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at("toks", i),
-            F.element_at("toks", i + 1),
-            F.element_at("toks", i + 2),
-            F.element_at("toks", i + 3),
-            F.element_at("toks", i + 4),
-        ),
-    )
-    shingles = d.select("doc_id", F.explode(sh).alias("sh"))
-    bench = shingles.filter(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    shingles = shingles_5gram(t(spark, sf_dir, "documents"))
+    bench = shingles.filter(F.col("doc_id") % 97 == 0)
     # The fixture's "benchmark" is derived from the corpus itself (~1% of
     # docs), so it is corpus-sized, not suite-sized: no broadcast hint here.
     # Callers with a genuinely small external suite use decontaminate(...,
     # bench_is_small=True) to force the hint.
     return decontaminate(shingles.filter(F.col("doc_id") % 97 != 0), bench)
+
+
+def shingles_5gram(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) rows: whitespace tokens → space-joined 5-gram shingles
+    (docs under 5 tokens contribute none). The shared contamination unit for
+    the registered query and its tests."""
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 5)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 4),
+        lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(5)]),
+    )
+    return d.select("doc_id", F.explode(sh).alias("sh"))
 
 
 def decontaminate(

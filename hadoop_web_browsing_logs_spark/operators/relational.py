@@ -481,6 +481,16 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(*cols)
 
 
+def all_rows_gate(df: DataFrame, within: F.Column) -> DataFrame:
+    """One-row ``ok`` boolean: ``df`` is non-empty AND every row satisfies
+    ``within``. The shared reduction for the constant-oracle driver gates
+    (a NULL predicate makes min() skip the row, so NULLs count as failures
+    only through the non-empty check — predicates must not yield NULL)."""
+    return df.agg(
+        F.count(F.lit(1)).alias("_n"), F.min(within.cast("int")).alias("_m")
+    ).select(((F.col("_n") > 0) & (F.col("_m") == 1)).alias("ok"))
+
+
 @query(
     "q_agg_approx_distinct_gate",
     oracle="SELECT TRUE AS ok",
@@ -497,9 +507,7 @@ def q_agg_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = F.abs(F.col("approx_orders") - F.col("exact_orders")) <= F.greatest(
         F.lit(5.0), F.lit(0.15) * F.col("exact_orders")
     )
-    return d.agg(
-        F.count(F.lit(1)).alias("_n"), F.min(within.cast("int")).alias("_m")
-    ).select(((F.col("_n") > 0) & (F.col("_m") == 1)).alias("ok"))
+    return all_rows_gate(d, within)
 
 
 @query(
@@ -515,9 +523,7 @@ def q_agg_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = q_agg_approx_percentile(spark, sf_dir)
     within = F.greatest("p50_rel_err", "p90_rel_err", "p99_rel_err") <= 0.01
-    return p.agg(
-        F.count(F.lit(1)).alias("_n"), F.min(within.cast("int")).alias("_m")
-    ).select(((F.col("_n") > 0) & (F.col("_m") == 1)).alias("ok"))
+    return all_rows_gate(p, within)
 
 
 # ---------------------------------------------------------------------------

@@ -45,7 +45,7 @@ _REGISTRY: dict[str, Query] = {}
 #: quantile-sketch error — VERDICT items 4 and 7), plus 4 slots
 #: re-certifying the queries whose code round 4 modified (tf-idf and
 #: decontaminate broadcast-hint removal, Bloom bitset resizing, the
-#: window-rank oracle now shared with the salted twin), and 22 sentinels —
+#: window-rank oracle now shared with the salted twin), and 20 sentinels —
 #: one already-green query per family re-proved at HEAD. After this round
 #: EVERY oracled query has had a driver-green row, and every family has one
 #: at current code; displaced queries stay locally oracle-replayed by

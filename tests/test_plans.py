@@ -81,8 +81,8 @@ def test_driver_priority_window():
     # every priority name actually resolves to a registered query
     assert set(DRIVER_PRIORITY) <= set(names)
     # round-4 allocation (COVERAGE.md): the 21 never-driver-certified
-    # queries, the 3 round-4 additions, the 4 modified-code
-    # re-certifications, and per-family sentinels sit inside the window
+    # queries, the 5 round-4 additions (salted top-k + four gates), the 4
+    # modified-code re-certifications, and 20 per-family sentinels
     window = set(DRIVER_PRIORITY)
     for core in ("q_events_funnel", "q_events_scd2", "q_dedup_components",
                  "q_llm_pack_sequences", "q_text_collocations",

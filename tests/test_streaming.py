@@ -325,9 +325,9 @@ def test_foreachbatch_soak_multi_microbatch(spark, tmp_path):
     src = tmp_path / "soak_src"
     src.mkdir()
     full = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
-    # time-ordered chunks: each micro-batch advances event time, so the 2h
-    # watermark never discards in-order replayed rows and batch equivalence
-    # is exact (the late-data DROP case is test_watermark_drops_late_data)
+    # time-ordered chunks: each micro-batch advances event time, so the
+    # 2-day watermark below never discards in-order replayed rows and batch
+    # equivalence is exact (late-data DROP is test_watermark_drops_late_data)
     full = full.take(pc.sort_indices(full, sort_keys=[("ts", "ascending")]))
     n_chunks = 8
     step = -(-full.num_rows // n_chunks)

@@ -97,23 +97,17 @@ def test_decontaminate_broadcast_path_same_result(spark):
     default unhinted join the registered query uses."""
     import pyspark.sql.functions as F
 
-    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import decontaminate
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import (
+        decontaminate,
+        shingles_5gram,
+    )
     from hadoop_web_browsing_logs_spark.sources.readers import load_table
 
     from .conftest import SF_DIR
 
-    docs = load_table(spark, SF_DIR, "documents")
-    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
-    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 5)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - 4),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at("toks", i + j) for j in range(5)]
-        ),
-    )
-    shingles = d.select("doc_id", F.explode(sh).alias("sh"))
+    shingles = shingles_5gram(load_table(spark, SF_DIR, "documents"))
     corpus = shingles.filter(F.col("doc_id") % 97 != 0)
-    bench = shingles.filter(F.col("doc_id") % 97 == 0).select("sh")
+    bench = shingles.filter(F.col("doc_id") % 97 == 0)
 
     def canon(df):
         return sorted((r.doc_id, r.n_hits) for r in df.collect())
