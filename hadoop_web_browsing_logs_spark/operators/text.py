@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 
 from ..functions.porter import stem_udf
 from ..functions.text_stats import (
-    BPE_TOKEN_PATTERN,
     LANG_MARKERS,
     STOPWORDS,
     avg_token_len,
@@ -39,7 +38,6 @@ from ..functions.text_stats import (
     quality_score,
     stopword_count,
     token_count_bpe,
-    token_count_ws,
     ws_tokens,
 )
 from ..plans.registry import query
