@@ -393,6 +393,48 @@ def q_dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, portable=True)
 
 
+@query(
+    "q_dedup_minhash_gate",
+    oracle="SELECT TRUE AS ok",
+    category="dedup",
+    description=(
+        "Driver gate for MinHash estimation accuracy: mean |est - exact| "
+        "Jaccard error over the sampled pairs must clear the 0.15 pytest "
+        "floor (32 perms -> stderr ~0.09 at J=0.5). Converts the "
+        "self-evaluating q_dedup_minhash into a driver-hashable row."
+    ),
+)
+def q_dedup_minhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = q_dedup_minhash(spark, sf_dir)
+    return est.agg(
+        ((F.avg("est_err") < 0.15) & (F.count(F.lit(1)) > 0)).alias("ok")
+    )
+
+
+@query(
+    "q_dedup_minhash_lsh_gate",
+    oracle="SELECT TRUE AS ok",
+    category="dedup",
+    description=(
+        "Driver gate for banded-LSH recall: the verified LSH pairs are by "
+        "construction a subset of the brute-force Jaccard pairs at the same "
+        "threshold on the same strided sample (identical exact verify), so "
+        "recall = n_lsh / n_brute; it must clear 0.95 (theory: >= 2-of-8 "
+        "bands at J>=0.9 recovers ~0.999). Converts the self-evaluating "
+        "q_dedup_minhash_lsh into a driver-hashable row."
+    ),
+)
+def q_dedup_minhash_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_lsh = q_dedup_minhash_lsh(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_brute = q_dedup_jaccard_pairs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_brute"))
+    return n_lsh.crossJoin(F.broadcast(n_brute)).select(
+        (
+            (F.col("n_brute") > 0)
+            & (F.col("n_lsh").cast("double") / F.col("n_brute") >= 0.95)
+        ).alias("ok")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (engine-portable polynomial hash → oracle-checkable)
 # ---------------------------------------------------------------------------

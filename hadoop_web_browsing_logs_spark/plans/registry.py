@@ -79,6 +79,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sim_ivf_ann_gate",
     "q_agg_approx_distinct_gate",
     "q_agg_approx_percentile_gate",
+    "q_dedup_minhash_gate",
+    "q_dedup_minhash_lsh_gate",
+    "q_vec_kmeans_gate",
     # --- re-certification of round-4-modified code paths ---
     "q_text_tfidf",
     "q_llm_decontaminate",
@@ -88,10 +91,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ref_pipeline_unstemmed",
     "q1_pricing_summary",
     "q_join_inner",
-    "q_agg_stats",
-    "q_filter_project",
     "q_scalar_string",
-    "q_scalar_math",
     "q_topk_global",
     "q_window_ntile_distributed",
     "q_text_inverted_index",
