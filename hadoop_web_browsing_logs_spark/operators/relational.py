@@ -148,13 +148,13 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.c_mktsegment
     """,
     category="join",
-    description="Inner equi-join fact→dim; customer broadcast (hinted) so orders never shuffles for the join.",
+    description="Inner equi-join fact→dim; customer UNHINTED — it scales with SF (~15B rows at 100 TB), so the planner broadcasts while it fits and shuffle-joins beyond.",
 )
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price"))
     )
@@ -269,7 +269,7 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.c_mktsegment, o.o_orderpriority
     """,
     category="join",
-    description="Three-way star join (TPC-H Q3 flavor): lineitem⋈orders shuffles on orderkey, customer broadcasts.",
+    description="Three-way star join (TPC-H Q3 flavor): lineitem⋈orders shuffles on orderkey; customer UNHINTED (SF-scaled) — broadcast at small SF by stats, shuffle join at 100 TB.",
 )
 def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
@@ -277,7 +277,7 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("mktsegment"),
             F.col("o_orderpriority").alias("orderpriority"),
@@ -311,7 +311,10 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (li.l_quantity <= p.p_size + 5)
     )
     return (
-        li.join(F.broadcast(p), cond)
+        # part is SF-scaled, so no forced hint — the equi key keeps this a
+        # hash join either way; the planner picks broadcast only while part
+        # fits the threshold
+        li.join(p, cond)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(F.count(F.lit(1)).alias("n_matches"), dsum("l_extendedprice").alias("total_price"))
     )
@@ -846,14 +849,14 @@ def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= 3
     """,
     category="sort",
-    description="Top-3 orders per market segment: window row_number ≤ k after a broadcast dim join.",
+    description="Top-3 orders per market segment: window row_number ≤ k after an unhinted dim join (customer is SF-scaled).",
 )
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     w = W.partitionBy("mktsegment").orderBy(F.col("price").desc(), F.col("o_orderkey"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .select(F.col("c_mktsegment").alias("mktsegment"), "o_orderkey", F.col("o_totalprice").alias("price"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)

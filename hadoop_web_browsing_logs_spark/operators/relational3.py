@@ -142,7 +142,7 @@ def q_scalar_date2(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     """,
     category="join",
-    description="TPC-H Q5-style six-way star join (local supplier volume): one fact-fact shuffle, four broadcast dims; Catalyst orders the join tree.",
+    description="TPC-H Q5-style six-way star join (local supplier volume): one fact-fact shuffle; nation/region (fixed 25/5 rows) broadcast by hint, customer/supplier (SF-scaled) unhinted — the planner broadcasts them only while they fit.",
 )
 def q_join_sixway(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
@@ -153,8 +153,8 @@ def q_join_sixway(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
