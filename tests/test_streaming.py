@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 
 import pytest
 
@@ -362,3 +363,52 @@ def test_foreachbatch_soak_multi_microbatch(spark, tmp_path):
         for r in SW.tumbling_agg(load_table(spark, SF_DIR, "events"), width="1 day").collect()
     }
     assert state == want
+
+
+def test_rate_source_soak_live_triggers(spark):
+    """Round-4: a TRUE unbounded-source soak — the built-in rate source
+    drives the watermarked tumbling agg under real wall-clock triggers (no
+    file replay). Asserts the stream progresses through several live
+    micro-batches and the update-mode invariant that a window's count only
+    ever grows — the only streaming surface the file-replay soaks can't
+    exercise. Values are nondeterministic by nature, so the checks are
+    structural invariants, not goldens."""
+    from pyspark.sql import functions as F
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.concat(F.lit("k"), (F.col("value") % 4).cast("string")).alias("event_type"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    agg = SW.tumbling_agg(rate, width="2 seconds", watermark="0 seconds")
+
+    seen: list = []
+
+    def sink(df, epoch_id):
+        for r in df.collect():
+            seen.append((epoch_id, r.window_start, r.event_type, r.n_events))
+
+    q = agg.writeStream.outputMode("update").foreachBatch(sink).start()
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        data_epochs = {e for e, *_ in seen}
+        if len(data_epochs) >= 3 and len(seen) >= 8:
+            break
+        time.sleep(0.5)
+    q.stop()
+
+    data_epochs = {e for e, *_ in seen}
+    assert len(data_epochs) >= 3, f"stream never progressed: {seen[:10]}"
+    assert {k for _, _, k, _ in seen} <= {"k0", "k1", "k2", "k3"}
+    # update-mode monotonicity: re-emissions of the same window/key only grow
+    last: dict = {}
+    for epoch, win, key, n in sorted(seen):
+        prev = last.get((win, key))
+        assert prev is None or n >= prev, f"count shrank for {(win, key)}: {prev} -> {n}"
+        last[(win, key)] = n
+    assert any(n > 1 for n in last.values()), "no window ever accumulated"
