@@ -285,29 +285,45 @@ def minhash_lsh_pairs(docs: DataFrame, portable: bool = False) -> DataFrame:
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.concat_ws(",", *[F.element_at("sig", i * rows_per_band + j + 1) for j in range(rows_per_band)]).alias("slot"),
+                    # slot identity per band. Throughput path: xxhash64 over
+                    # (band index, 4 sig rows) folds band+values into ONE
+                    # 8-byte join key — the pair shuffle then carries a
+                    # bigint instead of a ~40-80-char concat string, and a
+                    # cross-band collision (~2^-64) at worst adds a candidate
+                    # the exact verify re-checks. Portable path: keep the
+                    # exact concat slot, because the oracle twin re-derives
+                    # band matches bit-for-bit and must not disagree even
+                    # with probability 2^-64.
+                    F.concat_ws(
+                        ",",
+                        F.lit(i),
+                        *[F.element_at("sig", i * rows_per_band + j + 1) for j in range(rows_per_band)],
+                    )
+                    if portable
+                    else F.xxhash64(
+                        F.lit(i), *[F.element_at("sig", i * rows_per_band + j + 1) for j in range(rows_per_band)]
                     )
                     for i in range(MINHASH_BANDS)
                 ]
             )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.slot")
+        ).alias("slot"),
+    ).select("doc_id", "slot")
 
-    # candidate generation as a self-equi-join on (band, slot): the join
-    # STREAMS the B² in-bucket pairs (a grouped explode-combinations variant
-    # was measured slower here — it materializes each bucket's full pair
-    # array in memory before exploding, which loses badly on the fixture's
-    # pathologically large buckets)
-    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "slot")
-    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "slot")
+    # candidate generation as a self-equi-join on the band slot (band index
+    # folded into the slot value): the join STREAMS the B² in-bucket pairs
+    # (a grouped explode-combinations variant was measured slower here — it
+    # materializes each bucket's full pair array in memory before exploding,
+    # which loses badly on the fixture's pathologically large buckets)
+    a = banded.select(F.col("doc_id").alias("doc_a"), "slot")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "slot")
     # require ≥2 matching bands: at J≥0.9 recall stays ≈0.999
     # (P(band match)=0.9^4≈0.66, Binomial(8) tail), while mid-similarity
     # pairs — the bulk on this self-similar corpus — drop out before the
-    # exact verify. The groupBy doubles as the pair dedup.
+    # exact verify. The groupBy doubles as the pair dedup; one row per
+    # matching band (slots embed the band index, so equal slots ⇔ same
+    # band with equal rows).
     cands = (
-        a.join(b, ["band", "slot"])
+        a.join(b, ["slot"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
