@@ -170,19 +170,34 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, n_bands: int = N_BANDS) -> DataFrame:
     """Deduped LSH candidate pairs (q_id, q_vec, c_id, c_vec) for strided
-    query points — any-band signature match (OR-of-ANDs)."""
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", F.explode(lsh_band_signatures("embedding", n_bands)).alias("bs")
-    ).select("vec_id", "embedding", "bs.band", "bs.sig")
+    query points — any-band signature match (OR-of-ANDs).
+
+    Pair generation and the multi-band dedup run on BARE IDS — the 64-dim
+    vectors do not ride the candidate shuffle (a pair row is 16 bytes, a
+    vector ~520); they are joined back only for the surviving deduped pairs,
+    the same discipline as dedup.minhash_lsh_pairs' verify stage."""
+    full = t(spark, sf_dir, "embeddings")
+    e = full.select(
+        "vec_id", F.explode(lsh_band_signatures("embedding", n_bands)).alias("bs")
+    ).select("vec_id", "bs.band", "bs.sig")
     queries = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"), "band", "sig"
+        F.col("vec_id").alias("q_id"), "band", "sig"
     )
-    cands = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"), "band", "sig")
-    return (
+    cands = e.select(F.col("vec_id").alias("c_id"), "band", "sig")
+    pair_ids = (
         queries.join(cands, ["band", "sig"])
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "q_vec", "c_id", "c_vec")
+        .select("q_id", "c_id")
         .dropDuplicates(["q_id", "c_id"])
+    )
+    q_vecs = F.broadcast(
+        full.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+    )
+    c_vecs = full.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return pair_ids.join(q_vecs, "q_id").join(c_vecs, "c_id").select(
+        "q_id", "q_vec", "c_id", "c_vec"
     )
 
 
