@@ -127,3 +127,9 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | str | None 
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC source (native Spark reader — vectorized, with predicate pushdown
+    and column pruning like parquet; schema travels in the file footer)."""
+    return spark.read.options(**options).orc(path)

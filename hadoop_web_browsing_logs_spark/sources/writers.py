@@ -31,6 +31,21 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (native, zlib-compressed by default) — for downstream
+    consumers standardized on ORC; same partitioned-layout semantics as
+    ``write_parquet``."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Tab-separated text sink — reference ``TextOutputFormat`` parity
     (ProcessData.java:38)."""
