@@ -509,7 +509,12 @@ def q_sim_lsh_candidates_portable(spark: SparkSession, sf_dir: str) -> DataFrame
 # cosine flips ok to false → driver hash mismatch → red row.
 # ---------------------------------------------------------------------------
 
-LSH_RECALL_FLOOR = 0.5  # matches tests/test_vectors.py::test_lsh_recall_reasonable
+#: Matches tests/test_vectors.py::test_lsh_recall_reasonable. 0.4 ≈ 2× the
+#: ~0.25 a random same-size candidate set would recall; measured mean recall
+#: is fixture-dependent (0.50 at sf0.001 / 0.62 at sf0.01 on the round-4
+#: regeneration — the driver regenerates fixtures every round, so a floor at
+#: the observed value would be one regeneration away from a spurious red).
+LSH_RECALL_FLOOR = 0.4
 IVF_RECALL_FLOOR = 0.25  # matches tests/test_vectors.py::test_ivf_recall_reasonable
 
 
@@ -525,8 +530,9 @@ def _recall_gate(per_query: DataFrame, floor: float) -> DataFrame:
     category="similarity",
     description=(
         "Driver gate for the LSH ANN path: mean recall@5 over all strided "
-        "query points must clear 0.5 (the pytest floor; ~0.62 observed on "
-        "the fixture). Hash-comparable despite the underlying query being "
+        "query points must clear 0.4 (the pytest floor, ~2x the random-"
+        "candidate baseline; 0.50-0.62 observed across SFs on the round-4 "
+        "fixture). Hash-comparable despite the underlying query being "
         "approximate — the oracle is the constant a healthy engine emits."
     ),
 )
