@@ -20,7 +20,7 @@ import duckdb
 from hadoop_web_browsing_logs_spark.plans.registry import all_queries, get_query
 from hadoop_web_browsing_logs_spark.session import get_spark
 from hadoop_web_browsing_logs_spark.sources.readers import TABLE_NAMES
-from tests.conftest import canonical_rows
+from tests.conftest import canonical_rows, duck_fetch_typed
 
 
 def main() -> int:
@@ -42,8 +42,8 @@ def main() -> int:
             s_cols = [c.lower() for c in sdf.columns]
             s_rows = [tuple(r) for r in sdf.collect()]
             res = duck.execute(q.oracle)
-            d_cols = [d[0].lower() for d in res.description]
-            d_rows = res.fetchall()
+            d_cols, d_rows = duck_fetch_typed(res)
+            d_cols = [c.lower() for c in d_cols]
             if sorted(s_cols) != sorted(d_cols):
                 raise AssertionError(f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
             if len(s_rows) != len(d_rows):

@@ -358,9 +358,9 @@ DOMAIN_CAP = 10  # max docs kept per source domain
         FROM d
     )
     SELECT doc_id, n_tokens,
-           cum - n_tokens AS token_offset,
-           (cum - n_tokens) // {SEQ_LEN} AS seq_first,
-           (cum - 1) // {SEQ_LEN} AS seq_last
+           CAST(cum - n_tokens AS BIGINT) AS token_offset,
+           CAST((cum - n_tokens) // {SEQ_LEN} AS BIGINT) AS seq_first,
+           CAST((cum - 1) // {SEQ_LEN} AS BIGINT) AS seq_last
     FROM c
     """,
     category="llm",

@@ -5,6 +5,7 @@ the driver's oracle gate (row count + schema + order-insensitive value hash).
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 
@@ -43,9 +44,14 @@ def _canon_cell(v):
     # representations (5 vs 5.0), and round 1 shipped five queries whose only
     # defect was an int/float type skew the old canonicalizer collapsed
     # (VERDICT.md round 1). Prefixing by type class reproduces driver
-    # semantics locally so pytest catches skews pre-driver.
+    # semantics locally so pytest catches skews pre-driver. decimal.Decimal
+    # (DuckDB HUGEINT/DECIMAL surfaced through Arrow) deliberately gets its
+    # own class: an uncast SUM(bigint) OVER oracle column must NOT compare
+    # equal to Spark's bigint (VERDICT r4: q_llm_pack_sequences).
     if v is None:
         return "\0NULL"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, int):
@@ -57,6 +63,25 @@ def _canon_cell(v):
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     return str(v)
+
+
+def duck_fetch_typed(res) -> tuple[list[str], list[tuple]]:
+    """Fetch a DuckDB result Arrow-typed, mirroring the driver's hash path.
+
+    ``fetchall()`` collapses HUGEINT to Python int, which masked the one
+    driver red of round 4 (q_llm_pack_sequences: uncast ``SUM(BIGINT) OVER``
+    is HUGEINT, non-int64 under the driver's Arrow-typed hash, yet equal to
+    Spark's bigint under fetchall). Going through ``res.arrow()`` keeps the
+    widened type visible: HUGEINT/DECIMAL cells arrive as decimal.Decimal,
+    which _canon_cell refuses to equate with int — so the skew fails locally
+    exactly as it does at the driver. Nulls stay None (unlike a pandas
+    fetch, which would NaN-ify nullable int columns).
+    """
+    tbl = res.arrow()
+    cols = list(tbl.column_names)
+    pycols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    rows = [tuple(r) for r in zip(*pycols)] if pycols else []
+    return cols, rows
 
 
 def canonical_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
@@ -83,8 +108,7 @@ def assert_query_matches_oracle(spark, duck, name: str, sf_dir: str | None = Non
     schema = "sf" + os.path.basename(sf_dir.rstrip("/")).replace("sf", "").replace(".", "_")
     duck.execute(f"SET schema '{schema}'")
     res = duck.execute(q.oracle)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_cols, duck_rows = duck_fetch_typed(res)
 
     assert sorted(c.lower() for c in spark_cols) == sorted(c.lower() for c in duck_cols), (
         f"{name}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"

@@ -237,11 +237,13 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark):
     """Registry-wide plan lint (round 4): a FORCED broadcast hint whose
     subtree scans an SF-scaled table unreduced is the 100 TB OOM pattern the
     round-3 verdict flagged on tfidf/collocations — this pins every current
-    and future registry entry against it. Exemptions: subtrees containing a
-    plan-level Aggregate (ungrouped totals are 1-row; the one grouped case,
-    the bloom words table, has a hard 2^27-bit cap), and the similarity
-    family, whose broadcast sides are caller-bounded query batches or
-    literal-bounded center sets (documented exact baselines / ANN probes)."""
+    and future registry entry against it. Exemptions: subtrees whose only
+    Aggregates are UNGROUPED (global totals are 1-row by construction; a
+    grouped aggregate keyed on an unbounded column scales with SF and is the
+    very OOM pattern this lint targets — ADVICE r4), an explicit allowlist
+    for the one grouped case (the bloom words table, hard 2^27-bit cap), and
+    the similarity family, whose broadcast sides are caller-bounded query
+    batches or literal-bounded center sets (documented baselines / probes)."""
     from hadoop_web_browsing_logs_spark.plans.registry import all_queries
 
     from .conftest import SF_DIR
@@ -259,6 +261,16 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark):
         "q_sim_cosine_topk", "q_sim_range_search",
         "q_sim_lsh_ann", "q_sim_lsh_ann_gate",
         "q_sim_ivf_ann", "q_sim_ivf_ann_gate",
+    }
+    # broadcast of a GROUPED aggregate over an SF-scaled scan is allowed only
+    # here, each with a hard cardinality bound independent of SF:
+    grouped_agg_allowed = {
+        # bloom word table: grouped on word index, capped at 2^27 bits / 64
+        # = 2M rows (skew.py sizes the bitset from an approx count + clamp)
+        "q_join_bloom_prefilter",
+        # per-event-type hourly stats: event_type is a bounded enum domain
+        # (one row per type), not an SF-scaled key
+        "q_events_anomaly_zscore",
     }
 
     def node_depth(line: str) -> int:
@@ -284,11 +296,70 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark):
                     break
                 sub.append(l2)
             subtext = "\n".join(sub)
-            if "Aggregate" in subtext:  # plan node, not the aggregate() expr
-                continue
+            agg_lines = [l2 for l2 in sub if l2.lstrip(" :+-|").startswith("Aggregate ")]
+            if agg_lines:
+                # Only the SHALLOWEST Aggregate(s) bound the broadcast size —
+                # deeper ones feed it and are reduced before the exchange.
+                # `Aggregate [groups], [outputs]` (grouped, two bracket lists)
+                # vs `Aggregate [outputs]` (global, one list). Safe: ungrouped
+                # (1 row), or grouped solely on a spark_partition_id column
+                # (`_pid`, the global-cumsum/rank prefix-offset pattern —
+                # ≤ num_partitions rows at any SF).
+                dmin = min(node_depth(l2) for l2 in agg_lines)
+                top = [l2 for l2 in agg_lines if node_depth(l2) == dmin]
+
+                def _agg_safe(l2: str) -> bool:
+                    body = l2.lstrip(" :+-|")
+                    if "], [" not in body:
+                        return True  # ungrouped global total
+                    groups = body[len("Aggregate ") :].split("], [", 1)[0]
+                    return groups.lstrip("[").startswith("_pid#")
+
+                if all(_agg_safe(l2) for l2 in top):
+                    continue
+                if name in grouped_agg_allowed:
+                    continue
             scanned = sorted(
                 {t for sig, t in sf_scaled_sigs.items() if sig + "#" in subtext}
             )
             if scanned:
                 offenders.setdefault(name, []).append(scanned)
     assert not offenders, f"forced broadcast of SF-scaled scans: {offenders}"
+
+
+def test_oracle_output_types_never_widen(duck):
+    """Registry-wide ORACLE lint (VERDICT r4 item 3): DuckDB widens
+    SUM(BIGINT) — windowed or grouped — to HUGEINT and decimal-literal
+    arithmetic to DECIMAL; both surface as non-int64/double under the
+    driver's Arrow-typed value hash and red an otherwise-correct engine
+    result (round 4: q_llm_pack_sequences). This mechanizes the COVERAGE.md
+    explicit-CAST rule: DESCRIBE every oracle against the fixture views and
+    reject any HUGEINT/UHUGEINT/DECIMAL output column."""
+    from hadoop_web_browsing_logs_spark.plans.registry import all_queries
+
+    duck.execute("SET schema 'sf0_001'")
+    offenders = []
+    for name, q in all_queries().items():
+        if q.oracle is None:
+            continue
+        for col, typ, *_ in duck.execute(f"DESCRIBE {q.oracle}").fetchall():
+            t = typ.upper()
+            if "HUGEINT" in t or t.startswith("DECIMAL"):
+                offenders.append((name, col, typ))
+    assert not offenders, f"oracle columns the driver's Arrow hash would widen: {offenders}"
+
+
+def test_comparator_catches_uncast_window_sum(duck):
+    """Round 4's harness blind spot, pinned: duckdb fetchall() collapses
+    HUGEINT to Python int, so an uncast `SUM(bigint) OVER` oracle passed 215
+    local tests and failed only at the driver. The Arrow-typed fetch must
+    keep the widened type visible and refuse to match an int-typed engine
+    result."""
+    from .conftest import canonical_rows, duck_fetch_typed
+
+    res = duck.execute("SELECT SUM(x) OVER () AS s FROM (VALUES (1),(2)) t(x)")
+    cols, rows = duck_fetch_typed(res)
+    engine_rows = [(3,), (3,)]  # what Spark's bigint column collects to
+    assert canonical_rows(cols, rows) != canonical_rows(cols, engine_rows), (
+        "comparator equated HUGEINT with bigint — driver skew would pass locally"
+    )
