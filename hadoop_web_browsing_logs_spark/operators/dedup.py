@@ -432,21 +432,28 @@ def q_dedup_minhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT TRUE AS ok",
     category="dedup",
     description=(
-        "Driver gate for banded-LSH recall: the verified LSH pairs are by "
-        "construction a subset of the brute-force Jaccard pairs at the same "
-        "threshold on the same strided sample (identical exact verify), so "
-        "recall = n_lsh / n_brute; it must clear 0.95 (theory: >= 2-of-8 "
-        "bands at J>=0.9 recovers ~0.999). Converts the self-evaluating "
-        "q_dedup_minhash_lsh into a driver-hashable row."
+        "Driver gate for banded-LSH recall, measured on PAIR IDENTITY: "
+        "recall = |brute pairs recovered by LSH (semi-join on doc_a, "
+        "doc_b)| / |brute pairs|, floor 0.95 (theory: >= 2-of-8 bands at "
+        "J>=0.9 recovers ~0.999). A raw count ratio would silently "
+        "overstate recall if a cross-token-representation hash collision "
+        "ever admitted an LSH pair absent from the brute set (ADVICE r4) — "
+        "the join makes the gate immune to that subset-assumption drift. "
+        "Converts the self-evaluating q_dedup_minhash_lsh into a "
+        "driver-hashable row."
     ),
 )
 def q_dedup_minhash_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_lsh = q_dedup_minhash_lsh(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_lsh"))
-    n_brute = q_dedup_jaccard_pairs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_brute"))
-    return n_lsh.crossJoin(F.broadcast(n_brute)).select(
+    lsh = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    brute = q_dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    counts = brute.join(lsh, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_brute = brute.agg(F.count(F.lit(1)).alias("n_brute"))
+    return counts.crossJoin(F.broadcast(n_brute)).select(
         (
             (F.col("n_brute") > 0)
-            & (F.col("n_lsh").cast("double") / F.col("n_brute") >= 0.95)
+            & (F.col("n_hit").cast("double") / F.col("n_brute") >= 0.95)
         ).alias("ok")
     )
 
@@ -618,7 +625,15 @@ def simhash_pairs(docs: DataFrame, sigs: DataFrame | None = None) -> DataFrame:
     ) WHERE rn = 1
     """,
     category="dedup",
-    description="Embedding-cosine near-dup: per sampled vector, its nearest neighbor + near-dup verdict at sim ≥ 0.8.",
+    description=(
+        "Embedding-cosine near-dup: per sampled vector, its nearest "
+        "neighbor + near-dup verdict at sim ≥ 0.8. This is the documented "
+        "SAMPLED ALL-PAIRS EXACT BASELINE; its registered bucketed scale "
+        "path at 100 TB is the ANN family over the same embeddings — "
+        "q_sim_lsh_ann / q_sim_ivf_ann in operators/similarity.py "
+        "(hyperplane-signature / coarse-quantizer bucket joins; see "
+        "SCALE.md, 'Dedup & similarity')."
+    ),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import dot, norm

@@ -80,18 +80,18 @@ def test_driver_priority_window():
     assert names[:50] == list(DRIVER_PRIORITY)
     # every priority name actually resolves to a registered query
     assert set(DRIVER_PRIORITY) <= set(names)
-    # round-4 allocation (COVERAGE.md): the 21 never-driver-certified
-    # queries, the 5 round-4 additions (salted top-k + four gates), the 4
-    # modified-code re-certifications, and 20 per-family sentinels
+    # round-5 allocation (COVERAGE.md): slot 1 = the round-4 red after its
+    # oracle-cast fix, 8 re-seats of round-4/5-modified gate/shared paths,
+    # the full 38-query last-green-r02 cohort, 3 oldest round-3 entries
     window = set(DRIVER_PRIORITY)
-    for core in ("q_events_funnel", "q_events_scd2", "q_dedup_components",
-                 "q_llm_pack_sequences", "q_text_collocations",
-                 "q_stream_static_join_batch",
-                 "q_window_rank_salted", "q_sim_lsh_ann_gate",
-                 "q_sim_ivf_ann_gate",
-                 "q_text_tfidf", "q_llm_decontaminate",
-                 "q_join_bloom_prefilter", "q_window_rank",
-                 "q_ref_pipeline_unstemmed", "q1_pricing_summary"):
+    assert DRIVER_PRIORITY[0] == "q_llm_pack_sequences"
+    for core in ("q_dedup_minhash_lsh_portable", "q_sim_lsh_candidates_portable",
+                 "q_sim_ivf_candidates", "q_sim_lsh_ann_gate",
+                 "q_sim_ivf_ann_gate", "q_dedup_minhash_gate",
+                 "q_dedup_minhash_lsh_gate", "q_vec_kmeans_gate",
+                 "q_dedup_simhash", "q_scalar_json", "q_cte_pipeline",
+                 "q_text_ngrams", "q_stream_dedup_batch",
+                 "q_dedup_jaccard_pairs", "q_dedup_embedding", "q_asof_join"):
         assert core in window, core
     # every window entry is oracled — rows-only queries would waste a slot
     qs = all_queries()
