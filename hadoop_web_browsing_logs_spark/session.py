@@ -57,6 +57,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # static conf, takes effect only on first JVM start: the default
+        # whole-stage-codegen class cache (100 entries) thrashes when a
+        # workload cycles through many distinct plans — the 26-query bench
+        # loop alone generates several hundred codegen stages, so every
+        # pass recompiled evicted classes (observed as bimodal 0.6 s / 5 s
+        # timings on an otherwise-warm scalar query). 2000 entries holds the
+        # whole registry's generated classes; memory cost is a few hundred
+        # MB of class metadata at worst, noise next to executor heap.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # the fixture generator has emitted events.ts as TIMESTAMP(NANOS)
         # (rounds 1-2) and TIMESTAMP(US) (round 3); the readers auto-detect
         # the unit, and this flag keeps the nanos case readable (it is a
