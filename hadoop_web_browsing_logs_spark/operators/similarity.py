@@ -519,13 +519,54 @@ def q_sim_lsh_candidates_portable(spark: SparkSession, sf_dir: str) -> DataFrame
 #: pipeline emits near-empty candidate sets, making the margin vacuous.
 LSH_RECALL_MARGIN = 1.5
 LSH_RECALL_MIN = 0.3
-IVF_RECALL_FLOOR = 0.25  # matches tests/test_vectors.py::test_ivf_recall_reasonable
+#: The IVF probe covers ~n_probe/n_cells of the points (cells are
+#: near-uniform on the fixture: 2 of 8 ≈ 25%), so the old absolute floor of
+#: 0.25 sat exactly AT the random baseline — zero margin. 1.4× the measured
+#: baseline (observed ratio 1.76–2.08× across SFs on the round-5 fixture,
+#: ≥26% headroom) restores a real signal; 0.2 is the degenerate-case guard.
+IVF_RECALL_MARGIN = 1.4
+IVF_RECALL_MIN = 0.2
 
 
-def _recall_gate(per_query: DataFrame, floor: float) -> DataFrame:
-    return per_query.agg(
-        F.count(F.lit(1)).alias("_n"), F.avg("recall").alias("_r")
-    ).select(((F.col("_n") > 0) & (F.col("_r") >= floor)).alias("ok"))
+def _margin_recall_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    per_query: DataFrame,
+    cand_pairs: DataFrame,
+    margin: float,
+    min_abs: float,
+) -> DataFrame:
+    """ok = mean recall beats ``margin`` × the random-candidate baseline
+    measured on the same fixture AND a degenerate-case absolute minimum.
+
+    The baseline is the expected recall of a uniformly random candidate set
+    of the same per-query size: mean |C(q)| / (n-1), with zero-candidate
+    queries counted (dropping them would flatter the baseline). Scale-free
+    where an absolute floor drifts with every fixture regeneration; the
+    absolute minimum guards the case where a broken pipeline emits
+    near-empty candidate sets, making the margin vacuous (ADVICE r4)."""
+    rec = per_query.agg(F.count(F.lit(1)).alias("_nq"), F.avg("recall").alias("_r"))
+    e = t(spark, sf_dir, "embeddings")
+    n_pts = e.agg(F.count(F.lit(1)).alias("_n"))
+    qpts = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id")
+    )
+    cand = cand_pairs.groupBy("q_id").agg(F.count(F.lit(1)).alias("_m"))
+    base = qpts.join(cand, "q_id", "left").agg(
+        F.sum(F.coalesce("_m", F.lit(0))).alias("_sm"), F.count(F.lit(1)).alias("_q")
+    )
+    random_recall = (F.col("_sm") / F.col("_q")) / (F.col("_n") - 1)
+    return (
+        rec.crossJoin(F.broadcast(n_pts))
+        .crossJoin(F.broadcast(base))
+        .select(
+            (
+                (F.col("_nq") > 0)
+                & (F.col("_r") >= min_abs)
+                & (F.col("_r") >= margin * random_recall)
+            ).alias("ok")
+        )
+    )
 
 
 @query(
@@ -544,33 +585,13 @@ def _recall_gate(per_query: DataFrame, floor: float) -> DataFrame:
     ),
 )
 def q_sim_lsh_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rec = lsh_ann_recall(spark, sf_dir).agg(
-        F.count(F.lit(1)).alias("_nq"), F.avg("recall").alias("_r")
-    )
-    e = t(spark, sf_dir, "embeddings")
-    n_pts = e.agg(F.count(F.lit(1)).alias("_n"))
-    # mean candidate-set size over ALL query points (zero-candidate queries
-    # count — dropping them would flatter the baseline)
-    qpts = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("q_id")
-    )
-    cand = lsh_candidate_pairs(spark, sf_dir).groupBy("q_id").agg(
-        F.count(F.lit(1)).alias("_m")
-    )
-    base = qpts.join(cand, "q_id", "left").agg(
-        F.sum(F.coalesce("_m", F.lit(0))).alias("_sm"), F.count(F.lit(1)).alias("_q")
-    )
-    random_recall = (F.col("_sm") / F.col("_q")) / (F.col("_n") - 1)
-    return (
-        rec.crossJoin(F.broadcast(n_pts))
-        .crossJoin(F.broadcast(base))
-        .select(
-            (
-                (F.col("_nq") > 0)
-                & (F.col("_r") >= LSH_RECALL_MIN)
-                & (F.col("_r") >= LSH_RECALL_MARGIN * random_recall)
-            ).alias("ok")
-        )
+    return _margin_recall_gate(
+        spark,
+        sf_dir,
+        lsh_ann_recall(spark, sf_dir),
+        lsh_candidate_pairs(spark, sf_dir),
+        LSH_RECALL_MARGIN,
+        LSH_RECALL_MIN,
     )
 
 
@@ -580,9 +601,20 @@ def q_sim_lsh_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="similarity",
     description=(
         "Driver gate for the IVF ANN path: mean recall@5 with a 2-cell "
-        "probe must clear 0.25 (the pytest floor; ~0.52 observed). Same "
-        "constant-oracle pattern as the LSH gate."
+        "probe must beat 1.4x the random-candidate baseline measured on the "
+        "same fixture, plus a 0.2 degenerate-case floor. The old absolute "
+        "0.25 floor sat exactly AT the random baseline (2-of-8 near-uniform "
+        "cells cover ~25% of points) — zero margin; observed 0.44-0.52 "
+        "recall is 1.76-2.08x baseline. Same constant-oracle margin pattern "
+        "as the LSH gate."
     ),
 )
 def q_sim_ivf_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _recall_gate(q_sim_ivf_ann(spark, sf_dir), IVF_RECALL_FLOOR)
+    return _margin_recall_gate(
+        spark,
+        sf_dir,
+        q_sim_ivf_ann(spark, sf_dir),
+        q_sim_ivf_candidates(spark, sf_dir).select("q_id", "c_id"),
+        IVF_RECALL_MARGIN,
+        IVF_RECALL_MIN,
+    )

@@ -97,7 +97,15 @@ def test_ivf_recall_reasonable(spark):
     rows = get_query("q_sim_ivf_ann").fn(spark, SF_DIR).collect()
     assert rows
     mean_recall = sum(r.recall for r in rows) / len(rows)
-    # probing 2 of 8 cells examines ~25% of vectors; on weakly-clustered
-    # synthetic data recall ≈ 0.52 observed, well above the ~5%
-    # random-candidate line
-    assert mean_recall >= 0.25, f"mean recall {mean_recall}"
+    # probing 2 of 8 near-uniform cells examines ~25% of vectors, so the
+    # RANDOM-candidate baseline is itself ~0.25 — which is why the round-5
+    # gate demands a 1.4x margin over the baseline measured on the fixture
+    # (observed recall 0.44-0.52, a 1.76-2.08x ratio) instead of an
+    # absolute 0.25 floor that real clustering merely ties.
+    from hadoop_web_browsing_logs_spark.operators.similarity import IVF_RECALL_MIN
+
+    assert mean_recall >= IVF_RECALL_MIN, f"mean recall {mean_recall}"
+    gate = get_query("q_sim_ivf_ann_gate").fn(spark, SF_DIR).collect()
+    assert len(gate) == 1 and gate[0].ok is True, (
+        f"IVF recall failed the 1.4x-over-random-baseline margin (recall {mean_recall})"
+    )
