@@ -213,3 +213,46 @@ def test_gapfill_spine_is_exactly_min_to_max(spark):
         assert len(per_key[k]) == span
         n_gaps = sum(1 for r in per_key[k] if r.obs_n is None)
         assert n_gaps == span - len(hs)
+
+
+def test_global_cumsum_and_rank_partition_invariant(spark):
+    """The distributed global cumsum/rank (range-repartition + broadcast
+    prefix offsets — the single-partition-window replacements under
+    q_llm_pack_sequences and q_window_ntile_distributed) must return
+    IDENTICAL values at any partition count, including P larger than the
+    row count (guaranteed-empty partitions) and duplicate order keys."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hadoop_web_browsing_logs_spark.operators.relational import (
+        with_global_cumsum,
+        with_global_rank,
+    )
+
+    rng = random.Random(99)
+    # duplicate keys on purpose: ties must resolve identically everywhere
+    rows = [(rng.randrange(40), rng.randrange(-50, 50)) for _ in range(300)]
+    df = spark.createDataFrame(rows, ["k", "v"]).withColumn(
+        "uid", F.monotonically_increasing_id()
+    )
+
+    def cum(p):
+        out = with_global_cumsum(df, [F.col("k"), F.col("uid")], "v", num_partitions=p)
+        return sorted((r.uid, r.cumsum) for r in out.collect())
+
+    def rnk(p):
+        out = with_global_rank(df, [F.col("k"), F.col("uid")], num_partitions=p)
+        return sorted((r.uid, r.rn) for r in out.collect())
+
+    assert cum(1) == cum(5) == cum(32) == cum(451)
+    assert rnk(1) == rnk(5) == rnk(32) == rnk(451)
+    # and the P=1 case is definitionally the plain running window
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("k", "uid").rowsBetween(W.unboundedPreceding, 0)
+    expected = sorted(
+        (r.uid, r.c)
+        for r in df.withColumn("c", F.sum("v").over(w).cast("bigint")).collect()
+    )
+    assert cum(1) == expected
