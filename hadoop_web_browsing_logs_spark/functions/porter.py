@@ -169,6 +169,27 @@ def porter_stem(word: str) -> str:
     return w
 
 
+#: Golden stem vectors: vocabulary drawn from the reference's own step-table
+#: comments (ProcessData.java:207-227) plus Martin Porter's published 1980
+#: examples. Shared by the pytest golden test AND q_text_porter_gate — the
+#: driver-hashable boolean that stands in for a SQL oracle (DuckDB's fts
+#: stemmer is Porter2; classic Porter1 has no SQL twin).
+PORTER_GOLDENS: dict[str, str] = {
+    "caresses": "caress", "flies": "fli", "dies": "di", "mules": "mule",
+    "denied": "deni", "died": "di", "agreed": "agre", "owned": "own",
+    "humbled": "humbl", "sized": "size", "meetings": "meet", "stating": "state",
+    "itemization": "item", "sensational": "sensat", "traditional": "tradit",
+    "reference": "refer", "colonizer": "colon", "plotted": "plot",
+    "ponies": "poni", "ties": "ti", "cats": "cat", "feed": "feed",
+    "motoring": "motor", "sing": "sing", "hopping": "hop", "tanned": "tan",
+    "falling": "fall", "hissing": "hiss", "failing": "fail", "filing": "file",
+    "happy": "happi", "sky": "sky", "play": "plai", "milling": "mill",
+    "controlling": "control", "generalization": "gener", "oscillators": "oscil",
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "probate": "probat", "rate": "rate", "cease": "ceas",
+}
+
+
 @F.pandas_udf(T.StringType())
 def stem_udf(tokens: pd.Series) -> pd.Series:
     """Arrow-batched Porter stemmer — the engine's only Python hot-path kernel

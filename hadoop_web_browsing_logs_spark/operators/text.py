@@ -260,6 +260,34 @@ def q_text_stemmed_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_porter_gate",
+    oracle="SELECT TRUE AS ok",
+    category="text",
+    description=(
+        "Driver gate for the Porter stemmer (A7): replays every golden stem "
+        "vector (the reference's step-table vocabulary, "
+        "ProcessData.java:207-227, plus Porter's published 1980 examples) "
+        "through the PRODUCTION Arrow-batched stem_udf inside Spark and "
+        "emits ok = all outputs match. Classic Porter1 has no SQL twin "
+        "(DuckDB's stem() is Snowball/Porter2), so this constant-oracle "
+        "boolean is what makes the stemmer stage driver-checkable; together "
+        "with the driver-green q_ref_pipeline_unstemmed it certifies every "
+        "stage of the rows-only flagship q_ref_pipeline."
+    ),
+)
+def q_text_porter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.porter import PORTER_GOLDENS
+
+    vec = spark.createDataFrame(list(PORTER_GOLDENS.items()), ["word", "expected"])
+    return vec.withColumn("got", stem_udf(F.col("word"))).agg(
+        (
+            (F.count(F.lit(1)) == len(PORTER_GOLDENS))
+            & (F.sum((F.col("got") == F.col("expected")).cast("int")) == len(PORTER_GOLDENS))
+        ).alias("ok")
+    )
+
+
+@query(
     "q_text_tfidf",
     oracle="""
     WITH tok AS (

@@ -106,7 +106,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- start of the round-3 cohort (oldest-first continues next round) ---
     "q_dedup_jaccard_pairs",
     "q_dedup_embedding",
-    "q_asof_join",
+    # NEW in round 5: the Porter golden vectors replayed through the
+    # production stem_udf as a constant-oracle boolean — the last component
+    # (A7) with no driver-visible check gains one; with it, every stage of
+    # the rows-only flagship q_ref_pipeline is driver-certified
+    # (q_ref_pipeline_unstemmed covers all non-Porter stages).
+    "q_text_porter_gate",
 )
 
 

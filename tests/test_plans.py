@@ -91,7 +91,8 @@ def test_driver_priority_window():
                  "q_dedup_minhash_lsh_gate", "q_vec_kmeans_gate",
                  "q_dedup_simhash", "q_scalar_json", "q_cte_pipeline",
                  "q_text_ngrams", "q_stream_dedup_batch",
-                 "q_dedup_jaccard_pairs", "q_dedup_embedding", "q_asof_join"):
+                 "q_dedup_jaccard_pairs", "q_dedup_embedding",
+                 "q_text_porter_gate"):
         assert core in window, core
     # every window entry is oracled — rows-only queries would waste a slot
     qs = all_queries()

@@ -25,24 +25,11 @@ def test_matches_duckdb_oracle(spark, duck, name):
     assert_query_matches_oracle(spark, duck, name)
 
 
-# --- Porter stemmer goldens (full-pipeline outputs of the classic algorithm;
-#     vocabulary drawn from the reference's own step-table comments,
-#     ProcessData.java:207-227, plus the published Porter examples) ---
+# --- Porter stemmer goldens: now live with the engine (functions/porter.py,
+#     PORTER_GOLDENS) so the pytest golden test and the driver-hashable
+#     q_text_porter_gate replay the SAME vectors ---
 
-GOLDEN_STEMS = {
-    "caresses": "caress", "flies": "fli", "dies": "di", "mules": "mule",
-    "denied": "deni", "died": "di", "agreed": "agre", "owned": "own",
-    "humbled": "humbl", "sized": "size", "meetings": "meet", "stating": "state",
-    "itemization": "item", "sensational": "sensat", "traditional": "tradit",
-    "reference": "refer", "colonizer": "colon", "plotted": "plot",
-    "ponies": "poni", "ties": "ti", "cats": "cat", "feed": "feed",
-    "motoring": "motor", "sing": "sing", "hopping": "hop", "tanned": "tan",
-    "falling": "fall", "hissing": "hiss", "failing": "fail", "filing": "file",
-    "happy": "happi", "sky": "sky", "play": "plai", "milling": "mill",
-    "controlling": "control", "generalization": "gener", "oscillators": "oscil",
-    "relational": "relat", "conditional": "condit", "rational": "ration",
-    "probate": "probat", "rate": "rate", "cease": "ceas",
-}
+from hadoop_web_browsing_logs_spark.functions.porter import PORTER_GOLDENS as GOLDEN_STEMS
 
 
 def test_porter_golden_vectors():
