@@ -444,17 +444,26 @@ def q_dedup_minhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_dedup_minhash_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lsh = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    brute = q_dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    counts = brute.join(lsh, ["doc_a", "doc_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_hit")
+    # single pass over the quadratic brute-force side: a LEFT join marks each
+    # brute pair hit/missed, one aggregate counts both (a separate semi-join
+    # + count would evaluate the O(n^2) Jaccard cross-join twice — Spark
+    # does not share common logical subplans across actions)
+    lsh = (
+        q_dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .dropDuplicates()  # keep the left join 1:1 (the semi-join it replaces was duplicate-immune)
+        .withColumn("_hit", F.lit(1))
     )
-    n_brute = brute.agg(F.count(F.lit(1)).alias("n_brute"))
-    return counts.crossJoin(F.broadcast(n_brute)).select(
-        (
-            (F.col("n_brute") > 0)
-            & (F.col("n_hit").cast("double") / F.col("n_brute") >= 0.95)
-        ).alias("ok")
+    brute = q_dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        brute.join(lsh, ["doc_a", "doc_b"], "left")
+        .agg(F.count(F.lit(1)).alias("n_brute"), F.count("_hit").alias("n_hit"))
+        .select(
+            (
+                (F.col("n_brute") > 0)
+                & (F.col("n_hit").cast("double") / F.col("n_brute") >= 0.95)
+            ).alias("ok")
+        )
     )
 
 

@@ -201,14 +201,21 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, n_bands: int = N_BANDS
     )
 
 
-def lsh_ann_recall(spark: SparkSession, sf_dir: str, n_bands: int = N_BANDS) -> DataFrame:
+def lsh_ann_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bands: int = N_BANDS,
+    include_candidate_counts: bool = False,
+) -> DataFrame:
     pairs = lsh_candidate_pairs(spark, sf_dir, n_bands)
     sim = cosine_similarity("q_vec", "c_vec")
+    # score once, materialize once (lazy localCheckpoint): the top-k branch
+    # and — for the margin gate — the per-query candidate-count branch both
+    # read the same blocks instead of re-running band-join + cosine verify
+    scored = pairs.select("q_id", "c_id", sim.alias("sim")).localCheckpoint(eager=False)
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
-    lsh_topk = (
-        pairs.select("q_id", "c_id", sim.alias("sim"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
+    lsh_topk = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
     )
 
     # the exact baseline takes its query points straight from the table — NOT
@@ -230,7 +237,7 @@ def lsh_ann_recall(spark: SparkSession, sf_dir: str, n_bands: int = N_BANDS) -> 
         (F.col("q_id") == F.col("exact_q_id")) & (F.col("c_id") == F.col("exact_c_id")),
         "left_semi",
     )
-    return (
+    out = (
         exact.groupBy("exact_q_id")
         .agg(F.count(F.lit(1)).alias("k"))
         .join(
@@ -245,6 +252,13 @@ def lsh_ann_recall(spark: SparkSession, sf_dir: str, n_bands: int = N_BANDS) -> 
             (F.coalesce("found", F.lit(0)) / F.col("k")).alias("recall"),
         )
     )
+    if include_candidate_counts:
+        m = scored.groupBy("q_id").agg(F.count(F.lit(1)).alias("m"))
+        out = (
+            out.join(m, "q_id", "left")
+            .withColumn("m", F.coalesce("m", F.lit(0)))  # zero-candidate queries count
+        )
+    return out
 
 
 @query(
@@ -343,6 +357,12 @@ def q_sim_ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_ann_recall(spark, sf_dir)
+
+
+def ivf_ann_recall(
+    spark: SparkSession, sf_dir: str, include_candidate_counts: bool = False
+) -> DataFrame:
     from .vectors import fixture_centers, nearest_center
 
     e = t(spark, sf_dir, "embeddings")
@@ -372,15 +392,19 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "q_vec", "center_id")
     )
 
-    # exact top-k within probed cells only
+    # exact top-k within probed cells only; like lsh_ann_recall, the scored
+    # candidate set materializes once (lazy localCheckpoint) so the gate's
+    # candidate-count branch reuses it instead of re-probing
     sim = cosine_similarity("q_vec", "c_vec")
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
-    ivf_topk = (
+    scored = (
         probes.join(data, "center_id")
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id", sim.alias("sim"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
+        .localCheckpoint(eager=False)
+    )
+    ivf_topk = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
     )
 
     exact = brute_force_topk(
@@ -392,7 +416,7 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q_id") == F.col("exact_q_id")) & (F.col("c_id") == F.col("exact_c_id")),
         "left_semi",
     )
-    return (
+    out = (
         exact.groupBy("exact_q_id")
         .agg(F.count(F.lit(1)).alias("k"))
         .join(
@@ -407,6 +431,13 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("found", F.lit(0)) / F.col("k")).alias("recall"),
         )
     )
+    if include_candidate_counts:
+        m = scored.groupBy("q_id").agg(F.count(F.lit(1)).alias("m"))
+        out = (
+            out.join(m, "q_id", "left")
+            .withColumn("m", F.coalesce("m", F.lit(0)))  # zero-candidate queries count
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -532,40 +563,35 @@ def _margin_recall_gate(
     spark: SparkSession,
     sf_dir: str,
     per_query: DataFrame,
-    cand_pairs: DataFrame,
     margin: float,
     min_abs: float,
 ) -> DataFrame:
     """ok = mean recall beats ``margin`` × the random-candidate baseline
     measured on the same fixture AND a degenerate-case absolute minimum.
 
-    The baseline is the expected recall of a uniformly random candidate set
-    of the same per-query size: mean |C(q)| / (n-1), with zero-candidate
-    queries counted (dropping them would flatter the baseline). Scale-free
-    where an absolute floor drifts with every fixture regeneration; the
-    absolute minimum guards the case where a broken pipeline emits
-    near-empty candidate sets, making the margin vacuous (ADVICE r4)."""
-    rec = per_query.agg(F.count(F.lit(1)).alias("_nq"), F.avg("recall").alias("_r"))
-    e = t(spark, sf_dir, "embeddings")
-    n_pts = e.agg(F.count(F.lit(1)).alias("_n"))
-    qpts = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("q_id")
+    ``per_query`` is a recall frame carrying an ``m`` column (per-query
+    candidate-set size, zero-filled — the recall pipelines emit it from
+    their own checkpointed candidate set, so the gate adds no second
+    candidate-generation pass). The baseline is the expected recall of a
+    uniformly random candidate set of the same per-query size:
+    mean m / (n-1), zero-candidate queries counted (dropping them would
+    flatter the baseline). Scale-free where an absolute floor drifts with
+    every fixture regeneration; the absolute minimum guards the case where
+    a broken pipeline emits near-empty candidate sets, making the margin
+    vacuous (ADVICE r4)."""
+    rec = per_query.agg(
+        F.count(F.lit(1)).alias("_nq"),
+        F.avg("recall").alias("_r"),
+        F.avg("m").alias("_am"),
     )
-    cand = cand_pairs.groupBy("q_id").agg(F.count(F.lit(1)).alias("_m"))
-    base = qpts.join(cand, "q_id", "left").agg(
-        F.sum(F.coalesce("_m", F.lit(0))).alias("_sm"), F.count(F.lit(1)).alias("_q")
-    )
-    random_recall = (F.col("_sm") / F.col("_q")) / (F.col("_n") - 1)
-    return (
-        rec.crossJoin(F.broadcast(n_pts))
-        .crossJoin(F.broadcast(base))
-        .select(
-            (
-                (F.col("_nq") > 0)
-                & (F.col("_r") >= min_abs)
-                & (F.col("_r") >= margin * random_recall)
-            ).alias("ok")
-        )
+    n_pts = t(spark, sf_dir, "embeddings").agg(F.count(F.lit(1)).alias("_n"))
+    random_recall = F.col("_am") / (F.col("_n") - 1)
+    return rec.crossJoin(F.broadcast(n_pts)).select(
+        (
+            (F.col("_nq") > 0)
+            & (F.col("_r") >= min_abs)
+            & (F.col("_r") >= margin * random_recall)
+        ).alias("ok")
     )
 
 
@@ -588,8 +614,7 @@ def q_sim_lsh_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _margin_recall_gate(
         spark,
         sf_dir,
-        lsh_ann_recall(spark, sf_dir),
-        lsh_candidate_pairs(spark, sf_dir),
+        lsh_ann_recall(spark, sf_dir, include_candidate_counts=True),
         LSH_RECALL_MARGIN,
         LSH_RECALL_MIN,
     )
@@ -613,8 +638,7 @@ def q_sim_ivf_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _margin_recall_gate(
         spark,
         sf_dir,
-        q_sim_ivf_ann(spark, sf_dir),
-        q_sim_ivf_candidates(spark, sf_dir).select("q_id", "c_id"),
+        ivf_ann_recall(spark, sf_dir, include_candidate_counts=True),
         IVF_RECALL_MARGIN,
         IVF_RECALL_MIN,
     )

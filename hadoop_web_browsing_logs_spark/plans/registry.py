@@ -48,9 +48,10 @@ _REGISTRY: dict[str, Query] = {}
 #: gate recalibrated this round); the next 38 slots re-certify the ENTIRE
 #: cohort whose last driver-green row dates to round 2 — the oldest rows in
 #: the system, predating the round-3/4 refactors of shared scan/session
-#: code; the final 3 slots start on the round-3 cohort (oldest-first:
-#: jaccard pairs and the embedding baseline share dedup.py with this round's
-#: gate edits, asof join is the round-3 join family's most intricate plan).
+#: code; the final 3 slots are two round-3-cohort re-certifications
+#: (jaccard pairs and the embedding baseline, which share dedup.py with
+#: this round's gate edits) plus the NEW q_text_porter_gate — the rest of
+#: the round-3 cohort (q_asof_join et al.) rotates back next round.
 #: Displaced queries stay locally oracle-replayed by pytest at each run.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- slot 1: the round-4 red, re-certified after the oracle-cast fix ---

@@ -82,7 +82,8 @@ def test_driver_priority_window():
     assert set(DRIVER_PRIORITY) <= set(names)
     # round-5 allocation (COVERAGE.md): slot 1 = the round-4 red after its
     # oracle-cast fix, 8 re-seats of round-4/5-modified gate/shared paths,
-    # the full 38-query last-green-r02 cohort, 3 oldest round-3 entries
+    # the full 38-query last-green-r02 cohort, 2 round-3 entries + the new
+    # Porter golden-vector gate
     window = set(DRIVER_PRIORITY)
     assert DRIVER_PRIORITY[0] == "q_llm_pack_sequences"
     for core in ("q_dedup_minhash_lsh_portable", "q_sim_lsh_candidates_portable",
@@ -313,8 +314,11 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark):
                     body = l2.lstrip(" :+-|")
                     if "], [" not in body:
                         return True  # ungrouped global total
-                    groups = body[len("Aggregate ") :].split("], [", 1)[0]
-                    return groups.lstrip("[").startswith("_pid#")
+                    groups = body[len("Aggregate ") :].split("], [", 1)[0].lstrip("[")
+                    # ONLY a spark_partition_id key qualifies — a composite
+                    # (_pid, <unbounded col>) grouping scales with SF and
+                    # must not slip through on the prefix alone
+                    return groups.startswith("_pid#") and "," not in groups
 
                 if all(_agg_safe(l2) for l2 in top):
                     continue
@@ -345,7 +349,9 @@ def test_oracle_output_types_never_widen(duck):
             continue
         for col, typ, *_ in duck.execute(f"DESCRIBE {q.oracle}").fetchall():
             t = typ.upper()
-            if "HUGEINT" in t or t.startswith("DECIMAL"):
+            # substring match on purpose: catches DECIMAL/HUGEINT nested
+            # inside STRUCT(...)/LIST types too, not just top-level columns
+            if "HUGEINT" in t or "DECIMAL" in t:
                 offenders.append((name, col, typ))
     assert not offenders, f"oracle columns the driver's Arrow hash would widen: {offenders}"
 

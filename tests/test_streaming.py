@@ -406,13 +406,14 @@ def test_rate_source_soak_live_triggers(spark):
     q.stop()
 
     data_epochs = {e for e, *_ in seen}
-    assert data_epochs, f"stream never progressed at all: {seen[:10]}"
-    if len(data_epochs) < 3:
-        # partial progress under 90 s = starved machine, not a broken
-        # stream — don't convert environment load into a red
+    # <2 epochs in 90 s is a wedge (e.g. state-store deadlock after the
+    # first micro-batch), not load — stay red for it. Only the 2-epoch case
+    # (progressing, just slowly) is excusable as a starved machine.
+    assert len(data_epochs) >= 2, f"stream wedged or never progressed: {seen[:10]}"
+    if len(data_epochs) == 2:
         import pytest
 
-        pytest.skip(f"constrained environment: only {len(data_epochs)} live epochs in 90 s")
+        pytest.skip("constrained environment: only 2 live epochs in 90 s (stream was progressing)")
     assert {k for _, _, k, _ in seen} <= {"k0", "k1", "k2", "k3"}
     # update-mode monotonicity: re-emissions of the same window/key only grow
     last: dict = {}
