@@ -177,7 +177,7 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import dsum_sql
 
-    t(spark, sf_dir, "events").createOrReplaceTempView("_mr_events")
+    # {events} templating instead of a temp view — no session-global name
     return spark.sql(
         f"""
         WITH base AS (
@@ -186,7 +186,7 @@ def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
                    date_trunc('day', ts) AS day_bucket,
                    CAST(FLOOR(unix_timestamp(ts) / 604800) AS BIGINT) AS week_idx,
                    value
-            FROM _mr_events
+            FROM {{events}}
         )
         SELECT event_type,
                CASE WHEN hour_bucket IS NOT NULL THEN 'hour'
@@ -199,7 +199,8 @@ def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type, hour_bucket),
                                 (event_type, day_bucket),
                                 (event_type, week_idx))
-        """
+        """,
+        events=t(spark, sf_dir, "events"),
     )
 
 

@@ -428,14 +428,16 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Explicit GROUPING SETS (priority-only, status-only, grand total).",
 )
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    # {orders} templating instead of a temp view: no session-global name is
+    # registered, so concurrent queries on one shared session can't collide
     return spark.sql(
         f"""
         SELECT o_orderpriority, o_orderstatus,
                {dsum_sql('o_totalprice')} AS sum_price, COUNT(*) AS n
-        FROM _gs_orders
+        FROM {{orders}}
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
-        """
+        """,
+        orders=t(spark, sf_dir, "orders"),
     )
 
 

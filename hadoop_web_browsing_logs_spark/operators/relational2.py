@@ -289,33 +289,37 @@ def q_scalar_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Subqueries & CTE pipelines (identical ANSI SQL on both engines)
+# Subqueries & CTE pipelines (identical ANSI SQL on both engines).
+#
+# The shared text is a {table} template: the oracle binds plain view names
+# (DuckDB side), Spark binds DataFrames via spark.sql kwargs — same ANSI
+# body, but no session-global temp view is ever registered, so concurrent
+# queries on one shared session can't collide on a view name.
 # ---------------------------------------------------------------------------
 
 _CORRELATED_SQL = """
     SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders o1
+    FROM {orders} o1
     WHERE o_totalprice > 2 * (
-        SELECT AVG(o_totalprice) FROM orders o2 WHERE o2.o_custkey = o1.o_custkey
+        SELECT AVG(o_totalprice) FROM {orders} o2 WHERE o2.o_custkey = o1.o_custkey
     )
 """
 
 
 @query(
     "q_subquery_correlated",
-    oracle=_CORRELATED_SQL,
+    oracle=_CORRELATED_SQL.format(orders="orders"),
     category="join",
     description="Correlated scalar subquery (orders > 2x their customer's average) — Catalyst decorrelates to an aggregate + join; same ANSI text runs on both engines.",
 )
 def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_CORRELATED_SQL)
+    return spark.sql(_CORRELATED_SQL, orders=t(spark, sf_dir, "orders"))
 
 
 _CTE_SQL = f"""
     WITH cust_orders AS (
         SELECT o_custkey, COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS spend
-        FROM orders GROUP BY o_custkey
+        FROM {{orders}} GROUP BY o_custkey
     ),
     top25 AS (
         SELECT * FROM cust_orders ORDER BY spend DESC, o_custkey LIMIT 25
@@ -327,7 +331,7 @@ _CTE_SQL = f"""
         FROM top25
     )
     SELECT r.rnk, r.o_custkey, r.n_orders, r.spend, c.c_mktsegment AS mktsegment
-    FROM ranked r JOIN customer c ON c.c_custkey = r.o_custkey
+    FROM ranked r JOIN {{customer}} c ON c.c_custkey = r.o_custkey
 """
 # top25 + 25-row rank, not ROW_NUMBER over the whole aggregate: Spark plans
 # the ORDER BY/LIMIT CTE as TakeOrderedAndProject (per-partition heaps), so
@@ -340,11 +344,13 @@ _CTE_SQL = f"""
 
 @query(
     "q_cte_pipeline",
-    oracle=_CTE_SQL,
+    oracle=_CTE_SQL.format(orders="orders", customer="customer"),
     category="aggregation",
     description="Multi-level WITH pipeline (agg → rank → dim join) — one ANSI text, two engines.",
 )
 def q_cte_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(_CTE_SQL)
+    return spark.sql(
+        _CTE_SQL,
+        orders=t(spark, sf_dir, "orders"),
+        customer=t(spark, sf_dir, "customer"),
+    )

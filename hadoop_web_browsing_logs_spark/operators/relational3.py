@@ -180,18 +180,20 @@ def q_join_sixway(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q4-style priority check: correlated EXISTS over the fact table (semi-join after decorrelation).",
 )
 def q_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    # {table} templating instead of temp views — same ANSI body as the
+    # oracle, no session-global view names to collide on
     return spark.sql(
         """
         SELECT o_orderpriority AS orderpriority, COUNT(*) AS n_orders
-        FROM orders o
+        FROM {orders} o
         WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
           AND o.o_orderdate < TIMESTAMP '1998-01-01'
-          AND EXISTS (SELECT 1 FROM lineitem l
+          AND EXISTS (SELECT 1 FROM {lineitem} l
                       WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
         GROUP BY o_orderpriority
-        """
+        """,
+        orders=t(spark, sf_dir, "orders"),
+        lineitem=t(spark, sf_dir, "lineitem"),
     )
 
 

@@ -86,8 +86,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_scalar_url",
     "q_merge_upsert",
     "q_agg_bool_bit",
-    "q_scalar_string2",
-    "q_scalar_array2",
+    # round-5 modified (temp-view → spark.sql {df} templating): these two
+    # take the slots of q_scalar_string2/q_scalar_array2 (r02 cohort,
+    # unmodified since — they rotate back next round); the other three
+    # templating conversions (correlated subquery, CTE pipeline, EXISTS)
+    # are already in this window's r02 cohort
+    "q_agg_grouping_sets",
+    "q_events_rollup_multires",
     "q_profile_columns",
     "q_window_range_frame",
     "q_vec_cluster_groups",

@@ -82,7 +82,8 @@ def test_driver_priority_window():
     assert set(DRIVER_PRIORITY) <= set(names)
     # round-5 allocation (COVERAGE.md): slot 1 = the round-4 red after its
     # oracle-cast fix, 8 re-seats of round-4/5-modified gate/shared paths,
-    # the full 38-query last-green-r02 cohort, 2 round-3 entries + the new
+    # 36 of the 38-query last-green-r02 cohort (string2/array2 displaced by
+    # the two templating-modified queries), 2 round-3 entries + the new
     # Porter golden-vector gate
     window = set(DRIVER_PRIORITY)
     assert DRIVER_PRIORITY[0] == "q_llm_pack_sequences"
@@ -330,6 +331,12 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark):
             if scanned:
                 offenders.setdefault(name, []).append(scanned)
     assert not offenders, f"forced broadcast of SF-scaled scans: {offenders}"
+    # piggybacked registry-wide lint (round 5): building every plan above
+    # must leave NO temp view behind — SQL-text queries bind tables via
+    # spark.sql {df} templating, not createOrReplaceTempView, so concurrent
+    # queries on a shared session can't collide on a session-global name
+    leaked = [v.name for v in spark.catalog.listTables()]
+    assert not leaked, f"temp views leaked by plan construction: {leaked}"
 
 
 def test_oracle_output_types_never_widen(duck):
