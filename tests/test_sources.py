@@ -268,3 +268,40 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     v1 = merged.filter("v = 1")
     assert v1.filter(F.col("region_tag").isNull()).count() == n.count()
     assert merged.filter("v = 2").filter(F.col("region_tag") == "emea").count() == n.count()
+
+
+def test_events_ts_nanos_and_micros_read_identically(spark, tmp_path):
+    """The fixture generator has emitted events.ts as TIMESTAMP(NANOS)
+    (rounds 1-2) and TIMESTAMP(US) (rounds 3+); both load_table and the
+    streaming footer probe auto-detect the unit. Pin BOTH paths with
+    synthetic files so a future regeneration flip can't regress the
+    conversion (integer ns DIV 1000 — double division would corrupt the
+    last microsecond)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_web_browsing_logs_spark.sources.readers import load_table
+    from hadoop_web_browsing_logs_spark.streaming.windows import _events_ts_unit
+
+    # odd nanos on purpose: 1.5 µs fraction exercises the truncation
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20 UTC in µs
+    ts_ns = [base_us * 1000 + 1500, base_us * 1000 + 999]  # +1.5 µs, +0.999 µs
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    for unit, vals in (("ns", ts_ns), ("us", [v // 1000 for v in ts_ns])):
+        d = tmp_path / f"unit_{unit}"
+        d.mkdir()
+        tbl = pa.table({**cols, "ts": pa.array(vals, pa.timestamp(unit))})
+        pq.write_table(tbl, str(d / "events.parquet"))
+        assert _events_ts_unit(str(d / "events.parquet")) == unit
+        rows = {r.event_id: r.ts for r in load_table(spark, str(d), "events").collect()}
+        # both units land on the same UTC microsecond timestamps
+        assert [rows[1].isoformat(), rows[2].isoformat()] == [
+            "2023-11-14T22:13:20.000001",
+            "2023-11-14T22:13:20",
+        ], (unit, rows)
