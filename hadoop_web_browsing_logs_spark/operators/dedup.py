@@ -69,6 +69,16 @@ _DUCK_POLY = (
     "(acc, ch) -> (acc * 31 + ch) % 2147483647)"
 )
 
+# Spark-SQL-text twins of distinct_tokens()/_poly_hash(), used by the hot LSH
+# path (round 6): one parsed expression replaces dozens of py4j Column calls —
+# the SAME expression tree after parsing, so results are bit-identical to the
+# Column-API forms above (which remain the library surface for other callers).
+_TOKS_SQL = r"array_distinct(filter(split(trim(lower(text)), '\\s+'), x -> x != ''))"
+_POLY_SQL = (
+    "aggregate(filter(split(tok, ''), c -> c != ''), 0L, "
+    f"(acc, ch) -> (acc * 31 + ascii(ch)) % {HASH_MOD})"
+)
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -179,10 +189,20 @@ def minhash_signature(tokens_col: Column) -> Column:
 def minhash_signature_from_hashes(hashes_col: Column) -> Column:
     """MinHash signature from an already-hashed ARRAY<BIGINT> token column
     (values in [0, MINHASH_PRIME)) — lets the portable variant reuse its
-    polynomial token hashes for both the signature and the verify arrays."""
+    polynomial token hashes for both the signature and the verify arrays.
+
+    The 32-permutation constant array and the init array are built as ONE
+    parsed SQL expression each (round 6): the per-struct ``F.struct(F.lit(a),
+    F.lit(b))`` form issued ~100 py4j round-trips per call, ~0.4 s of pure
+    driver-side plan construction on every fresh invocation — 30% of the
+    whole LSH query's wall time at sf0.1. Values are bit-identical (BIGINT
+    affine arithmetic either way; the a/b constants all fit int32, and the
+    multiply promotes to BIGINT in both forms)."""
     params = _minhash_params()
-    ab = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params])
-    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("bigint"), MINHASH_PERMS)
+    ab = F.expr(
+        "array(" + ", ".join(f"named_struct('a', {a}L, 'b', {b}L)" for a, b in params) + ")"
+    )
+    init = F.expr(f"array_repeat(CAST({MINHASH_PRIME} AS BIGINT), {MINHASH_PERMS})")
     return F.aggregate(
         hashes_col, init,
         lambda acc, h: F.zip_with(acc, ab, lambda m, p: F.least(m, (h * p["a"] + p["b"]) % MINHASH_PRIME)),
@@ -253,16 +273,20 @@ def minhash_lsh_pairs(docs: DataFrame, portable: bool = False) -> DataFrame:
     # then intersects INT arrays (cheap equality) instead of strings; a
     # cross-token hash collision (~n²/2^64) is the only way results could
     # differ from string-set Jaccard
+    # SQL-text expression build (round 6): fn() is re-invoked fresh on every
+    # bench pass and driver run, and the Column-API form of these wide
+    # expressions cost ~0.45 s of py4j round-trips per call (measured — the
+    # executors never saw any of it). One parse produces the identical tree.
     if portable:
         hashed = docs.select(
             "doc_id",
-            F.array_distinct(F.transform(distinct_tokens(), _poly_hash)).alias("toks"),
+            F.expr(f"array_distinct(transform({_TOKS_SQL}, tok -> {_POLY_SQL}))").alias("toks"),
         )
         d = hashed.select("doc_id", "toks", minhash_signature_from_hashes(F.col("toks")).alias("sig"))
     else:
-        d = docs.select("doc_id", distinct_tokens().alias("stoks")).select(
+        d = docs.select("doc_id", F.expr(_TOKS_SQL).alias("stoks")).select(
             "doc_id",
-            F.array_distinct(F.transform("stoks", lambda tok: F.xxhash64(tok))).alias("toks"),
+            F.expr("array_distinct(transform(stoks, tok -> xxhash64(tok)))").alias("toks"),
             minhash_signature(F.col("stoks")).alias("sig"),
         )
     d = (
@@ -280,33 +304,24 @@ def minhash_lsh_pairs(docs: DataFrame, portable: bool = False) -> DataFrame:
     # band the signatures on bare ids — the token arrays do NOT ride through
     # the candidate join/dedup shuffle (pair generation shuffles ~20 bytes per
     # row, verification joins the arrays back only for surviving pairs)
+    # slot identity per band. Throughput path: xxhash64 over (band index,
+    # 4 sig rows) folds band+values into ONE 8-byte join key — the pair
+    # shuffle then carries a bigint instead of a ~40-80-char concat string,
+    # and a cross-band collision (~2^-64) at worst adds a candidate the
+    # exact verify re-checks. Portable path: keep the exact concat slot,
+    # because the oracle twin re-derives band matches bit-for-bit and must
+    # not disagree even with probability 2^-64. (Built as one parsed SQL
+    # expression — int literals coerce exactly like F.lit(i) did, so the
+    # concat strings and xxhash64 seeds/input types are unchanged.)
+    def _slot_sql(i: int) -> str:
+        rows = ", ".join(
+            f"element_at(sig, {i * rows_per_band + j + 1})" for j in range(rows_per_band)
+        )
+        return f"concat_ws(',', {i}, {rows})" if portable else f"xxhash64({i}, {rows})"
+
+    slots = ", ".join(_slot_sql(i) for i in range(MINHASH_BANDS))
     banded = d.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    # slot identity per band. Throughput path: xxhash64 over
-                    # (band index, 4 sig rows) folds band+values into ONE
-                    # 8-byte join key — the pair shuffle then carries a
-                    # bigint instead of a ~40-80-char concat string, and a
-                    # cross-band collision (~2^-64) at worst adds a candidate
-                    # the exact verify re-checks. Portable path: keep the
-                    # exact concat slot, because the oracle twin re-derives
-                    # band matches bit-for-bit and must not disagree even
-                    # with probability 2^-64.
-                    F.concat_ws(
-                        ",",
-                        F.lit(i),
-                        *[F.element_at("sig", i * rows_per_band + j + 1) for j in range(rows_per_band)],
-                    )
-                    if portable
-                    else F.xxhash64(
-                        F.lit(i), *[F.element_at("sig", i * rows_per_band + j + 1) for j in range(rows_per_band)]
-                    )
-                    for i in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("slot"),
+        "doc_id", F.expr(f"explode(array({slots}))").alias("slot")
     ).select("doc_id", "slot")
 
     # candidate generation as a self-equi-join on the band slot (band index

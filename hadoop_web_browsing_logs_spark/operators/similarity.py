@@ -6,6 +6,19 @@ The brute force generalizes the reference's nearest-center scan
 all-pairs crossJoin is O(n·m); the LSH variant buckets vectors by a 16-bit
 hyperplane signature so candidate generation becomes an equi-join on the
 bucket key — a shuffle join on a small key space instead of a nested loop.
+
+Storage-block lifecycle (ADVICE r5): the lazy ``localCheckpoint(eager=False)``
+frames in the recall/candidate paths pin RDD blocks that outlive the
+consuming action. This retention is INTENTIONAL for the engine's execution
+model — queries are single-shot plan factories whose result is consumed once
+by the caller (driver gate, bench pass, pytest), and the blocks let the
+top-k and candidate-count branches of one invocation share one
+materialization; unpersisting inside the factory would race the caller's
+action. Long-lived sessions that invoke these factories repeatedly should
+call :func:`hadoop_web_browsing_logs_spark.session.release_caches`
+between logical requests to drop accumulated blocks (bench isolation and the
+pytest suite run each query a bounded number of times, so local runs stay
+bounded without it).
 """
 
 from __future__ import annotations

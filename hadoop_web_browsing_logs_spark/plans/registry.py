@@ -38,86 +38,79 @@ _REGISTRY: dict[str, Query] = {}
 #: driver samples only the FIRST 50 registered queries. The rotation so far:
 #: round 2 certified the 45 queries round 1 never reached; round 3
 #: re-certified the 40 whose last green row predated the round-2 refactors;
-#: round 4 completed first-pass coverage (21 never-certified + the round-4
-#: gates + modified-path re-certs + 20 sentinels). Round 5 (VERDICT r4
-#: items 1 and 4): slot 1 earns q_llm_pack_sequences its green row after the
-#: oracle-cast fix (the round-4 sole red — engine result was verified
-#: correct; the oracle's uncast SUM OVER widened to HUGEINT); slots 2-9
-#: re-seat the queries whose shared code round 4/5 touched (minhash band-slot
-#: hashing, LSH bare-id dedup, the dedup/similarity recall gates and k-means
-#: gate recalibrated this round); the next 38 slots re-certify the ENTIRE
-#: cohort whose last driver-green row dates to round 2 — the oldest rows in
-#: the system, predating the round-3/4 refactors of shared scan/session
-#: code; the final 3 slots are two round-3-cohort re-certifications
-#: (jaccard pairs and the embedding baseline, which share dedup.py with
-#: this round's gate edits) plus the NEW q_text_porter_gate — the rest of
-#: the round-3 cohort (q_asof_join et al.) rotates back next round.
+#: round 4 completed first-pass coverage; round 5 re-certified the entire
+#: last-green-round-2 cohort plus the round-4/5-modified gate paths and
+#: added the Porter gate. Round 6 (VERDICT r5 items 1-2): slot 1 is the NEW
+#: q_stream_equiv_gate (B13's streaming==batch property, previously
+#: pytest-only, now a driver-hashable row); slots 2-4 re-seat the three
+#: MinHash queries whose signature/banding construction was rewritten this
+#: round (SQL-text expression build — identical values, new code path);
+#: slots 5-6 are the last two round-2-cohort stragglers (displaced from the
+#: round-5 window by the templating re-seats); the next 30 slots re-certify
+#: the ENTIRE remaining round-3 cohort — the oldest green rows in the
+#: system; the final 14 begin the round-4 cohort (events family, dedup
+#: graph/substring, leakage-safe LLM ops, expectations, range search). The
+#: 26 round-4-cohort queries still outside the window rotate in next round.
 #: Displaced queries stay locally oracle-replayed by pytest at each run.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- slot 1: the round-4 red, re-certified after the oracle-cast fix ---
-    "q_llm_pack_sequences",
-    # --- re-seats: round-4/5-modified shared paths and gates ---
+    # --- slot 1: NEW round-6 gate — streaming replay == batch twin ---
+    "q_stream_equiv_gate",
+    # --- re-seats: minhash signature/banding build rewritten this round ---
     "q_dedup_minhash_lsh_portable",
-    "q_sim_lsh_candidates_portable",
-    "q_sim_ivf_candidates",
-    "q_sim_lsh_ann_gate",
-    "q_sim_ivf_ann_gate",
     "q_dedup_minhash_gate",
     "q_dedup_minhash_lsh_gate",
-    "q_vec_kmeans_gate",
-    # --- the full last-green-round-2 cohort (38) ---
-    "q_dedup_simhash",
-    "q_dedup_simhash_pairs",
-    "q_llm_token_budget",
-    "q_scalar_math",
-    "q_scalar_json",
-    "q_scalar_array",
-    "q_agg_conditional",
-    "q_window_navigation",
-    "q_scalar_null",
-    "q_subquery_correlated",
-    "q_cte_pipeline",
-    "q_join_right",
-    "q_set_ops_bag",
-    "q_scalar_map",
-    "q_scalar_date2",
-    "q_join_sixway",
-    "q_exists_priority",
-    "q_scalar_url",
-    "q_merge_upsert",
-    "q_agg_bool_bit",
-    # round-5 modified (temp-view → spark.sql {df} templating): these two
-    # take the slots of q_scalar_string2/q_scalar_array2 (r02 cohort,
-    # unmodified since — they rotate back next round); the other three
-    # templating conversions (correlated subquery, CTE pipeline, EXISTS)
-    # are already in this window's r02 cohort
-    "q_agg_grouping_sets",
-    "q_events_rollup_multires",
-    "q_profile_columns",
-    "q_window_range_frame",
-    "q_vec_cluster_groups",
-    "q_text_token_stats",
-    "q_text_term_doc_freq",
-    "q_text_stopword_filter",
-    "q_text_quality",
-    "q_text_langid",
-    "q_text_fingerprint",
-    "q_text_ngrams",
-    "q_udf_grouped_agg",
-    "q_udf_python_row",
-    "q_stream_sliding_batch",
-    "q_stream_session_batch",
-    "q_stream_dedup_batch",
-    "q_stream_interval_join_batch",
-    # --- start of the round-3 cohort (oldest-first continues next round) ---
-    "q_dedup_jaccard_pairs",
-    "q_dedup_embedding",
-    # NEW in round 5: the Porter golden vectors replayed through the
-    # production stem_udf as a constant-oracle boolean — the last component
-    # (A7) with no driver-visible check gains one; with it, every stage of
-    # the rows-only flagship q_ref_pipeline is driver-certified
-    # (q_ref_pipeline_unstemmed covers all non-Porter stages).
-    "q_text_porter_gate",
+    # --- the last two round-2-cohort rows (displaced from the r5 window) ---
+    "q_scalar_string2",
+    "q_scalar_array2",
+    # --- the full remaining round-3 cohort (30) ---
+    "q_llm_chunk",
+    "q_llm_mix_stratified",
+    "q_llm_split",
+    "q_llm_scrub",
+    "q_llm_quality_rules",
+    "q_multimodal_frame_sample",
+    "q_filter_project",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_multiway",
+    "q_join_range",
+    "q_join_theta",
+    "q_agg_stats",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_window_lag_lead",
+    "q_window_frames",
+    "q_window_ntile",
+    "q_topk_per_group",
+    "q_set_ops",
+    "q_distinct",
+    "q_scalar_date",
+    "q_pivot",
+    "q_unpivot",
+    "q_asof_join",
+    "q_agg_percentile",
+    "q_agg_variance",
+    "q_agg_stringagg",
+    # --- start of the round-4 cohort (oldest-first continues next round) ---
+    "q_events_funnel",
+    "q_events_retention",
+    "q_events_scd2",
+    "q_events_gapfill",
+    "q_events_anomaly_zscore",
+    "q_events_attribution",
+    "q_dedup_substring",
+    "q_dedup_components",
+    "q_dedup_keep_canonical",
+    "q_llm_domain_cap",
+    "q_llm_repetition_rules",
+    "q_llm_split_leakage_safe",
+    "q_quality_expectations",
+    # round-6-modified (bitset statistics cache): takes q_sim_range_search's
+    # slot from VERDICT r5's named list — range search is an unchanged-
+    # since-r4 crossJoin baseline and rotates back next round
+    "q_join_bloom_prefilter",
 )
 
 

@@ -50,6 +50,19 @@ def get_spark(
         # setting Spark's own docs recommend on busy clusters, and measured
         # faster here (per-task scheduling overhead dominates small shuffles)
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # advisory post-shuffle partition size. The 64 MB default is right on
+        # a cluster (network shuffle, executor memory budgets); in single-JVM
+        # local mode there is no network and the fixture shuffles are a few
+        # MB, so 64 MB coalesces every post-shuffle stage to 1 task and
+        # serializes the CPU-heavy verify/join stages (measured: the banded
+        # MinHash-LSH pair stage runs 35% faster at 1 MB advisory, nothing
+        # regresses). Local default 1 MB; clusters should keep 64 MB+ via
+        # this env var or spark-submit conf (parallelismFirst=true was also
+        # re-measured round 6 and is still slower across the board here).
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", str(1024 * 1024)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -77,3 +90,23 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_caches(spark: SparkSession) -> int:
+    """Drop every persisted/cached block the engine has accumulated: cached
+    DataFrames (CacheManager) and the RDD blocks pinned by lazy
+    ``localCheckpoint`` frames (similarity/global-rank paths — see
+    operators/similarity.py module docstring). Returns the number of
+    persistent RDDs released.
+
+    Query factories deliberately do NOT unpersist their own checkpoints (the
+    consuming action happens in the caller); a long-lived session embedding
+    this engine should call this between logical requests."""
+    spark.catalog.clearCache()
+    # JavaSparkContext exposes the persistent-RDD map as a java.util.Map,
+    # which py4j presents dict-like
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    rdds = list(jmap.values())
+    for jrdd in rdds:
+        jrdd.unpersist(False)
+    return len(rdds)

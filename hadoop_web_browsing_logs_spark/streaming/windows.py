@@ -402,6 +402,107 @@ def _stream_static_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Driver-visible streaming-equivalence gate (VERDICT r5 item 2): B13's defining
+# property — "streaming replay == batch twin" — had pytest coverage only
+# (tests/test_streaming.py); every other non-SQL-expressible property gained a
+# driver-hashable boolean gate in rounds 4-5. This gate closes that last gap:
+# it replays the events fixture through readStream INSIDE the query and emits
+# ok = (streamed tumbling aggregation == batch tumbling aggregation).
+# ---------------------------------------------------------------------------
+
+#: One streaming replay per (events path, process): registry-wide plan lints
+#: and repeated harness calls rebuild every query's DataFrame several times
+#: per session — the replay itself is deterministic (same files, same
+#: complete-mode final state), so re-running it would only re-prove the same
+#: parquet bytes. The first call in any fresh process (e.g. the driver's)
+#: always runs the real stream.
+_STREAM_EQUIV_CACHE: dict[str, str] = {}
+
+
+def _replay_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the watermarked tumbling aggregation as a real Structured Streaming
+    query over the events fixture (file source, one file per micro-batch,
+    ``availableNow`` so the query drains and stops) and return the FINAL
+    complete-mode result as a batch DataFrame.
+
+    The sink is ``foreachBatch`` → parquet overwrite: complete mode re-emits
+    the whole updated result each micro-batch, so after termination the
+    parquet directory holds exactly the stream's final state — no memory-sink
+    temp view (the registry-wide leak lint forbids session-global names), no
+    driver-side collect."""
+    import tempfile
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    key = os.path.abspath(events_path)
+    out = _STREAM_EQUIV_CACHE.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="spark_graft_stream_equiv_")
+        sink = os.path.join(root, "result")
+        # the file stream source requires a DIRECTORY; the fixture is a single
+        # .parquet file — stage a symlink dir (no data copy)
+        src_dir = events_path
+        if os.path.isfile(events_path):
+            src_dir = os.path.join(root, "input")
+            os.mkdir(src_dir)
+            os.symlink(events_path, os.path.join(src_dir, "events.parquet"))
+        stream = tumbling_agg(read_events_stream(spark, src_dir))
+        q = (
+            stream.writeStream.outputMode("complete")
+            .foreachBatch(lambda df, _epoch: df.write.mode("overwrite").parquet(sink))
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        out = sink
+        _STREAM_EQUIV_CACHE[key] = out
+    return spark.read.parquet(out)
+
+
+@query(
+    "q_stream_equiv_gate",
+    oracle="SELECT TRUE AS ok",
+    category="streaming",
+    description=(
+        "Streaming-equivalence gate: replays the events fixture through "
+        "readStream (file source, availableNow, complete mode into a parquet "
+        "foreachBatch sink) and emits ok = the streamed watermarked tumbling "
+        "aggregation equals the batch twin row-for-row (full outer join on "
+        "window/event_type, zero mismatched or unmatched rows, non-empty). "
+        "Converts B13's pytest-only streaming==batch property into a "
+        "driver-hashable row."
+    ),
+)
+def q_stream_equiv_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch = tumbling_agg(_batch_events(spark, sf_dir))
+    streamed = _replay_tumbling_stream(spark, sf_dir)
+    b = batch.select(
+        "window_start", "event_type",
+        F.col("n_events").alias("b_n"), F.col("sum_value").alias("b_sum"),
+    )
+    s = streamed.select(
+        "window_start", "event_type",
+        F.col("n_events").alias("s_n"), F.col("sum_value").alias("s_sum"),
+    )
+    j = b.join(s, ["window_start", "event_type"], "full_outer")
+    bad = (
+        F.col("b_n").isNull()
+        | F.col("s_n").isNull()
+        | (F.col("b_n") != F.col("s_n"))
+        | (F.col("b_sum") != F.col("s_sum"))
+    )
+    return j.agg(
+        (
+            (F.count(F.lit(1)) > 0)
+            & (F.sum(F.when(bad, 1).otherwise(0)) == 0)
+        ).alias("ok")
+    )
+
+
 @query(
     "q_stream_static_join_batch",
     oracle=_stream_static_oracle(),

@@ -80,21 +80,19 @@ def test_driver_priority_window():
     assert names[:50] == list(DRIVER_PRIORITY)
     # every priority name actually resolves to a registered query
     assert set(DRIVER_PRIORITY) <= set(names)
-    # round-5 allocation (COVERAGE.md): slot 1 = the round-4 red after its
-    # oracle-cast fix, 8 re-seats of round-4/5-modified gate/shared paths,
-    # 36 of the 38-query last-green-r02 cohort (string2/array2 displaced by
-    # the two templating-modified queries), 2 round-3 entries + the new
-    # Porter golden-vector gate
+    # round-6 allocation (COVERAGE.md): slot 1 = the new streaming-
+    # equivalence gate, 3 re-seats of the minhash build rewrite, the 2
+    # round-2-cohort stragglers, the full remaining 30-query round-3 cohort,
+    # and the first 14 of the round-4 cohort
     window = set(DRIVER_PRIORITY)
-    assert DRIVER_PRIORITY[0] == "q_llm_pack_sequences"
-    for core in ("q_dedup_minhash_lsh_portable", "q_sim_lsh_candidates_portable",
-                 "q_sim_ivf_candidates", "q_sim_lsh_ann_gate",
-                 "q_sim_ivf_ann_gate", "q_dedup_minhash_gate",
-                 "q_dedup_minhash_lsh_gate", "q_vec_kmeans_gate",
-                 "q_dedup_simhash", "q_scalar_json", "q_cte_pipeline",
-                 "q_text_ngrams", "q_stream_dedup_batch",
-                 "q_dedup_jaccard_pairs", "q_dedup_embedding",
-                 "q_text_porter_gate"):
+    assert DRIVER_PRIORITY[0] == "q_stream_equiv_gate"
+    for core in ("q_dedup_minhash_lsh_portable", "q_dedup_minhash_gate",
+                 "q_dedup_minhash_lsh_gate", "q_scalar_string2",
+                 "q_scalar_array2", "q_llm_chunk", "q_join_multiway",
+                 "q_agg_cube", "q_topk_per_group", "q_asof_join",
+                 "q_events_funnel", "q_events_scd2", "q_dedup_components",
+                 "q_llm_split_leakage_safe", "q_quality_expectations",
+                 "q_join_bloom_prefilter"):
         assert core in window, core
     # every window entry is oracled — rows-only queries would waste a slot
     qs = all_queries()
@@ -311,11 +309,30 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark):
                 dmin = min(node_depth(l2) for l2 in agg_lines)
                 top = [l2 for l2 in agg_lines if node_depth(l2) == dmin]
 
+                def _first_bracket_list(body: str) -> tuple[str, str]:
+                    """Return (content of the first [..]-balanced list, rest).
+
+                    Bracket-DEPTH-aware (ADVICE r5): an aggregate expression
+                    whose text itself contains '], [' — nested array/struct
+                    literals, lambdas — mis-splits under a substring split
+                    and could silently misclassify a broadcast subtree."""
+                    start = body.index("[")
+                    depth = 0
+                    for i in range(start, len(body)):
+                        if body[i] == "[":
+                            depth += 1
+                        elif body[i] == "]":
+                            depth -= 1
+                            if depth == 0:
+                                return body[start + 1 : i], body[i + 1 :]
+                    return body[start + 1 :], ""
+
                 def _agg_safe(l2: str) -> bool:
                     body = l2.lstrip(" :+-|")
-                    if "], [" not in body:
-                        return True  # ungrouped global total
-                    groups = body[len("Aggregate ") :].split("], [", 1)[0].lstrip("[")
+                    first, rest = _first_bracket_list(body)
+                    if not rest.lstrip().startswith(", ["):
+                        return True  # single list — ungrouped global total
+                    groups = first
                     # ONLY a spark_partition_id key qualifies — a composite
                     # (_pid, <unbounded col>) grouping scales with SF and
                     # must not slip through on the prefix alone
@@ -377,3 +394,19 @@ def test_comparator_catches_uncast_window_sum(duck):
     assert canonical_rows(cols, rows) != canonical_rows(cols, engine_rows), (
         "comparator equated HUGEINT with bigint — driver skew would pass locally"
     )
+
+
+def test_release_caches_drops_checkpoint_blocks(spark):
+    """ADVICE r5: the lazy localCheckpoint frames in the similarity recall
+    paths intentionally outlive their consuming action (single-shot query
+    factories); long-lived sessions reclaim them via release_caches. Pin
+    that the utility actually drops every persistent RDD block."""
+    from hadoop_web_browsing_logs_spark.session import release_caches
+
+    df = get_query("q_sim_lsh_candidates_portable").fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() > 0, "expected pinned checkpoint blocks"
+    released = release_caches(spark)
+    assert released > 0
+    assert jsc.getPersistentRDDs().size() == 0

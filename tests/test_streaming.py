@@ -411,9 +411,22 @@ def test_rate_source_soak_live_triggers(spark):
     # (progressing, just slowly) is excusable as a starved machine.
     assert len(data_epochs) >= 2, f"stream wedged or never progressed: {seen[:10]}"
     if len(data_epochs) == 2:
-        import pytest
-
-        pytest.skip("constrained environment: only 2 live epochs in 90 s (stream was progressing)")
+        # Excusable as a starved machine ONLY when the machine is actually
+        # starved (ADVICE r5: an unconditional skip would permanently mask a
+        # real regression that slows trigger progress to ~2 epochs): require
+        # either an explicit slow-CI opt-in or a corroborating 1-min load
+        # average above the core count.
+        loadavg = os.getloadavg()[0]
+        ncpu = os.cpu_count() or 1
+        if os.environ.get("SPARK_GRAFT_SLOW_CI") or loadavg > ncpu:
+            pytest.skip(
+                f"constrained environment (load {loadavg:.1f} on {ncpu} cpus): "
+                "only 2 live epochs in 90 s (stream was progressing)"
+            )
+        raise AssertionError(
+            f"only 2 live epochs in 90 s on an unloaded machine "
+            f"(load {loadavg:.1f}, {ncpu} cpus) — trigger progress regression"
+        )
     assert {k for _, _, k, _ in seen} <= {"k0", "k1", "k2", "k3"}
     # update-mode monotonicity: re-emissions of the same window/key only grow
     last: dict = {}
