@@ -434,7 +434,9 @@ def _replay_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     events_path = os.path.join(sf_dir, "events.parquet")
-    key = os.path.abspath(events_path)
+    # mtime in the key: a regenerated fixture re-runs the replay (same
+    # contract as the bloom bitset statistics cache)
+    key = f"{os.path.abspath(events_path)}:{os.path.getmtime(events_path)}"
     out = _STREAM_EQUIV_CACHE.get(key)
     if out is None:
         root = tempfile.mkdtemp(prefix="spark_graft_stream_equiv_")
@@ -488,7 +490,16 @@ def q_stream_equiv_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start", "event_type",
         F.col("n_events").alias("s_n"), F.col("sum_value").alias("s_sum"),
     )
-    j = b.join(s, ["window_start", "event_type"], "full_outer")
+    # null-safe key equality: groupBy puts null keys in a real group, so the
+    # comparison must pair them too (a plain using-columns full outer would
+    # leave null-key groups unmatched and red the gate on a fixture that
+    # introduces null event_types — fail-exact, not fail-spurious)
+    j = b.join(
+        s,
+        b["window_start"].eqNullSafe(s["window_start"])
+        & b["event_type"].eqNullSafe(s["event_type"]),
+        "full_outer",
+    )
     bad = (
         F.col("b_n").isNull()
         | F.col("s_n").isNull()
