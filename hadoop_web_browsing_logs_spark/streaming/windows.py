@@ -480,7 +480,11 @@ def _replay_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_stream_equiv_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    batch = tumbling_agg(_batch_events(spark, sf_dir))
+    # withWatermark plants an implicit isnotnull(ts) filter on the streaming
+    # side (null event times are meaningless under event-time processing);
+    # apply the same exclusion to the batch side so the equivalence claim is
+    # well-defined even on a fixture that introduces null timestamps
+    batch = tumbling_agg(_batch_events(spark, sf_dir).filter(F.col("ts").isNotNull()))
     streamed = _replay_tumbling_stream(spark, sf_dir)
     b = batch.select(
         "window_start", "event_type",
