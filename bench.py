@@ -89,6 +89,14 @@ def main() -> None:
     per_query = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
     total = sum(per_query.values())
     baseline_total = sum(per_query[n] for n in BASELINE_SET if n in per_query)
+    # minima + load average ride along as noise diagnostics: round-over-round
+    # medians on a contended machine can show ±20% phantom swings (observed
+    # round 6); the min is the steadier floor signal for regression triage.
+    per_query_min = {n: round(min(ts), 3) for n, ts in samples.items()}
+    try:
+        load_avg = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_avg = None
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
@@ -99,6 +107,9 @@ def main() -> None:
                 "unit": "sec",
                 "value_baseline_set": round(baseline_total, 3),
                 "queries": per_query,
+                "queries_min": per_query_min,
+                "value_min": round(sum(per_query_min.values()), 3),
+                "load_avg_1m": load_avg,
                 "median_of": MEDIAN_OF,
                 "sf": float(sf) if sf else None,
             }
