@@ -529,9 +529,20 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = []
     for c in cols:
         s = F.col(c).cast("string")
+        # distinct-count WIDE text via its 16-byte MD5 fingerprint, not the
+        # raw value: Spark plans multi-countDistinct as Expand + an exchange
+        # hash-partitioned on the distinct children, so a raw `text` child
+        # ships the whole corpus through the shuffle (the round-6
+        # registry-wide fat-exchange audit's one true hit). The fingerprint
+        # form shuffles 32 chars/row regardless of document size — the same
+        # fingerprint-not-payload argument as q_dedup_exact — and equals
+        # COUNT(DISTINCT text) exactly modulo MD5 collisions (~n²/2¹²⁸).
+        # The oracle keeps COUNT(DISTINCT text): the driver hash proves the
+        # two formulations agree on the data.
+        distinct_child = F.md5(F.col(c)) if c == "text" else F.col(c)
         aggs += [
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
-            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.countDistinct(distinct_child).alias(f"{c}__n_distinct"),
             F.min(F.length(s)).alias(f"{c}__min_len"),
             F.max(F.length(s)).alias(f"{c}__max_len"),
         ]

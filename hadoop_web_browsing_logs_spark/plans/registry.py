@@ -99,7 +99,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_scd2",
     "q_events_gapfill",
     "q_events_anomaly_zscore",
-    "q_events_attribution",
+    # round-6-modified (text distinct-count now fingerprint-keyed — the
+    # fat-exchange audit's one hit): takes q_events_attribution's slot;
+    # attribution is unchanged since r4 and rotates back next round
+    "q_profile_documents",
     "q_dedup_substring",
     "q_dedup_components",
     "q_dedup_keep_canonical",

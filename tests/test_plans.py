@@ -414,3 +414,32 @@ def test_release_caches_drops_checkpoint_blocks(spark):
     released = release_caches(spark)
     assert released > 0
     assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_no_fat_payload_exchanges(spark):
+    """Registry-wide plan lint (round 6): no Exchange may carry a wide
+    payload column — document text, embeddings, token-hash arrays, raw JSON
+    props — as part of its partitioning/output. Shuffling payloads instead
+    of ids/fingerprints is the 100 TB fat-shuffle anti-pattern; every
+    near-dup/profile operator in this engine ships ids + 16-byte
+    fingerprints and joins payloads back post-reduction. This pins it for
+    every current and future registry entry (the round-6 sweep caught
+    q_profile_documents' multi-countDistinct Expand shuffling raw text).
+
+    Scope: hash/range-partitioned exchanges. BroadcastExchange of a
+    bounded side (query batches, centers, stopwords) is a different, pinned
+    pattern (test_no_forced_broadcast_of_sf_scaled_tables)."""
+    from hadoop_web_browsing_logs_spark.plans.registry import all_queries
+
+    fat = ("text#", "embedding#", "toks#", "toks_a#", "toks_b#",
+           "q_vec#", "c_vec#", "props#", "hashes#")
+    offenders = {}
+    for name, q in all_queries().items():
+        plan = q.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            body = line.lstrip(" :+-*")
+            if body.startswith("Exchange ") and "Broadcast" not in body:
+                hits = sorted({f for f in fat if f in line})
+                if hits:
+                    offenders.setdefault(name, []).append((hits, body[:160]))
+    assert not offenders, f"payload columns riding a shuffle: {offenders}"
