@@ -443,3 +443,28 @@ def test_no_fat_payload_exchanges(spark):
                 if hits:
                     offenders.setdefault(name, []).append((hits, body[:160]))
     assert not offenders, f"payload columns riding a shuffle: {offenders}"
+
+
+def test_python_stage_allowlist(spark):
+    """Registry-wide plan lint (round 6): Python evaluation nodes may appear
+    ONLY in the queries that declare a Python kernel — the Porter stemmer
+    (Arrow pandas_udf), the multimodal mapInPandas featurizer, and the B14
+    UDF-surface demos. Python in any other path is the row-at-a-time slow
+    path this engine's boundary policy (SCALE.md 'Python boundary policy')
+    forbids."""
+    from hadoop_web_browsing_logs_spark.plans.registry import all_queries
+
+    markers = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas", "FlatMapGroupsInPandasWithState", "AggregateInPandas")
+    allowed = {
+        "q_ref_pipeline", "q_text_stemmed_terms", "q_text_porter_gate",  # Porter stem
+        "q_multimodal_features",                                         # mapInPandas
+        "q_udf_grouped_map", "q_udf_grouped_agg", "q_udf_python_row",    # B14 demos
+    }
+    offenders = {}
+    for name, q in all_queries().items():
+        plan = q.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        hits = sorted({m for m in markers if m in plan})
+        if hits and name not in allowed:
+            offenders[name] = hits
+    assert not offenders, f"undeclared Python stages: {offenders}"
