@@ -121,10 +121,11 @@ def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 @query(
     "q_dedup_jaccard_pairs",
     oracle=f"""
-    WITH d AS (
+    WITH d0 AS (
         SELECT doc_id, {_DUCK_TOKS} AS toks
         FROM documents WHERE doc_id % {PAIR_STRIDE} = 0
-    )
+    ),
+    d AS (SELECT * FROM d0 WHERE len(toks) > 0)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
@@ -140,6 +141,11 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % PAIR_STRIDE == 0)
         .select("doc_id", distinct_tokens().alias("toks"))
+        # empty-token docs are excluded from token-set near-dup (round 6):
+        # Jaccard(∅,∅) is 0/0 — ANSI Spark throws where DuckDB's
+        # divide-by-zero NULL silently drops the pair (found by the
+        # randomized property test, tests/test_properties.py)
+        .filter(F.size("toks") > 0)
     )
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
@@ -180,8 +186,9 @@ def minhash_signature(tokens_col: Column) -> Column:
     permutation ``array_min(transform(...))`` form traverses the token array
     32 times and allocates 32 intermediate arrays per document — measured
     1.8× slower at sf0.1 for identical output. An empty token array yields
-    the init sentinel [PRIME]*32 (vs NULLs before); empty docs band-match
-    each other under both forms, so pair results are unchanged."""
+    the init sentinel [PRIME]*32 (vs NULLs before); the LSH pipeline
+    excludes empty-token docs before banding anyway (hot-bucket/0-division,
+    see minhash_lsh_pairs), so the sentinel only matters to direct callers."""
     base = F.transform(tokens_col, lambda tok: F.abs(F.xxhash64(tok)) % MINHASH_PRIME)
     return minhash_signature_from_hashes(base)
 
@@ -221,6 +228,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % (PAIR_STRIDE * 4) == 0)
         .select("doc_id", distinct_tokens().alias("toks"))
+        # empty docs out before pairing: exact Jaccard is 0/0 there (ANSI
+        # throws) and they carry no token signal to estimate
+        .filter(F.size("toks") > 0)
         .select("doc_id", "toks", minhash_signature(F.col("toks")).alias("sig"))
     )
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("sig").alias("sig_a"))
@@ -289,6 +299,14 @@ def minhash_lsh_pairs(docs: DataFrame, portable: bool = False) -> DataFrame:
             F.expr("array_distinct(transform(stoks, tok -> xxhash64(tok)))").alias("toks"),
             minhash_signature(F.col("stoks")).alias("sig"),
         )
+    # empty-token docs are excluded from near-dup entirely (round 6): they
+    # all share the init-sentinel signature, so at corpus scale millions of
+    # empty docs land in ONE band bucket — the classic LSH hot-bucket
+    # quadratic blowup — and their exact-Jaccard verify is 0/0, which ANSI
+    # Spark throws on where DuckDB's divide-by-zero NULL silently drops the
+    # pair (found by the randomized property test). The oracle twin carries
+    # the same len(hs) > 0 exclusion.
+    d = d.filter(F.size("toks") > 0)
     d = (
         d
         # the signature table is consumed 4x (both sides of the band join,
@@ -386,11 +404,12 @@ def _minhash_lsh_portable_oracle() -> str:
     frac = Fraction(str(JACCARD_THRESHOLD))
     num, den = frac.numerator, frac.denominator
     return f"""
-    WITH d AS (
+    WITH d0 AS (
         SELECT doc_id,
                list_distinct(list_transform({_DUCK_TOKS}, tok -> {_DUCK_POLY})) AS hs
         FROM documents WHERE doc_id % {PAIR_STRIDE} = 0
     ),
+    d AS (SELECT * FROM d0 WHERE len(hs) > 0),
     sigs AS (
         SELECT doc_id, hs,
                [{sig_exprs}] AS sig

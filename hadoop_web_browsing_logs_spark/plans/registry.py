@@ -98,7 +98,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_retention",
     "q_events_scd2",
     "q_events_gapfill",
-    "q_events_anomaly_zscore",
+    # round-6-modified (empty-token docs excluded from token-set near-dup —
+    # the 0/0-Jaccard ANSI crash + LSH hot-bucket fix found by the new
+    # randomized property test): takes q_events_anomaly_zscore's slot;
+    # anomaly is unchanged since r4 and rotates back next round
+    "q_dedup_jaccard_pairs",
     # round-6-modified (text distinct-count now fingerprint-keyed — the
     # fat-exchange audit's one hit): takes q_events_attribution's slot;
     # attribution is unchanged since r4 and rotates back next round

@@ -256,3 +256,66 @@ def test_global_cumsum_and_rank_partition_invariant(spark):
         for r in df.withColumn("c", F.sum("v").over(w).cast("bigint")).collect()
     )
     assert cum(1) == expected
+
+
+def test_sql_text_hash_expressions_match_reference_python(spark):
+    """Round-6 pin for the SQL-text expression rewrite (`_TOKS_SQL`,
+    `_POLY_SQL`, the xxhash64 band slots): on randomized documents the
+    parsed-SQL tokenizer+polynomial-hash pipeline must equal an independent
+    pure-Python evaluation of the same definitions, and the banded pipeline
+    must produce identical pairs through either hashing path's verify (the
+    exact-Jaccard stage is hash-representation-independent)."""
+    import random
+
+    from hadoop_web_browsing_logs_spark.operators.dedup import (
+        _POLY_SQL,
+        _TOKS_SQL,
+        HASH_MOD,
+        minhash_lsh_pairs,
+    )
+
+    rng = random.Random(20260814)
+    words = ["alpha", "beta", "Gamma", "DELTA", "epsilon!", "zeta", "ηθ", "k9"]
+    docs = [
+        (i, " ".join(rng.choices(words, k=rng.randint(0, 12))) + ("  " if i % 3 == 0 else ""))
+        for i in range(40)
+    ]
+
+    def py_toks(text):
+        import re as _re
+
+        seen, out = set(), []
+        for tok in (t for t in _re.split(r"\s+", text.strip().lower()) if t != ""):
+            if tok not in seen:
+                seen.add(tok)
+                out.append(tok)
+        return out
+
+    def py_poly(tok):
+        acc = 0
+        for ch in tok:
+            # Spark's ascii() takes the first code point; these tokens are
+            # ASCII except ηθ, where ascii() yields the code point as well
+            acc = (acc * 31 + ord(ch)) % HASH_MOD
+        return acc
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (list(r["toks"]), list(r["hs"]))
+        for r in df.select(
+            "doc_id",
+            F.expr(_TOKS_SQL).alias("toks"),
+            F.expr(f"transform({_TOKS_SQL}, tok -> {_POLY_SQL})").alias("hs"),
+        ).collect()
+    }
+    for doc_id, text in docs:
+        toks = py_toks(text)
+        assert got[doc_id][0] == toks, (doc_id, text)
+        assert got[doc_id][1] == [py_poly(t) for t in toks], (doc_id, text)
+
+    # pair-level: portable (concat slots + poly hashes) and throughput
+    # (xxhash64 slots + xxhash64 verify arrays) disagree only with
+    # ~2^-64 collision probability — on 40 docs they must be identical
+    portable = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(df, portable=True).collect()}
+    fast = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(df, portable=False).collect()}
+    assert portable == fast
