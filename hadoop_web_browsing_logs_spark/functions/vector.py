@@ -37,7 +37,14 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL for zero-norm inputs (round 6): cosine is undefined there, and
+    the two engines must agree on that — DuckDB's divide-by-zero yields NULL
+    natively, while ANSI Spark throws DIVIDE_BY_ZERO (even for DOUBLE), so a
+    single zero embedding — routine at corpus scale: dead rows, padding —
+    crashed every similarity query. ``try_divide`` restores the IEEE-style
+    total function with DuckDB's exact semantics; non-zero denominators are
+    bit-identical to plain division."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_distance(a: Column | str, b: Column | str) -> Column:

@@ -95,7 +95,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_stringagg",
     # --- start of the round-4 cohort (oldest-first continues next round) ---
     "q_events_funnel",
-    "q_events_retention",
+    # round-6-modified (cosine kernel is now try_divide — total on
+    # zero-norm vectors, matching DuckDB's divide-by-zero NULL): the most
+    # cosine-central pending query takes q_events_retention's slot;
+    # retention is unchanged since r4 and rotates back next round
+    "q_sim_cosine_topk",
     "q_events_scd2",
     "q_events_gapfill",
     # round-6-modified (empty-token docs excluded from token-set near-dup —

@@ -319,3 +319,20 @@ def test_sql_text_hash_expressions_match_reference_python(spark):
     portable = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(df, portable=True).collect()}
     fast = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(df, portable=False).collect()}
     assert portable == fast
+
+
+def test_cosine_similarity_total_on_zero_vectors(spark):
+    """Round-6 pin: cosine of a zero-norm vector is NULL (undefined), not a
+    DIVIDE_BY_ZERO crash — ANSI Spark throws even on DOUBLE 0/0 where the
+    DuckDB oracle fragment yields NULL natively, so the kernel must use
+    try_divide for the two engines to agree. Non-zero inputs keep the exact
+    sequential-accumulation bits."""
+    from hadoop_web_browsing_logs_spark.functions.vector import cosine_similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], [1.0, 2.0]), (2, [0.0, 0.0], [0.0, 0.0]), (3, [3.0, 4.0], [3.0, 4.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {r["id"]: r["cos"] for r in df.select("id", cosine_similarity("a", "b").alias("cos")).collect()}
+    assert rows[1] is None and rows[2] is None
+    assert abs(rows[3] - 1.0) < 1e-12
