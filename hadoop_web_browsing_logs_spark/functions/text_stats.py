@@ -63,9 +63,13 @@ def distinct_token_count(tokens: Column) -> Column:
 
 
 def avg_token_len(tokens: Column) -> Column:
-    """Mean token length; exact integer sum / count → deterministic double."""
+    """Mean token length; exact integer sum / count → deterministic double.
+
+    NULL for empty token arrays (round 6): DuckDB's ``list_sum([])`` is NULL
+    and its divide-by-zero is NULL, while ANSI Spark throws on 0/0 —
+    ``try_divide`` gives both engines the same answer on empty documents."""
     total = F.aggregate(F.transform(tokens, F.length), F.lit(0), lambda acc, x: acc + x)
-    return total.cast("double") / F.size(tokens)
+    return F.try_divide(total.cast("double"), F.size(tokens))
 
 
 def quality_score(tokens: Column, n_chars: Column) -> Column:
@@ -73,8 +77,10 @@ def quality_score(tokens: Column, n_chars: Column) -> Column:
     natural stopword density, penalizes extreme lengths. Pure arithmetic —
     identical expression evaluated by the oracle."""
     n = F.size(tokens)
-    uniq_ratio = distinct_token_count(tokens).cast("double") / n
-    stop_ratio = stopword_count(tokens).cast("double") / n
+    # try_divide: empty documents score NULL on both engines (DuckDB's
+    # divide-by-zero NULL; ANSI Spark would otherwise throw on 0/0)
+    uniq_ratio = F.try_divide(distinct_token_count(tokens).cast("double"), n)
+    stop_ratio = F.try_divide(stopword_count(tokens).cast("double"), n)
     len_penalty = F.when((n < 5) | (n > 10000), F.lit(0.5)).otherwise(F.lit(1.0))
     return (uniq_ratio * 0.6 + stop_ratio * 0.4) * len_penalty
 

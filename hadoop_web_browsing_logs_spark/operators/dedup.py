@@ -560,9 +560,15 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     )
     # BIGINT on both engines: DuckDB list_sum/len widen to HUGEINT/BIGINT,
     # Spark's INT-accumulator aggregate stayed INT (round-1 driver hash-FAIL).
+    # Empty-token docs sign as 0 on both engines (round 6): DuckDB's inner
+    # list_sum over an empty vote list is NULL, so every CASE WHEN >= 0 is
+    # false → simhash 0 — while Spark's 0-init aggregate made each empty
+    # vote 0 >= 0 → all 16 bits set (65535). "No tokens → no evidence → no
+    # bits" is the semantic both engines now share.
+    packed = F.aggregate(bit_votes, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
     return d.select(
         "doc_id",
-        F.aggregate(bit_votes, F.lit(0).cast("bigint"), lambda acc, v: acc + v).alias("simhash"),
+        F.when(F.size("hashes") == 0, F.lit(0).cast("bigint")).otherwise(packed).alias("simhash"),
         F.size("hashes").cast("bigint").alias("n_tokens"),
     )
 
@@ -688,7 +694,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(F.col("vec_id").alias("nearest_id"), F.col("embedding").alias("vb")).withColumn(
         "_nb", norm("vb")
     )
-    sim = dot("va", "vb") / (F.col("_na") * F.col("_nb"))
+    sim = F.try_divide(dot("va", "vb"), F.col("_na") * F.col("_nb"))
     w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nearest_id"))
     return (
         a.crossJoin(b)

@@ -49,9 +49,10 @@ def _duck_hash_bucket(expr: str, buckets: int = 100) -> str:
 @query(
     "q_llm_chunk",
     oracle=f"""
-    WITH d AS (
+    WITH d0 AS (
         SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 10 = 0
-    )
+    ),
+    d AS (SELECT * FROM d0 WHERE len(toks) > 0)
     SELECT doc_id, chunk_idx,
            array_to_string(toks[(chunk_idx * {CHUNK_STRIDE} + 1):(chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS})], ' ') AS chunk_text,
            LEAST({CHUNK_TOKENS}, len(toks) - chunk_idx * {CHUNK_STRIDE}) AS n_tokens
@@ -64,7 +65,10 @@ def _duck_hash_bucket(expr: str, buckets: int = 100) -> str:
 def q_llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
-    d = docs.select("doc_id", toks.alias("toks"))
+    # an empty document has nothing to chunk (round 6): without the guard
+    # both engines emitted a phantom 0-token chunk whose text rendered ''
+    # on Spark but NULL on DuckDB — excluded identically on both sides
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
     n_chunks = F.greatest(
         (F.ceil((F.size("toks") - CHUNK_TOKENS) / float(CHUNK_STRIDE))).cast("int") + 1, F.lit(1)
     )
@@ -243,18 +247,23 @@ def q_llm_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
     n_tok = F.size("toks")
-    mean_wlen = (
-        F.aggregate(F.transform("toks", F.length), F.lit(0), lambda a, x: a + x).cast("double") / n_tok
+    # try_divide: empty docs yield NULL ratios on both engines (DuckDB's
+    # list_sum([])/list_max([]) are NULL and its divide-by-zero is NULL;
+    # ANSI Spark would throw on the 0/0) — NULL then fails every BETWEEN/<=
+    # rule identically, so empty docs count in n_docs but pass nothing.
+    mean_wlen = F.try_divide(
+        F.aggregate(F.transform("toks", F.length), F.lit(0), lambda a, x: a + x).cast("double"),
+        n_tok,
     )
     # repetition: highest single-term frequency / total tokens
-    rep = (
+    rep = F.try_divide(
         F.array_max(
             F.transform(
                 F.array_distinct("toks"),
                 lambda u: F.size(F.filter("toks", lambda x: x == u)),
             )
-        ).cast("double")
-        / n_tok
+        ).cast("double"),
+        n_tok,
     )
     d = docs.select("lang", toks.alias("toks")).select(
         "lang", n_tok.alias("n_tok"), mean_wlen.alias("mean_wlen"), rep.alias("rep_ratio")

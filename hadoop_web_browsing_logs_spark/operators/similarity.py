@@ -81,7 +81,7 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")).withColumn(
         "c_norm", norm("c_vec")
     )
-    sim = dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))
+    sim = F.try_divide(dot("q_vec", "c_vec"), F.col("q_norm") * F.col("c_norm"))
     return (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("c_id"))
@@ -104,7 +104,7 @@ def brute_force_topk(
 
     q = queries.withColumn("q_norm", norm("q_vec"))
     c = candidates.withColumn("c_norm", norm("c_vec"))
-    sim = dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))
+    sim = F.try_divide(dot("q_vec", "c_vec"), F.col("q_norm") * F.col("c_norm"))
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (
         q.crossJoin(c)
@@ -334,7 +334,7 @@ def q_sim_ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = F.transform(
         "_cs",
         lambda c: F.struct(
-            (F.lit(1.0) - dot(F.col("q_vec"), c["cvec"]) / (F.col("_qn") * c["_cn"])).alias("qdist"),
+            (F.lit(1.0) - F.try_divide(dot(F.col("q_vec"), c["cvec"]), F.col("_qn") * c["_cn"])).alias("qdist"),
             c["center_id"].alias("center_id"),
         ),
     )
@@ -347,7 +347,7 @@ def q_sim_ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     data = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")).withColumn(
         "_dn", norm("c_vec")
     )
-    sim = dot("q_vec", "c_vec") / (F.col("_qn") * F.col("_dn"))
+    sim = F.try_divide(dot("q_vec", "c_vec"), F.col("_qn") * F.col("_dn"))
     return (
         probes.join(cells, probes["center_id"] == cells["cell_center"])
         .join(data, F.col("cell_vec") == F.col("c_id"))
@@ -395,7 +395,7 @@ def ivf_ann_recall(
     )
     qn = queries.withColumn("_qn", norm("q_vec"))
     cn = centers.withColumn("_cn", norm("cvec"))
-    qdist = F.lit(1.0) - dot("q_vec", "cvec") / (F.col("_qn") * F.col("_cn"))
+    qdist = F.lit(1.0) - F.try_divide(dot("q_vec", "cvec"), F.col("_qn") * F.col("_cn"))
     wq = W.partitionBy("q_id").orderBy("qdist", "center_id")
     probes = (
         qn.crossJoin(F.broadcast(cn))

@@ -62,7 +62,7 @@ def nearest_center(points: DataFrame, centers: DataFrame, id_col: str = "vec_id"
             lambda c0: F.struct(
                 (
                     F.lit(1.0)
-                    - dot(F.col(vec_col), c0["cvec"]) / (F.col("_pn") * c0["_cn"])
+                    - F.try_divide(dot(F.col(vec_col), c0["cvec"]), F.col("_pn") * c0["_cn"])
                 ).alias("dist"),
                 c0["center_id"].alias("center_id"),
             ),

@@ -1,0 +1,129 @@
+"""Adversarial-fixture differential gate (round 6).
+
+100 TB corpora contain garbage: empty and whitespace-only documents,
+zero-norm embeddings (dead rows, padding), constant-value event bursts
+(stddev 0), null JSON props. Round 6's sweep of the full registry over such
+a fixture found five real defects — ANSI Spark throws DIVIDE_BY_ZERO where
+DuckDB's division yields NULL (token-Jaccard 0/0, cosine of zero vectors,
+quality-score ratios), SimHash signed empty docs as all-ones vs DuckDB's 0,
+and chunking emitted a phantom empty chunk rendered '' vs NULL. This test
+pins the fixes: it poisons a copy of the sf0.001 fixture with those rows and
+replays EVERY registered oracle differentially — an engine crash or an
+engine/oracle divergence on degenerate data fails with the query named.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pytest
+
+from hadoop_web_browsing_logs_spark.plans.registry import all_queries
+from hadoop_web_browsing_logs_spark.sources.readers import TABLE_NAMES
+
+from .conftest import SF_DIR, canonical_rows, duck_fetch_typed
+
+
+@pytest.fixture(scope="module")
+def adversarial_sf(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("adversarial_sf"))
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        if t in ("documents", "events", "embeddings"):
+            continue
+        shutil.copy(os.path.join(SF_DIR, f"{t}.parquet"), os.path.join(dst, f"{t}.parquet"))
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')
+      UNION ALL
+      SELECT * FROM (VALUES
+        (90000, '',            'en', 'webx', 0),
+        (90005, '   ',         'en', 'webx', 3),
+        (90010, 'aaa aaa aaa', 'xx', 'webx', 11),
+        (90015, '',            'xx', 'webx', 0),
+        (90020, 'zz',          'en', 'webx', 2)
+      ) AS t(doc_id, text, lang, source, n_chars)
+    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{SF_DIR}/events.parquet')
+      UNION ALL
+      SELECT * FROM (VALUES
+        (900001, TIMESTAMP '2024-03-01 00:00:00', 7001, 'constant_evt', 5.0, '{{"k": 1}}'),
+        (900002, TIMESTAMP '2024-03-01 00:10:00', 7001, 'constant_evt', 5.0, '{{"k": 2}}'),
+        (900003, TIMESTAMP '2024-03-01 00:20:00', 7002, 'constant_evt', 5.0, '{{"k": 3}}'),
+        (900004, TIMESTAMP '2024-03-02 09:00:00', 7003, 'lonely_evt',   1.5, NULL)
+      ) AS t(event_id, ts, user_id, event_type, value, props)
+    ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')
+      UNION ALL
+      SELECT 90000 AS vec_id, CAST(list_transform(range(64), x -> 0.0) AS FLOAT[]) AS embedding, 0 AS label
+      UNION ALL
+      SELECT 90050, CAST(list_transform(range(64), x -> 0.0) AS FLOAT[]), 1
+    ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    return dst
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    bool(os.environ.get("SPARK_GRAFT_SKIP_FULL_AUDIT")),
+    reason="SPARK_GRAFT_SKIP_FULL_AUDIT set",
+)
+def test_every_oracle_survives_adversarial_rows(spark, adversarial_sf):
+    con = duckdb.connect()
+    try:
+        for name in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM "
+                f"read_parquet('{os.path.join(adversarial_sf, name + '.parquet')}')"
+            )
+        failures: dict[str, str] = {}
+        audited = 0
+        for name, q in sorted(all_queries().items()):
+            if q.oracle is None:
+                continue
+            audited += 1
+            try:
+                sdf = q.fn(spark, adversarial_sf)
+                s_cols = [c.lower() for c in sdf.columns]
+                s_rows = [tuple(r) for r in sdf.collect()]
+                d_cols, d_rows = duck_fetch_typed(con.execute(q.oracle))
+                d_cols = [c.lower() for c in d_cols]
+                if sorted(s_cols) != sorted(d_cols):
+                    raise AssertionError(
+                        f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}"
+                    )
+                if len(s_rows) != len(d_rows):
+                    raise AssertionError(f"rows spark={len(s_rows)} duck={len(d_rows)}")
+                if canonical_rows(s_cols, s_rows) != canonical_rows(d_cols, d_rows):
+                    diffs = [
+                        (a, b)
+                        for a, b in zip(
+                            canonical_rows(s_cols, s_rows), canonical_rows(d_cols, d_rows)
+                        )
+                        if a != b
+                    ][:3]
+                    raise AssertionError(f"values differ; first diffs: {diffs}")
+            except Exception as e:  # noqa: BLE001 — collect, report all
+                if q.oracle.strip().upper() == "SELECT TRUE AS OK":
+                    # threshold gates are calibrated on the clean fixture;
+                    # the poisoned rows may legitimately shift a recall or
+                    # purity floor — crashes still surface via the queries
+                    # the gates compose
+                    continue
+                failures[name] = str(e)[:400]
+        assert audited >= 120, f"registry shrank? only {audited} oracled queries"
+        assert not failures, (
+            f"{len(failures)}/{audited} oracles crash or diverge on adversarial "
+            f"rows: {failures}"
+        )
+    finally:
+        con.close()
