@@ -342,7 +342,10 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                COUNT(*) AS n,
                CAST(SUM(CAST(ROUND(sum_value * 100) AS BIGINT)) AS DOUBLE) / 100 AS s1,
-               CAST(SUM(CAST(ROUND(sum_value * 100) AS BIGINT) * CAST(ROUND(sum_value * 100) AS BIGINT)) AS DOUBLE) / 10000 AS s2
+               -- HUGEINT square: INT64 * INT64 overflows DuckDB at
+               -- cents² >= 2^63 (the engine squares in DECIMAL(38,0) for
+               -- the same reason); both stay exact integers -> same double
+               CAST(SUM(CAST(ROUND(sum_value * 100) AS HUGEINT) * CAST(ROUND(sum_value * 100) AS HUGEINT)) AS DOUBLE) / 10000 AS s2
         FROM hourly GROUP BY event_type
     )
     SELECT h.event_type, h.hour, h.sum_value,
@@ -377,10 +380,18 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("value").alias("sum_value"))
     )
     cents = F.round(F.col("sum_value") * 100).cast("bigint")
+    # square in DECIMAL(38,0), not BIGINT (round 6): DuckDB silently widens
+    # BIGINT*BIGINT to HUGEINT (int128), so an hourly sum of 1e12 — cents²
+    # = 1e28 — overflowed Spark's long (ANSI ARITHMETIC_OVERFLOW) while the
+    # oracle sailed on. decimal(38,0) covers the square of the entire
+    # BIGINT-cents domain (9.2e18² ≈ 8.5e37 < 1e38) with exact integer
+    # arithmetic, so the cast-to-double result stays bit-identical to
+    # DuckDB's HUGEINT path.
+    sq = cents.cast("decimal(38,0)")
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum(cents).cast("double") / 100).alias("s1"),
-        (F.sum(cents * cents).cast("double") / 10000).alias("s2"),
+        (F.sum(sq * sq).cast("double") / 10000).alias("s2"),
     )
     j = hourly.join(F.broadcast(stats), "event_type")
     mean = F.col("s1") / F.col("n")

@@ -101,7 +101,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # retention is unchanged since r4 and rotates back next round
     "q_sim_cosine_topk",
     "q_events_scd2",
-    "q_events_gapfill",
+    # round-6-modified (sum-of-squares widened to DECIMAL(38,0) — the
+    # BIGINT overflow the extended adversarial fixture caught): reclaims a
+    # seat, displacing q_events_gapfill (unchanged since r4, rotates next
+    # round)
+    "q_events_anomaly_zscore",
     # round-6-modified (empty-token docs excluded from token-set near-dup —
     # the 0/0-Jaccard ANSI crash + LSH hot-bucket fix found by the new
     # randomized property test): takes q_events_anomaly_zscore's slot;

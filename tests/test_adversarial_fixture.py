@@ -43,7 +43,13 @@ def adversarial_sf(tmp_path_factory):
         (90005, '   ',         'en', 'webx', 3),
         (90010, 'aaa aaa aaa', 'xx', 'webx', 11),
         (90015, '',            'xx', 'webx', 0),
-        (90020, 'zz',          'en', 'webx', 2)
+        (90020, 'zz',          'en', 'webx', 2),
+        -- non-ASCII: the portable polynomial hash leans on ascii(), which
+        -- must agree between Spark and DuckDB beyond codepoint 127
+        (90025, 'héllo wörld こんにちは 👋 mixé', 'xx', 'webx', 25),
+        -- one pathologically long doc: chunk-count arithmetic, length
+        -- penalties, substring windows
+        (90030, repeat('lorem ipsum dolor sit amet ', 4000), 'en', 'webx', 108000)
       ) AS t(doc_id, text, lang, source, n_chars)
     ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
     """)
@@ -55,7 +61,11 @@ def adversarial_sf(tmp_path_factory):
         (900001, TIMESTAMP '2024-03-01 00:00:00', 7001, 'constant_evt', 5.0, '{{"k": 1}}'),
         (900002, TIMESTAMP '2024-03-01 00:10:00', 7001, 'constant_evt', 5.0, '{{"k": 2}}'),
         (900003, TIMESTAMP '2024-03-01 00:20:00', 7002, 'constant_evt', 5.0, '{{"k": 3}}'),
-        (900004, TIMESTAMP '2024-03-02 09:00:00', 7003, 'lonely_evt',   1.5, NULL)
+        (900004, TIMESTAMP '2024-03-02 09:00:00', 7003, 'lonely_evt',   1.5, NULL),
+        -- negative + extreme values: money-sum cents arithmetic, z-scores,
+        -- window frames must not assume non-negative inputs
+        (900005, TIMESTAMP '2024-03-02 09:01:00', 7003, 'view',  -123.45, '{{"k": -1}}'),
+        (900006, TIMESTAMP '2024-03-02 09:02:00', 7003, 'view', 1e12,     '{{"k": 0}}')
       ) AS t(event_id, ts, user_id, event_type, value, props)
     ) TO '{dst}/events.parquet' (FORMAT PARQUET)
     """)
