@@ -24,6 +24,17 @@ from hadoop_web_browsing_logs_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 MEDIAN_OF = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+#: Opt-in: call ``session.release_caches`` after every timed query, dropping
+#: the localCheckpoint blocks queries accumulate. Round-7 measurement
+#: (SCALE.md): at sf0.1 on this box the effect is inside noise, so the
+#: default stays off; a memory-tight host can flip it on.
+RELEASE_BETWEEN = os.environ.get("SPARK_GRAFT_BENCH_RELEASE", "") == "1"
+
+#: Round-1 anchor (BENCH_r01.json's 21-query total): the reference publishes
+#: no numbers, so this is the standing baseline every round is graded
+#: against; reporting the ratio here stops round-over-round verdicts from
+#: re-deriving it (VERDICT r6 item 7).
+R1_ANCHOR_SEC = 19.423
 
 #: Headline set: one representative per operator family (kept small enough for
 #: a per-round driver run, broad enough to catch a regression in any family).
@@ -72,7 +83,13 @@ def main() -> None:
     def run_once(n: str) -> float:
         t0 = time.perf_counter()
         queries[n].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        if RELEASE_BETWEEN:
+            from hadoop_web_browsing_logs_spark.session import release_caches
+
+            release_caches(spark)  # outside the timed span: lifecycle hygiene,
+            # not query cost — blocks are per-call, never reused across calls
+        return dt
 
     # Warm-up pass: full execution (JVM JIT, parquet footers, Python workers,
     # broadcast caches) — first-query JIT otherwise dominates the measurement.
@@ -109,8 +126,14 @@ def main() -> None:
                 "queries": per_query,
                 "queries_min": per_query_min,
                 "value_min": round(sum(per_query_min.values()), 3),
+                "value_min_baseline_set": round(
+                    sum(per_query_min[n] for n in BASELINE_SET if n in per_query_min), 3
+                ),
+                "anchor_r1_sec": R1_ANCHOR_SEC,
+                "vs_r1_anchor": round(baseline_total / R1_ANCHOR_SEC, 3),
                 "load_avg_1m": load_avg,
                 "median_of": MEDIAN_OF,
+                "release_between": RELEASE_BETWEEN,
                 "sf": float(sf) if sf else None,
             }
         )

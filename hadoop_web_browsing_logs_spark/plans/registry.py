@@ -39,93 +39,77 @@ _REGISTRY: dict[str, Query] = {}
 #: round 2 certified the 45 queries round 1 never reached; round 3
 #: re-certified the 40 whose last green row predated the round-2 refactors;
 #: round 4 completed first-pass coverage; round 5 re-certified the entire
-#: last-green-round-2 cohort plus the round-4/5-modified gate paths and
-#: added the Porter gate. Round 6 (VERDICT r5 items 1-2): slot 1 is the NEW
-#: q_stream_equiv_gate (B13's streaming==batch property, previously
-#: pytest-only, now a driver-hashable row); slots 2-4 re-seat the three
-#: MinHash queries whose signature/banding construction was rewritten this
-#: round (SQL-text expression build — identical values, new code path);
-#: slots 5-6 are the last two round-2-cohort stragglers (displaced from the
-#: round-5 window by the templating re-seats); the next 30 slots re-certify
-#: the ENTIRE remaining round-3 cohort — the oldest green rows in the
-#: system; the final 14 begin the round-4 cohort (events family, dedup
-#: graph/substring, leakage-safe LLM ops, expectations, range search). The
-#: 26 round-4-cohort queries still outside the window rotate in next round.
+#: last-green-round-2 cohort; round 6 seated the new q_stream_equiv_gate,
+#: the minhash-rewrite re-seats, the full round-3 cohort, and the head of
+#: the round-4 cohort. Round 7 (VERDICT r6 items 1-2, 6) closes the
+#: certification lag: slot 1 is the NEW session-window streaming gate; slot
+#: 2 re-seats q_stream_equiv_gate (its comparator became the shared
+#: null-safe ``equiv_ok`` this round); slots 3-11 re-seat every remaining
+#: round-6-modified query the r6 window couldn't fit (the try_divide cosine
+#: family, SimHash empty-doc exclusions, text-stats quality scorer); slots
+#: 12-38 are the ENTIRE remaining round-4 cohort — after this round no
+#: query's last driver-green row predates round 5; slots 39-50 begin the
+#: round-5 cohort oldest-first (the remaining 25 rotate in round 8).
 #: Displaced queries stay locally oracle-replayed by pytest at each run.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- slot 1: NEW round-6 gate — streaming replay == batch twin ---
+    # --- slot 1: NEW round-7 gate — session-window streaming == batch ---
+    "q_stream_session_equiv_gate",
+    # --- re-seat: comparator refactored to null-safe equiv_ok this round ---
     "q_stream_equiv_gate",
-    # --- re-seats: minhash signature/banding build rewritten this round ---
-    "q_dedup_minhash_lsh_portable",
-    "q_dedup_minhash_gate",
-    "q_dedup_minhash_lsh_gate",
-    # --- the last two round-2-cohort rows (displaced from the r5 window) ---
-    "q_scalar_string2",
-    "q_scalar_array2",
-    # --- the full remaining round-3 cohort (30) ---
-    "q_llm_chunk",
-    "q_llm_mix_stratified",
-    "q_llm_split",
-    "q_llm_scrub",
-    "q_llm_quality_rules",
-    "q_multimodal_frame_sample",
-    "q_filter_project",
-    "q_join_left",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_multiway",
-    "q_join_range",
-    "q_join_theta",
-    "q_agg_stats",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_window_lag_lead",
-    "q_window_frames",
-    "q_window_ntile",
-    "q_topk_per_group",
-    "q_set_ops",
-    "q_distinct",
-    "q_scalar_date",
-    "q_pivot",
-    "q_unpivot",
-    "q_asof_join",
-    "q_agg_percentile",
-    "q_agg_variance",
-    "q_agg_stringagg",
-    # --- start of the round-4 cohort (oldest-first continues next round) ---
-    "q_events_funnel",
-    # round-6-modified (cosine kernel is now try_divide — total on
-    # zero-norm vectors, matching DuckDB's divide-by-zero NULL): the most
-    # cosine-central pending query takes q_events_retention's slot;
-    # retention is unchanged since r4 and rotates back next round
-    "q_sim_cosine_topk",
-    "q_events_scd2",
-    # round-6-modified (sum-of-squares widened to DECIMAL(38,0) — the
-    # BIGINT overflow the extended adversarial fixture caught): reclaims a
-    # seat, displacing q_events_gapfill (unchanged since r4, rotates next
-    # round)
-    "q_events_anomaly_zscore",
-    # round-6-modified (empty-token docs excluded from token-set near-dup —
-    # the 0/0-Jaccard ANSI crash + LSH hot-bucket fix found by the new
-    # randomized property test): takes q_events_anomaly_zscore's slot;
-    # anomaly is unchanged since r4 and rotates back next round
-    "q_dedup_jaccard_pairs",
-    # round-6-modified (text distinct-count now fingerprint-keyed — the
-    # fat-exchange audit's one hit): takes q_events_attribution's slot;
-    # attribution is unchanged since r4 and rotates back next round
-    "q_profile_documents",
-    "q_dedup_substring",
-    "q_dedup_components",
-    "q_dedup_keep_canonical",
-    "q_llm_domain_cap",
-    "q_llm_repetition_rules",
-    "q_llm_split_leakage_safe",
-    "q_quality_expectations",
-    # round-6-modified (bitset statistics cache): takes q_sim_range_search's
-    # slot from VERDICT r5's named list — range search is an unchanged-
-    # since-r4 crossJoin baseline and rotates back next round
-    "q_join_bloom_prefilter",
+    # --- round-6-modified re-seats the r6 window couldn't fit: the
+    # try_divide cosine kernel family (functions/vector.py)… ---
+    "q_vec_nearest_center",
+    "q_vec_cluster_groups",
+    "q_sim_range_search",
+    "q_sim_lsh_candidates_portable",
+    "q_sim_ivf_candidates",
+    "q_sim_lsh_ann_gate",
+    "q_sim_ivf_ann_gate",
+    "q_dedup_embedding",
+    # --- …the SimHash empty-doc exclusion, and the text-stats rewrite ---
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
+    "q_text_quality",
+    # --- the full remaining round-4 cohort (25 — nearest_center and
+    # range_search above are also its members) ---
+    "q1_pricing_summary",
+    "q_join_inner",
+    "q_join_nullsafe",
+    "q_topk_global",
+    "q_scalar_string",
+    "q_agg_histogram",
+    "q_agg_approx_distinct_gate",
+    "q_agg_approx_percentile_gate",
+    "q_window_rank",
+    "q_window_rank_salted",
+    "q_window_ntile_distributed",
+    "q_events_attribution",
+    "q_events_gapfill",
+    "q_events_retention",
+    "q_dedup_exact",
+    "q_llm_decontaminate",
+    "q_multimodal_features",
+    "q_ref_pipeline_unstemmed",
+    "q_text_inverted_index",
+    "q_text_tfidf",
+    "q_text_collocations",
+    "q_vec_quantize_int8",
+    "q_udf_grouped_map",
+    "q_stream_tumbling_batch",
+    "q_stream_static_join_batch",
+    # --- round-5 cohort, oldest-first (12 of 37; 25 rotate in round 8) ---
+    "q_agg_bool_bit",
+    "q_agg_conditional",
+    "q_agg_grouping_sets",
+    "q_cte_pipeline",
+    "q_events_rollup_multires",
+    "q_exists_priority",
+    "q_join_right",
+    "q_join_sixway",
+    "q_llm_pack_sequences",
+    "q_llm_token_budget",
+    "q_merge_upsert",
+    "q_profile_columns",
 )
 
 

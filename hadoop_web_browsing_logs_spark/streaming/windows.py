@@ -23,6 +23,7 @@ with the watermark bounding the dedup state window.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -420,11 +421,13 @@ def _stream_static_oracle() -> str:
 _STREAM_EQUIV_CACHE: dict[str, str] = {}
 
 
-def _replay_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the watermarked tumbling aggregation as a real Structured Streaming
-    query over the events fixture (file source, one file per micro-batch,
-    ``availableNow`` so the query drains and stops) and return the FINAL
-    complete-mode result as a batch DataFrame.
+def _replay_events_stream(
+    spark: SparkSession, sf_dir: str, build: Callable[[DataFrame], DataFrame], tag: str
+) -> DataFrame:
+    """Run ``build(stream)`` as a real Structured Streaming query over the
+    events fixture (file source, one file per micro-batch, ``availableNow`` so
+    the query drains and stops) and return the FINAL complete-mode result as a
+    batch DataFrame.
 
     The sink is ``foreachBatch`` → parquet overwrite: complete mode re-emits
     the whole updated result each micro-batch, so after termination the
@@ -436,10 +439,10 @@ def _replay_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_path = os.path.join(sf_dir, "events.parquet")
     # mtime in the key: a regenerated fixture re-runs the replay (same
     # contract as the bloom bitset statistics cache)
-    key = f"{os.path.abspath(events_path)}:{os.path.getmtime(events_path)}"
+    key = f"{tag}:{os.path.abspath(events_path)}:{os.path.getmtime(events_path)}"
     out = _STREAM_EQUIV_CACHE.get(key)
     if out is None:
-        root = tempfile.mkdtemp(prefix="spark_graft_stream_equiv_")
+        root = tempfile.mkdtemp(prefix=f"spark_graft_stream_equiv_{tag}_")
         sink = os.path.join(root, "result")
         # the file stream source requires a DIRECTORY; the fixture is a single
         # .parquet file — stage a symlink dir (no data copy)
@@ -448,7 +451,7 @@ def _replay_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             src_dir = os.path.join(root, "input")
             os.mkdir(src_dir)
             os.symlink(events_path, os.path.join(src_dir, "events.parquet"))
-        stream = tumbling_agg(read_events_stream(spark, src_dir))
+        stream = build(read_events_stream(spark, src_dir))
         q = (
             stream.writeStream.outputMode("complete")
             .foreachBatch(lambda df, _epoch: df.write.mode("overwrite").parquet(sink))
@@ -463,6 +466,40 @@ def _replay_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = sink
         _STREAM_EQUIV_CACHE[key] = out
     return spark.read.parquet(out)
+
+
+def _replay_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _replay_events_stream(spark, sf_dir, tumbling_agg, "tumbling")
+
+
+def equiv_ok(b: DataFrame, s: DataFrame, keys: list[str], vals: list[str]) -> DataFrame:
+    """Fail-exact frame-equivalence verdict shared by the streaming gates:
+    null-safe full-outer join ``b`` and ``s`` on ``keys`` and emit one row
+    ``ok = (non-empty AND zero rows where any key or value column differs)``.
+
+    Every comparison is ``~eqNullSafe`` (VERDICT r6): a matched group with
+    NULL on one side and a value on the other makes plain ``!=`` evaluate
+    NULL, which ``when(bad, …)`` would silently not flag. Unmatched join rows
+    surface as NULL-vs-value on the other side's columns; for that to be
+    guaranteed-caught, ``vals`` must include a never-NULL column (a
+    ``count(*)``) — both gates do."""
+    from functools import reduce
+    from operator import and_, or_
+
+    bb = b.select(*[F.col(c).alias(f"b_{c}") for c in keys + vals])
+    ss = s.select(*[F.col(c).alias(f"s_{c}") for c in keys + vals])
+    cond = reduce(and_, [F.col(f"b_{k}").eqNullSafe(F.col(f"s_{k}")) for k in keys])
+    j = bb.join(ss, cond, "full_outer")
+    bad = reduce(
+        or_,
+        [~F.col(f"b_{c}").eqNullSafe(F.col(f"s_{c}")) for c in keys + vals],
+    )
+    return j.agg(
+        (
+            (F.count(F.lit(1)) > 0)
+            & (F.sum(F.when(bad, 1).otherwise(0)) == 0)
+        ).alias("ok")
+    )
 
 
 @query(
@@ -486,35 +523,37 @@ def q_stream_equiv_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # well-defined even on a fixture that introduces null timestamps
     batch = tumbling_agg(_batch_events(spark, sf_dir).filter(F.col("ts").isNotNull()))
     streamed = _replay_tumbling_stream(spark, sf_dir)
-    b = batch.select(
-        "window_start", "event_type",
-        F.col("n_events").alias("b_n"), F.col("sum_value").alias("b_sum"),
-    )
-    s = streamed.select(
-        "window_start", "event_type",
-        F.col("n_events").alias("s_n"), F.col("sum_value").alias("s_sum"),
-    )
     # null-safe key equality: groupBy puts null keys in a real group, so the
     # comparison must pair them too (a plain using-columns full outer would
     # leave null-key groups unmatched and red the gate on a fixture that
     # introduces null event_types — fail-exact, not fail-spurious)
-    j = b.join(
-        s,
-        b["window_start"].eqNullSafe(s["window_start"])
-        & b["event_type"].eqNullSafe(s["event_type"]),
-        "full_outer",
+    return equiv_ok(
+        batch, streamed, ["window_start", "event_type"], ["n_events", "sum_value"]
     )
-    bad = (
-        F.col("b_n").isNull()
-        | F.col("s_n").isNull()
-        | (F.col("b_n") != F.col("s_n"))
-        | (F.col("b_sum") != F.col("s_sum"))
-    )
-    return j.agg(
-        (
-            (F.count(F.lit(1)) > 0)
-            & (F.sum(F.when(bad, 1).otherwise(0)) == 0)
-        ).alias("ok")
+
+
+@query(
+    "q_stream_session_equiv_gate",
+    oracle="SELECT TRUE AS ok",
+    category="streaming",
+    description=(
+        "Session-window streaming-equivalence gate (VERDICT r6 item 6): "
+        "replays the events fixture through readStream and emits ok = the "
+        "streamed watermarked per-user session_window aggregation — the one "
+        "stateful windowing shape, where Spark MERGES adjacent session state "
+        "across rows — equals the batch twin row-for-row (null-safe full "
+        "outer join on session_start/user_id, zero mismatched session_end / "
+        "n_events, non-empty). Completes the gate family: every stateful "
+        "streaming shape is now driver-hashed end-to-end."
+    ),
+)
+def q_stream_session_equiv_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same isnotnull(ts) alignment as the tumbling gate: the watermark plants
+    # an implicit event-time-not-null filter on the streaming side
+    batch = session_agg(_batch_events(spark, sf_dir).filter(F.col("ts").isNotNull()))
+    streamed = _replay_events_stream(spark, sf_dir, session_agg, "session")
+    return equiv_ok(
+        batch, streamed, ["session_start", "user_id"], ["session_end", "n_events"]
     )
 
 

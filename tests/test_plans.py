@@ -80,19 +80,23 @@ def test_driver_priority_window():
     assert names[:50] == list(DRIVER_PRIORITY)
     # every priority name actually resolves to a registered query
     assert set(DRIVER_PRIORITY) <= set(names)
-    # round-6 allocation (COVERAGE.md): slot 1 = the new streaming-
-    # equivalence gate, 3 re-seats of the minhash build rewrite, the 2
-    # round-2-cohort stragglers, the full remaining 30-query round-3 cohort,
-    # and the first 14 of the round-4 cohort
+    # round-7 allocation (COVERAGE.md): slot 1 = the new session-window
+    # streaming gate, slot 2 re-seats the tumbling gate (shared null-safe
+    # comparator), 11 round-6-modified re-seats (cosine family, SimHash,
+    # text quality), the entire remaining round-4 cohort, then the
+    # round-5 cohort oldest-first
     window = set(DRIVER_PRIORITY)
-    assert DRIVER_PRIORITY[0] == "q_stream_equiv_gate"
-    for core in ("q_dedup_minhash_lsh_portable", "q_dedup_minhash_gate",
-                 "q_dedup_minhash_lsh_gate", "q_scalar_string2",
-                 "q_scalar_array2", "q_llm_chunk", "q_join_multiway",
-                 "q_agg_cube", "q_topk_per_group", "q_asof_join",
-                 "q_events_funnel", "q_events_scd2", "q_dedup_components",
-                 "q_llm_split_leakage_safe", "q_quality_expectations",
-                 "q_join_bloom_prefilter"):
+    assert DRIVER_PRIORITY[0] == "q_stream_session_equiv_gate"
+    assert DRIVER_PRIORITY[1] == "q_stream_equiv_gate"
+    for core in ("q_vec_nearest_center", "q_vec_cluster_groups",
+                 "q_sim_range_search", "q_sim_lsh_candidates_portable",
+                 "q_sim_ivf_candidates", "q_sim_lsh_ann_gate",
+                 "q_sim_ivf_ann_gate", "q_dedup_embedding",
+                 "q_dedup_simhash", "q_dedup_simhash_pairs",
+                 "q_text_quality", "q1_pricing_summary", "q_window_rank",
+                 "q_dedup_exact", "q_llm_decontaminate",
+                 "q_ref_pipeline_unstemmed", "q_text_tfidf",
+                 "q_stream_tumbling_batch", "q_merge_upsert"):
         assert core in window, core
     # every window entry is oracled — rows-only queries would waste a slot
     qs = all_queries()

@@ -68,6 +68,37 @@ def test_streaming_tumbling_equals_batch(spark, events_dir):
     assert got == want
 
 
+def test_equiv_gate_flags_null_vs_value_sum(spark):
+    """VERDICT r6 item 4: the gate comparator must flag a matched group whose
+    sum is NULL on one side and a value on the other (plain ``!=`` evaluates
+    NULL there and silently passes), while NULL==NULL stays a match."""
+    schema = "k STRING, n_events BIGINT, sum_value DOUBLE"
+    b = spark.createDataFrame([("a", 2, None), ("b", 1, 7.0)], schema)
+    s_same = spark.createDataFrame([("a", 2, None), ("b", 1, 7.0)], schema)
+    s_bad = spark.createDataFrame([("a", 2, 5.0), ("b", 1, 7.0)], schema)
+    keys, vals = ["k"], ["n_events", "sum_value"]
+    assert SW.equiv_ok(b, s_same, keys, vals).collect()[0].ok is True
+    assert SW.equiv_ok(b, s_bad, keys, vals).collect()[0].ok is False
+    # unmatched group on either side is flagged (count col is never NULL)
+    s_extra = spark.createDataFrame([("a", 2, None), ("b", 1, 7.0), ("c", 3, 1.0)], schema)
+    assert SW.equiv_ok(b, s_extra, keys, vals).collect()[0].ok is False
+    assert SW.equiv_ok(s_extra, b, keys, vals).collect()[0].ok is False
+    # null-KEY groups pair null-safely instead of going unmatched
+    b_null = spark.createDataFrame([(None, 2, 3.0)], schema)
+    s_null = spark.createDataFrame([(None, 2, 3.0)], schema)
+    assert SW.equiv_ok(b_null, s_null, keys, vals).collect()[0].ok is True
+    # empty-vs-empty is NOT a pass: the gate requires a non-empty comparison
+    empty = spark.createDataFrame([], schema)
+    assert SW.equiv_ok(empty, empty, keys, vals).collect()[0].ok is False
+
+
+def test_session_equiv_gate_green(spark):
+    """The new driver-facing session-window gate (real readStream replay of
+    the stateful session_window operator) must emit ok=True on the fixture."""
+    got = get_query("q_stream_session_equiv_gate").fn(spark, SF_DIR).collect()
+    assert [r.ok for r in got] == [True]
+
+
 def test_streaming_session_equals_batch(spark, events_dir):
     stream = SW.read_events_stream(spark, events_dir)
     agg = SW.session_agg(stream)
