@@ -104,9 +104,13 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_events_retention",
     oracle=f"""
     WITH wk AS (
+        -- user_id IS NOT NULL on both sides (round 7): retention of an
+        -- unidentified user is meaningless, and the engines disagreed on the
+        -- garbage — Spark's window partitioning groups NULL users into a
+        -- real partition while this join's USING(user_id) drops them
         SELECT DISTINCT user_id,
                CAST(FLOOR(epoch(ts) / {WEEK_SECONDS}) AS BIGINT) AS widx
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ),
     cohort AS (
         SELECT user_id, MIN(widx) AS cohort_week FROM wk GROUP BY user_id
@@ -128,7 +132,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     widx = F.floor(F.unix_timestamp("ts") / WEEK_SECONDS).cast("bigint")
     wk = e.select("user_id", widx.alias("widx")).dropDuplicates(["user_id", "widx"])
     cohort = F.min("widx").over(W.partitionBy("user_id"))
@@ -158,7 +162,7 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'week' END AS grain,
            hour_bucket, day_bucket, week_idx,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+           CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
     FROM base
     GROUP BY GROUPING SETS ((event_type, hour_bucket),
                             (event_type, day_bucket),
@@ -260,7 +264,7 @@ def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS h,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+               CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
         FROM events GROUP BY 1, 2
     ),
     spine AS (
@@ -331,8 +335,10 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_events_anomaly_zscore",
     oracle="""
     WITH hourly AS (
+        -- TRY_CAST mirrors dsum's round-7 non-finite tolerance: a NaN/Inf
+        -- value contributes NULL (skipped by SUM) in both engines
         SELECT event_type, date_trunc('hour', ts) AS hour,
-               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+               CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
         FROM events GROUP BY 1, 2
     ),
     stats AS (

@@ -30,13 +30,22 @@ _TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''
 
 def _hash_bucket(col, buckets: int = 100):
     """Deterministic [0, buckets) bucket from the MD5 hex prefix — the
-    engine-portable substitute for rand(seed)."""
+    engine-portable substitute for rand(seed).
+
+    NULL-total (round 7): a NULL document hashes as the empty string, so the
+    bucket — and therefore the split/mix decision — is defined and identical
+    in both engines (Spark's md5(NULL)→NULL routed NULL-text docs to the
+    CASE fallback while DuckDB's list_prepend(0, NULL)→[0] sent them to
+    bucket 0 — a silent train/test disagreement on garbage rows)."""
+    c = F.col(col) if isinstance(col, str) else col
     return (
-        F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("bigint") % buckets
+        F.conv(F.substring(F.md5(F.coalesce(c, F.lit(""))), 1, 4), 16, 10).cast("bigint")
+        % buckets
     )
 
 
 def _duck_hash_bucket(expr: str, buckets: int = 100) -> str:
+    expr = f"COALESCE({expr}, '')"
     # DuckDB: parse the 4-char hex prefix via a from-hex reduce
     return (
         f"(list_reduce(list_prepend(CAST(0 AS BIGINT), "

@@ -81,6 +81,12 @@ def extract_features(media: DataFrame) -> DataFrame:
         "doc_id BIGINT, media_type STRING, n_bytes INT, checksum STRING, features ARRAY<DOUBLE>"
     )
 
+    # NULL payloads are undecodable; drop them before any Python runs (a
+    # metadata predicate, pruned at the scan). The round-7 adversarial
+    # fixture's NULL-text doc otherwise crashed the Arrow batch on
+    # bytes(None); exclusion is mirrored in the oracle's text IS NOT NULL.
+    media = media.filter(F.col("payload").isNotNull())
+
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = pdf["payload"].map(lambda p: decode_media(bytes(p), "any", fake=True))
@@ -138,7 +144,7 @@ def sample_frames(media: DataFrame, every_s: float = 1.0) -> DataFrame:
                i -> (strpos('0123456789abcdef', substr(md5(text), 2*i-1, 1)) - 1) * 16
                     + strpos('0123456789abcdef', substr(md5(text), 2*i, 1)) - 1), ',') AS features_str
     FROM documents
-    WHERE doc_id % 4 = 0
+    WHERE doc_id % 4 = 0 AND text IS NOT NULL
     """,
     category="multimodal",
     description="Multimodal feature extraction: binary payload → mapInPandas (Arrow batches) → checksum + deterministic MD5-derived features; oracle recomputes the same bytes in SQL.",

@@ -49,19 +49,29 @@ def dsum(col: Column | str, ndigits: int = 2) -> Column:
     as BIGINT (exact, associative), then scaled back — deterministic across
     engines, partitionings, and scale factors. Result is DOUBLE.
 
+    ``try_cast``, not ``cast`` (round 7): a single NaN/±Inf value — routine
+    garbage in a 100 TB metric column — made ANSI Spark throw CAST_OVERFLOW
+    and DuckDB a Conversion Error, crashing every money-sum query. Under
+    try_cast a value whose scaled form does not fit BIGINT (NaN, ±Inf,
+    |x| ≳ 9.2e16 at n=2) contributes NULL — skipped by SUM — in BOTH engines,
+    so the fixed-point sum is total over garbage with unchanged results on
+    finite in-range data (the adversarial fixture pins both properties).
+
     For data wider than ~1e18/10^n rows·magnitude, switch the accumulator to
     DECIMAL(38,n); at the fixture scales BIGINT has huge headroom.
     """
     scale = 10**ndigits
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(F.round(c * scale).cast("bigint")) / float(scale)
+    return F.sum(F.round(c * scale).try_cast("bigint")) / float(scale)
 
 
 def dsum_sql(expr: str, ndigits: int = 2) -> str:
     # CAST to DOUBLE before dividing: in Spark SQL a bare `100.0` literal is
     # DECIMAL, which would change the result type vs the DataFrame API.
+    # TRY_CAST mirrors dsum's non-finite tolerance (NaN/±Inf/overflow → NULL,
+    # skipped by SUM) with DuckDB's identical TRY_CAST semantics.
     scale = 10**ndigits
-    return f"CAST(SUM(CAST(ROUND(({expr}) * {scale}) AS BIGINT)) AS DOUBLE) / {scale}"
+    return f"CAST(SUM(TRY_CAST(ROUND(({expr}) * {scale}) AS BIGINT)) AS DOUBLE) / {scale}"
 
 
 # ---------------------------------------------------------------------------

@@ -86,7 +86,15 @@ def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     per_type = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
     as_map = per_type.groupBy("user_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("counts")
+        # when(isNotNull): a NULL event_type cannot be a map key (Spark
+        # throws NULL_MAP_KEY); collect_list skips the NULL entry, so the
+        # user keeps their row and n_types matches COUNT(DISTINCT)'s
+        # NULL-skipping semantics (round 7 adversarial fixture)
+        F.map_from_entries(
+            F.collect_list(
+                F.when(F.col("event_type").isNotNull(), F.struct("event_type", "n"))
+            )
+        ).alias("counts")
     )
     return as_map.select(
         "user_id",

@@ -147,9 +147,16 @@ def q_vec_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_vec_quantize_int8",
     oracle="""
-    WITH base AS (
+    WITH base0 AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    -- int8 quantization is only defined for finite vectors: a NaN/Inf
+    -- element poisons the max-abs scale and crashes the integer cast in
+    -- BOTH engines — excluded identically on both sides (round 7)
+    base AS (
+        SELECT * FROM base0
+        WHERE len(list_filter(xd, x -> NOT isfinite(x))) = 0
     ),
     s AS (
         SELECT vec_id, xd,
@@ -181,8 +188,11 @@ def q_vec_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     xd = F.transform("embedding", lambda x: x.cast("double"))
+    # finite vectors only, mirroring the oracle: abs(x) < inf is false for
+    # both ±Inf and NaN (Spark orders NaN above Infinity)
+    finite = F.forall("xd", lambda x: F.abs(x) < F.lit(float("inf")))
     scale = F.greatest(F.array_max(F.transform("xd", F.abs)), F.lit(1e-30))
     quant = F.transform("xd", lambda x: F.floor(x * 127.0 / F.col("scale") + 0.5).cast("long"))
 
@@ -192,6 +202,7 @@ def q_vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.zip_with("xd", "q", lambda x, qi: F.abs(x - qi.cast("double") * F.col("scale") / 127.0))
     return (
         e.select("vec_id", xd.alias("xd"))
+        .filter(finite)
         .withColumn("scale", scale)
         .withColumn("q", quant)
         .select(

@@ -97,19 +97,33 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_udf_grouped_map",
     "q_stream_tumbling_batch",
     "q_stream_static_join_batch",
-    # --- round-5 cohort, oldest-first (12 of 37; 25 rotate in round 8) ---
+    # --- round-7-MODIFIED re-seats (the adversarial-fixture extension:
+    # NaN/Inf/NULL rows): queries with QUERY-SPECIFIC semantic changes —
+    # the z-score hourly oracle and the two window twins align on
+    # null-event-time exclusion, session oracle mirrors session_window's
+    # null drop, the map build skips NULL keys, the hash-bucket split
+    # family gained the NULL→'' fallback. Queries whose ONLY round-7
+    # change is the shared dsum try_cast kernel (q_agg_cube, q_pivot,
+    # q_scalar_date, q_join_multiway, q_join_range, q_agg_stats,
+    # q_agg_rollup, q_agg_variance) are certified through the ELEVEN dsum
+    # consumers already seated above (q1_pricing_summary, the events
+    # family, the stream twins, …) plus the pytest sweep; they rotate in
+    # round 8. ---
+    "q_events_anomaly_zscore",
+    "q_stream_session_batch",
+    "q_stream_sliding_batch",
+    "q_scalar_map",
+    "q_llm_mix_stratified",
+    "q_llm_split",
+    "q_llm_split_leakage_safe",
+    # --- round-5 cohort, oldest-first (5 of 37; the rest rotate in
+    # round 8; q_events_rollup_multires doubles as a round-7-modified
+    # re-seat — its oracle gained the TRY_CAST hourly sum) ---
     "q_agg_bool_bit",
     "q_agg_conditional",
     "q_agg_grouping_sets",
     "q_cte_pipeline",
     "q_events_rollup_multires",
-    "q_exists_priority",
-    "q_join_right",
-    "q_join_sixway",
-    "q_llm_pack_sequences",
-    "q_llm_token_budget",
-    "q_merge_upsert",
-    "q_profile_columns",
 )
 
 

@@ -221,7 +221,9 @@ def _batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            COUNT(*) AS n_events,
            {dsum_sql('value')} AS sum_value
-    FROM events
+    -- ts IS NOT NULL: Spark's F.window drops null event times (windowing is
+    -- undefined there) — mirror the exclusion (round 7)
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     category="streaming",
@@ -238,6 +240,7 @@ def q_stream_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            {dsum_sql('value')} AS sum_value
     FROM events, UNNEST([0, 1]) AS u(k)
+    WHERE ts IS NOT NULL  -- F.window drops null event times; mirror it
     GROUP BY 1
     """,
     category="streaming",
@@ -259,7 +262,9 @@ def q_stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                          >= INTERVAL '30 minutes'
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_session
-        FROM events
+        -- ts IS NOT NULL (round 7): Spark's session_window DROPS null event
+        -- times (a session at no time is meaningless); mirror the exclusion
+        FROM events WHERE ts IS NOT NULL
     ),
     sessions AS (
         SELECT user_id, ts,

@@ -1,4 +1,4 @@
-"""Adversarial-fixture differential gate (round 6).
+"""Adversarial-fixture differential gate (round 6, extended round 7).
 
 100 TB corpora contain garbage: empty and whitespace-only documents,
 zero-norm embeddings (dead rows, padding), constant-value event bursts
@@ -6,10 +6,24 @@ zero-norm embeddings (dead rows, padding), constant-value event bursts
 a fixture found five real defects — ANSI Spark throws DIVIDE_BY_ZERO where
 DuckDB's division yields NULL (token-Jaccard 0/0, cosine of zero vectors,
 quality-score ratios), SimHash signed empty docs as all-ones vs DuckDB's 0,
-and chunking emitted a phantom empty chunk rendered '' vs NULL. This test
-pins the fixes: it poisons a copy of the sf0.001 fixture with those rows and
-replays EVERY registered oracle differentially — an engine crash or an
-engine/oracle divergence on degenerate data fails with the query named.
+and chunking emitted a phantom empty chunk rendered '' vs NULL.
+
+Round 7 extended the poison with NaN/±Inf metric values, NULL event
+time/type/user, NULL document text/lang/source, and NaN/Inf/NULL
+embeddings — and found 13 more: the integer-cents dsum crashed CAST_OVERFLOW
+on NaN in six money-sum queries (fix: try_cast, NULL-skipped in both
+engines), Spark's F.window/session_window silently DROP null event times
+while the oracles kept them, NULL users merged into a real retention cohort
+via window partitioning while the oracle's USING join dropped them, NULL
+text hashed to different train/test splits (md5(NULL)→NULL CASE-fallback vs
+DuckDB list_prepend(0,NULL)→bucket 0), a NULL map key crashed q_scalar_map,
+bytes(None) crashed the multimodal Arrow batch, and non-finite embeddings
+crashed int8 quantization in BOTH engines.
+
+This test pins all the fixes: it poisons a copy of the sf0.001 fixture with
+those rows and replays EVERY registered oracle differentially — an engine
+crash or an engine/oracle divergence on degenerate data fails with the
+query named.
 """
 
 from __future__ import annotations
@@ -49,7 +63,12 @@ def adversarial_sf(tmp_path_factory):
         (90025, 'héllo wörld こんにちは 👋 mixé', 'xx', 'webx', 25),
         -- one pathologically long doc: chunk-count arithmetic, length
         -- penalties, substring windows
-        (90030, repeat('lorem ipsum dolor sit amet ', 4000), 'en', 'webx', 108000)
+        (90030, repeat('lorem ipsum dolor sit amet ', 4000), 'en', 'webx', 108000),
+        -- round 7: NULL text (hash-split fallback, undecodable payload),
+        -- NULL lang (stratification key), NULL source (grouping key)
+        (91000, NULL,        'en', 'webx', 0),
+        (91005, 'some text', NULL, 'webx', 9),
+        (91010, 'more text', 'en', NULL,   9)
       ) AS t(doc_id, text, lang, source, n_chars)
     ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
     """)
@@ -65,7 +84,15 @@ def adversarial_sf(tmp_path_factory):
         -- negative + extreme values: money-sum cents arithmetic, z-scores,
         -- window frames must not assume non-negative inputs
         (900005, TIMESTAMP '2024-03-02 09:01:00', 7003, 'view',  -123.45, '{{"k": -1}}'),
-        (900006, TIMESTAMP '2024-03-02 09:02:00', 7003, 'view', 1e12,     '{{"k": 0}}')
+        (900006, TIMESTAMP '2024-03-02 09:02:00', 7003, 'view', 1e12,     '{{"k": 0}}'),
+        -- round 7: non-finite metric values + NULL key/time columns
+        (910001, TIMESTAMP '2024-03-03 00:00:00', 7101, 'view',  CAST('nan' AS DOUBLE), '{{"k": 1}}'),
+        (910002, TIMESTAMP '2024-03-03 00:01:00', 7101, 'view',  CAST('inf' AS DOUBLE), '{{"k": 2}}'),
+        (910003, TIMESTAMP '2024-03-03 00:02:00', 7101, 'view',  CAST('-inf' AS DOUBLE), '{{"k": 3}}'),
+        (910004, TIMESTAMP '2024-03-03 00:03:00', 7102, 'click', NULL, '{{"k": 4}}'),
+        (910005, TIMESTAMP '2024-03-03 00:04:00', 7102, NULL,    2.5,  '{{"k": 5}}'),
+        (910006, TIMESTAMP '2024-03-03 00:05:00', NULL, 'view',  1.0,  '{{"k": 6}}'),
+        (910007, NULL,                            7103, 'view',  1.0,  '{{"k": 7}}')
       ) AS t(event_id, ts, user_id, event_type, value, props)
     ) TO '{dst}/events.parquet' (FORMAT PARQUET)
     """)
@@ -76,6 +103,13 @@ def adversarial_sf(tmp_path_factory):
       SELECT 90000 AS vec_id, CAST(list_transform(range(64), x -> 0.0) AS FLOAT[]) AS embedding, 0 AS label
       UNION ALL
       SELECT 90050, CAST(list_transform(range(64), x -> 0.0) AS FLOAT[]), 1
+      -- round 7: non-finite elements + a fully NULL vector
+      UNION ALL
+      SELECT 91000, CAST(list_transform(range(64), x -> CASE WHEN x = 0 THEN CAST('nan' AS FLOAT) ELSE 0.1 END) AS FLOAT[]), 0
+      UNION ALL
+      SELECT 91050, CAST(list_transform(range(64), x -> CASE WHEN x = 1 THEN CAST('inf' AS FLOAT) ELSE 0.1 END) AS FLOAT[]), 1
+      UNION ALL
+      SELECT 91060, NULL, NULL
     ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
     """)
     con.close()

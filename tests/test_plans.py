@@ -96,7 +96,12 @@ def test_driver_priority_window():
                  "q_text_quality", "q1_pricing_summary", "q_window_rank",
                  "q_dedup_exact", "q_llm_decontaminate",
                  "q_ref_pipeline_unstemmed", "q_text_tfidf",
-                 "q_stream_tumbling_batch", "q_merge_upsert"):
+                 "q_stream_tumbling_batch",
+                 # round-7-modified re-seats (adversarial NaN/Inf/NULL fixes)
+                 "q_events_anomaly_zscore", "q_stream_session_batch",
+                 "q_stream_sliding_batch", "q_scalar_map",
+                 "q_llm_mix_stratified", "q_llm_split",
+                 "q_llm_split_leakage_safe", "q_events_rollup_multires"):
         assert core in window, core
     # every window entry is oracled — rows-only queries would waste a slot
     qs = all_queries()
