@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.text_stats import fingerprint_md5
 from ..functions.vector import duck_cosine_similarity
 from ..plans.registry import query
+from .vectors import DUCK_VECTORS, load_vectors
 from ._util import t
 
 PAIR_STRIDE = 5  # doc_id % stride == 0 → sampled pair universe
@@ -669,7 +670,7 @@ def simhash_pairs(docs: DataFrame, sigs: DataFrame | None = None) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY a.vec_id
                                   ORDER BY {duck_cosine_similarity('a.embedding', 'b.embedding')} DESC,
                                            b.vec_id) AS rn
-        FROM embeddings a CROSS JOIN embeddings b
+        FROM {DUCK_VECTORS} a CROSS JOIN {DUCK_VECTORS} b
         WHERE a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id
     ) WHERE rn = 1
     """,
@@ -687,7 +688,7 @@ def simhash_pairs(docs: DataFrame, sigs: DataFrame | None = None) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import dot, norm
 
-    e = t(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     a = e.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("vec_id"), F.col("embedding").alias("va")
     ).withColumn("_na", norm("va"))

@@ -1026,10 +1026,17 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_scalar_json",
     oracle="""
+    -- json_valid guard + TRY_CAST (round 7): Spark's get_json_object is
+    -- total (malformed JSON → NULL) but DuckDB's json_extract_string RAISES
+    -- on it, and a non-numeric k crashed both engines' BIGINT cast — under
+    -- the guard+try_cast, malformed JSON and wrong-typed values contribute
+    -- NULL (skipped by SUM/MAX) identically in both engines
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+           CAST(SUM(TRY_CAST(CASE WHEN json_valid(props)
+                                  THEN json_extract_string(props, '$.k') END AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(TRY_CAST(CASE WHEN json_valid(props)
+                                  THEN json_extract_string(props, '$.k') END AS BIGINT)) AS BIGINT) AS max_k
     FROM events
     GROUP BY event_type
     """,
@@ -1038,7 +1045,7 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(k).alias("sum_k"),

@@ -36,7 +36,7 @@ from ..functions.vector import (
 )
 from ..plans.registry import query
 from ._util import t
-from .vectors import N_CENTERS
+from .vectors import DUCK_VECTORS, N_CENTERS, load_vectors
 
 TOP_K = 5
 QUERY_STRIDE = 50  # vec_id % stride == 0 → query points
@@ -57,7 +57,7 @@ RANGE_TAU = 0.3
     oracle=f"""
     SELECT q.vec_id AS q_id, c.vec_id AS c_id,
            {duck_cosine_similarity('q.embedding', 'c.embedding')} AS sim
-    FROM embeddings q CROSS JOIN embeddings c
+    FROM {DUCK_VECTORS} q CROSS JOIN {DUCK_VECTORS} c
     WHERE q.vec_id % {QUERY_STRIDE} = 0 AND q.vec_id <> c.vec_id
       AND {duck_cosine_similarity('q.embedding', 'c.embedding')} >= {RANGE_TAU}
     """,
@@ -74,7 +74,7 @@ RANGE_TAU = 0.3
 def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import norm
 
-    e = t(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     q = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     ).withColumn("q_norm", norm("q_vec"))
@@ -124,7 +124,7 @@ def brute_force_topk(
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                   ORDER BY {duck_cosine_similarity('q.embedding', 'c.embedding')} DESC,
                                            c.vec_id) AS rnk
-        FROM embeddings q CROSS JOIN embeddings c
+        FROM {DUCK_VECTORS} q CROSS JOIN {DUCK_VECTORS} c
         WHERE q.vec_id % {QUERY_STRIDE} = 0 AND q.vec_id <> c.vec_id
     ) WHERE rnk <= {TOP_K}
     """,
@@ -132,7 +132,7 @@ def brute_force_topk(
     description="Brute-force cosine top-k neighbors for strided query points — the exact ANN baseline.",
 )
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     queries = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -189,7 +189,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, n_bands: int = N_BANDS
     vectors do not ride the candidate shuffle (a pair row is 16 bytes, a
     vector ~520); they are joined back only for the surviving deduped pairs,
     the same discipline as dedup.minhash_lsh_pairs' verify stage."""
-    full = t(spark, sf_dir, "embeddings")
+    full = load_vectors(spark, sf_dir)
     e = full.select(
         "vec_id", F.explode(lsh_band_signatures("embedding", n_bands)).alias("bs")
     ).select("vec_id", "bs.band", "bs.sig")
@@ -235,7 +235,7 @@ def lsh_ann_recall(
     # from the band-exploded stream (N_BANDS rows per q_id there would make
     # each true neighbor appear N_BANDS times in the crossJoin and collapse
     # "top-5" to ~2 distinct neighbors, understating recall — ADVICE round 1).
-    e = t(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     exact = brute_force_topk(
         F.broadcast(
             e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
@@ -279,28 +279,28 @@ def lsh_ann_recall(
     oracle=f"""
     WITH centers AS (
         SELECT CAST(vec_id AS INTEGER) AS center_id, embedding AS cvec
-        FROM embeddings WHERE vec_id < {N_CENTERS}
+        FROM {DUCK_VECTORS} v WHERE vec_id < {N_CENTERS}
     ),
     assign AS (
         SELECT e.vec_id, c.center_id,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                   ORDER BY {duck_cosine_distance('e.embedding', 'c.cvec')}, c.center_id) AS rn
-        FROM embeddings e CROSS JOIN centers c
+        FROM {DUCK_VECTORS} e CROSS JOIN centers c
     ),
     cells AS (SELECT vec_id, center_id FROM assign WHERE rn = 1),
     probes AS (
         SELECT q.vec_id AS q_id, c.center_id,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                   ORDER BY {duck_cosine_distance('q.embedding', 'c.cvec')}, c.center_id) AS rn
-        FROM embeddings q CROSS JOIN centers c
+        FROM {DUCK_VECTORS} q CROSS JOIN centers c
         WHERE q.vec_id % {QUERY_STRIDE} = 0
     )
     SELECT p.q_id, d.vec_id AS c_id,
            {duck_cosine_similarity('q.embedding', 'd.embedding')} AS sim
     FROM probes p
     JOIN cells ce ON ce.center_id = p.center_id
-    JOIN embeddings d ON d.vec_id = ce.vec_id
-    JOIN embeddings q ON q.vec_id = p.q_id
+    JOIN {DUCK_VECTORS} d ON d.vec_id = ce.vec_id
+    JOIN {DUCK_VECTORS} q ON q.vec_id = p.q_id
     WHERE p.rn <= 2 AND d.vec_id <> p.q_id
     """,
     category="similarity",
@@ -320,7 +320,7 @@ def q_sim_ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import norm
     from .vectors import fixture_centers, nearest_center
 
-    e = t(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     centers = fixture_centers(spark, sf_dir)
     cells = nearest_center(e, centers).select(
         F.col("vec_id").alias("cell_vec"), F.col("center_id").alias("cell_center")
@@ -378,7 +378,7 @@ def ivf_ann_recall(
 ) -> DataFrame:
     from .vectors import fixture_centers, nearest_center
 
-    e = t(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     centers = fixture_centers(spark, sf_dir)
 
     # cell assignment for all vectors (the inverted file)
@@ -492,7 +492,7 @@ def _lsh_candidates_oracle() -> str:
     return f"""
     WITH s AS (
       SELECT vec_id, embedding, {duck_norm("embedding")} AS nrm, {sig_list} AS sig
-      FROM embeddings WHERE vec_id % {CAND_STRIDE} = 0
+      FROM {DUCK_VECTORS} v WHERE vec_id % {CAND_STRIDE} = 0
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {duck_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
@@ -519,7 +519,7 @@ def _lsh_candidates_oracle() -> str:
 )
 def q_sim_lsh_candidates_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = (
-        t(spark, sf_dir, "embeddings")
+        load_vectors(spark, sf_dir)
         .filter(F.col("vec_id") % CAND_STRIDE == 0)
         .select("vec_id", "embedding")
         .localCheckpoint(eager=False)
@@ -597,7 +597,7 @@ def _margin_recall_gate(
         F.avg("recall").alias("_r"),
         F.avg("m").alias("_am"),
     )
-    n_pts = t(spark, sf_dir, "embeddings").agg(F.count(F.lit(1)).alias("_n"))
+    n_pts = load_vectors(spark, sf_dir).agg(F.count(F.lit(1)).alias("_n"))
     random_recall = F.col("_am") / (F.col("_n") - 1)
     return rec.crossJoin(F.broadcast(n_pts)).select(
         (

@@ -37,6 +37,29 @@ from ._util import one_group, t
 
 N_CENTERS = 8
 
+#: Declared embedding dimensionality (FIXTURES.md §2) — the model contract a
+#: production embedding store carries in its schema. Pairwise vector math
+#: (cosine, Hamming-banded candidates, IVF assignment) is UNDEFINED between
+#: vectors of different dimensions, and the engines genuinely disagree on the
+#: garbage: Spark's ``zip_with`` NULL-pads the short side (dot → NULL) while
+#: DuckDB's range-indexed ``list_sum`` SKIPS the NULL products (dot → partial
+#: sum). So every pairwise-vector query scans through :func:`load_vectors`,
+#: which drops rows violating the contract — identically mirrored by
+#: :data:`DUCK_VECTORS` in the oracles (round-7 adversarial extension).
+EMBEDDING_DIM = 64
+
+#: Oracle-side twin of :func:`load_vectors` — substitute for ``embeddings``.
+DUCK_VECTORS = (
+    f"(SELECT * FROM embeddings WHERE len(embedding) = {EMBEDDING_DIM})"
+)
+
+
+def load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table under the declared-dimension contract: NULL or
+    wrong-dimension vectors (dead rows, truncated writes, mixed-model
+    contamination — routine at corpus scale) are excluded at the scan."""
+    return t(spark, sf_dir, "embeddings").filter(F.size("embedding") == EMBEDDING_DIM)
+
 
 def nearest_center(points: DataFrame, centers: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign every point to its nearest center by cosine distance
@@ -78,7 +101,7 @@ def nearest_center(points: DataFrame, centers: DataFrame, id_col: str = "vec_id"
 def fixture_centers(spark: SparkSession, sf_dir: str, k: int = N_CENTERS) -> DataFrame:
     """Deterministic center set: the first k embedding rows (stands in for the
     reference's centers.txt side file, ProcessData.java:579-590)."""
-    e = t(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     return e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("center_id"), F.col("embedding").alias("cvec")
     )
@@ -87,14 +110,14 @@ def fixture_centers(spark: SparkSession, sf_dir: str, k: int = N_CENTERS) -> Dat
 _DUCK_ASSIGN = f"""
     WITH centers AS (
         SELECT CAST(vec_id AS INTEGER) AS center_id, embedding AS cvec
-        FROM embeddings WHERE vec_id < {N_CENTERS}
+        FROM {DUCK_VECTORS} v WHERE vec_id < {N_CENTERS}
     ),
     assign AS (
         SELECT e.vec_id, c.center_id,
                {duck_cosine_distance('e.embedding', 'c.cvec')} AS dist,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                   ORDER BY {duck_cosine_distance('e.embedding', 'c.cvec')}, c.center_id) AS rn
-        FROM embeddings e CROSS JOIN centers c
+        FROM {DUCK_VECTORS} e CROSS JOIN centers c
     )
 """
 
@@ -109,7 +132,7 @@ _DUCK_ASSIGN = f"""
     description="Nearest-center assignment: broadcast crossJoin + deterministic argmin window (reference Job 2 map, ProcessData.java:521-536, with B1/B2 bugs fixed).",
 )
 def q_vec_nearest_center(spark: SparkSession, sf_dir: str) -> DataFrame:
-    points = t(spark, sf_dir, "embeddings")
+    points = load_vectors(spark, sf_dir)
     return nearest_center(points, fixture_centers(spark, sf_dir))
 
 
@@ -148,8 +171,13 @@ def q_vec_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_vec_quantize_int8",
     oracle="""
     WITH base0 AS (
+        -- len > 0: an empty vector has nothing to quantize, and the engines
+        -- diverge on empty-collection sums (Spark's aggregate-with-init → 0,
+        -- DuckDB's list_sum → NULL). Any non-empty finite vector quantizes
+        -- fine per-vector, so unlike the pairwise ops this query does NOT
+        -- impose the declared-dimension contract.
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
     -- int8 quantization is only defined for finite vectors: a NaN/Inf
     -- element poisons the max-abs scale and crashes the integer cast in
@@ -188,7 +216,9 @@ def q_vec_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    e = t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
     xd = F.transform("embedding", lambda x: x.cast("double"))
     # finite vectors only, mirroring the oracle: abs(x) < inf is false for
     # both ±Inf and NaN (Spark orders NaN above Infinity)
@@ -227,7 +257,7 @@ def q_vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    e = t(spark, sf_dir, "embeddings").select(
+    e = load_vectors(spark, sf_dir).select(
         "vec_id", "label", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
     # k = the fixture's ground-truth label count (10, FIXTURES.md §2)
@@ -260,7 +290,7 @@ def q_vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_vec_kmeans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = q_vec_kmeans(spark, sf_dir)
-    total = t(spark, sf_dir, "embeddings").agg(F.count(F.lit(1)).alias("n_vecs"))
+    total = load_vectors(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_vecs"))
     stats = clusters.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("n_members").alias("n_assigned"),

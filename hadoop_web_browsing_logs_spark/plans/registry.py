@@ -116,12 +116,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_llm_mix_stratified",
     "q_llm_split",
     "q_llm_split_leakage_safe",
-    # --- round-5 cohort, oldest-first (5 of 37; the rest rotate in
+    # --- round-7b re-seats (second adversarial sweep: malformed JSON,
+    # empty/wrong-dim embeddings): the json_valid+try_cast extraction, the
+    # declared-dimension contract's remaining consumers ---
+    "q_scalar_json",
+    "q_sim_cosine_topk",
+    "q_vec_kmeans_gate",
+    # --- round-5 cohort, oldest-first (2 of 37; the rest rotate in
     # round 8; q_events_rollup_multires doubles as a round-7-modified
     # re-seat — its oracle gained the TRY_CAST hourly sum) ---
-    "q_agg_bool_bit",
-    "q_agg_conditional",
-    "q_agg_grouping_sets",
     "q_cte_pipeline",
     "q_events_rollup_multires",
 )

@@ -20,6 +20,18 @@ DuckDB list_prepend(0,NULL)→bucket 0), a NULL map key crashed q_scalar_map,
 bytes(None) crashed the multimodal Arrow batch, and non-finite embeddings
 crashed int8 quantization in BOTH engines.
 
+A second round-7 sweep added malformed JSON props (truncated, empty,
+wrong-typed k, array root, deep nesting) and dimension-contract violations
+(empty + 3-dim vectors in a declared-64-dim column): DuckDB's
+json_extract_string RAISES on invalid JSON where Spark's get_json_object is
+total, a non-numeric k crashed both engines' BIGINT cast, the engines
+disagree on dot products between different-dimension vectors (Spark zip_with
+NULL-pads; DuckDB's range-indexed list_sum skips NULLs), and empty-vector
+sums diverge (aggregate-with-init 0 vs list_sum NULL). Fixes: json_valid
+guard + TRY_CAST on both sides; every pairwise-vector query scans through
+vectors.load_vectors / DUCK_VECTORS (the declared-dimension contract);
+quantization excludes empty vectors.
+
 This test pins all the fixes: it poisons a copy of the sf0.001 fixture with
 those rows and replays EVERY registered oracle differentially — an engine
 crash or an engine/oracle divergence on degenerate data fails with the
@@ -92,7 +104,14 @@ def adversarial_sf(tmp_path_factory):
         (910004, TIMESTAMP '2024-03-03 00:03:00', 7102, 'click', NULL, '{{"k": 4}}'),
         (910005, TIMESTAMP '2024-03-03 00:04:00', 7102, NULL,    2.5,  '{{"k": 5}}'),
         (910006, TIMESTAMP '2024-03-03 00:05:00', NULL, 'view',  1.0,  '{{"k": 6}}'),
-        (910007, NULL,                            7103, 'view',  1.0,  '{{"k": 7}}')
+        (910007, NULL,                            7103, 'view',  1.0,  '{{"k": 7}}'),
+        -- round 7b: malformed / hostile JSON props
+        (920001, TIMESTAMP '2024-03-04 00:00:00', 7201, 'view', 1.0, '{{not json'),
+        (920002, TIMESTAMP '2024-03-04 00:01:00', 7201, 'view', 1.0, ''),
+        (920003, TIMESTAMP '2024-03-04 00:02:00', 7201, 'view', 1.0, '{{"k": "str_not_int"}}'),
+        (920004, TIMESTAMP '2024-03-04 00:03:00', 7201, 'view', 1.0, '[1,2,3]'),
+        (920005, TIMESTAMP '2024-03-04 00:04:00', 7201, 'view', 1.0, '{{"k": {{"nested": {{"deep": 1}}}}}}'),
+        (920006, TIMESTAMP '2024-03-04 00:05:00', 7201, 'view', 1.0, 'null')
       ) AS t(event_id, ts, user_id, event_type, value, props)
     ) TO '{dst}/events.parquet' (FORMAT PARQUET)
     """)
@@ -110,6 +129,11 @@ def adversarial_sf(tmp_path_factory):
       SELECT 91050, CAST(list_transform(range(64), x -> CASE WHEN x = 1 THEN CAST('inf' AS FLOAT) ELSE 0.1 END) AS FLOAT[]), 1
       UNION ALL
       SELECT 91060, NULL, NULL
+      -- round 7b: dimension-contract violations (empty + wrong-dim)
+      UNION ALL
+      SELECT 92000, CAST([] AS FLOAT[]), 0
+      UNION ALL
+      SELECT 92050, CAST([0.5, 0.25, 0.125] AS FLOAT[]), 1
     ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
     """)
     con.close()

@@ -101,7 +101,9 @@ def test_driver_priority_window():
                  "q_events_anomaly_zscore", "q_stream_session_batch",
                  "q_stream_sliding_batch", "q_scalar_map",
                  "q_llm_mix_stratified", "q_llm_split",
-                 "q_llm_split_leakage_safe", "q_events_rollup_multires"):
+                 "q_llm_split_leakage_safe", "q_events_rollup_multires",
+                 # round-7b re-seats (malformed JSON, vector dim contract)
+                 "q_scalar_json", "q_sim_cosine_topk", "q_vec_kmeans_gate"):
         assert core in window, core
     # every window entry is oracled — rows-only queries would waste a slot
     qs = all_queries()
