@@ -41,6 +41,17 @@ TABLE_NAMES = (
 )
 
 
+#: One DataFrame per (session, file, mtime): ``spark.read.parquet`` costs
+#: ~90 ms of JVM file-listing + footer schema resolution PER CALL, and the
+#: registry's build paths call the loader once or twice per query — ~⅓ of
+#: small-SF bench wall time was plan construction (round-7 profile).
+#: DataFrames are immutable, so handing every caller the same object is
+#: safe; the mtime in the key re-reads a regenerated fixture (same contract
+#: as the bloom bitset and stream-replay caches). Keyed by applicationId so
+#: a fresh session (new JVM state) never sees a stale handle.
+_TABLE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet → vectorized reader, pushdown-capable.
 
@@ -50,6 +61,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``CAST(ts_ns AS TIMESTAMP)`` in engines with native nanos, e.g. DuckDB).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(path),
+            os.path.getmtime(path),
+        )
+    except OSError:
+        key = None
+    if key is not None and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
+    df = _load_table_uncached(spark, path, name)
+    if key is not None:
+        _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, path: str, name: str) -> DataFrame:
     if name == "events":
         # nanosAsLong is a runtime SQLConf — set it here too so the loader
         # works on externally-created sessions (e.g. the driver's), not only
