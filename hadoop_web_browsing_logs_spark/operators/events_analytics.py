@@ -215,7 +215,12 @@ def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type, ts, event_id,
                LAG(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev_type
-        FROM events
+        -- ts IS NOT NULL (round 7): a state change at unknown time is
+        -- meaningless, and NULL ordering inside the window DIFFERS between
+        -- engines (Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST) —
+        -- a user with both null-ts and real events would get different
+        -- change sequences
+        FROM events WHERE ts IS NOT NULL
     ),
     changes AS (
         SELECT user_id, event_type, ts, event_id
@@ -240,7 +245,11 @@ def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         e.withColumn("prev_type", F.lag("event_type").over(w))

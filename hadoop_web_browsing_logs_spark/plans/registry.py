@@ -122,10 +122,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_scalar_json",
     "q_sim_cosine_topk",
     "q_vec_kmeans_gate",
-    # --- round-5 cohort, oldest-first (2 of 37; the rest rotate in
-    # round 8; q_events_rollup_multires doubles as a round-7-modified
-    # re-seat — its oracle gained the TRY_CAST hourly sum) ---
-    "q_cte_pipeline",
+    # --- q_events_scd2: round-7-modified (null-event-time exclusion — NULL
+    # ordering inside a window DIFFERS between engines, Spark NULLS FIRST
+    # vs DuckDB NULLS LAST; its last driver row predates the fix). The NEW
+    # q_stream_scd2_equiv_gate (applyInPandasWithState replay == batch
+    # closed intervals) registers outside the full window and takes a
+    # round-8 seat; pytest certifies it meanwhile. ---
+    "q_events_scd2",
+    # --- round-5 cohort (1 of 37; the rest rotate in round 8;
+    # q_events_rollup_multires doubles as a round-7-modified re-seat — its
+    # oracle gained the TRY_CAST hourly sum) ---
     "q_events_rollup_multires",
 )
 

@@ -427,18 +427,23 @@ _STREAM_EQUIV_CACHE: dict[str, str] = {}
 
 
 def _replay_events_stream(
-    spark: SparkSession, sf_dir: str, build: Callable[[DataFrame], DataFrame], tag: str
+    spark: SparkSession,
+    sf_dir: str,
+    build: Callable[[DataFrame], DataFrame],
+    tag: str,
+    mode: str = "complete",
 ) -> DataFrame:
     """Run ``build(stream)`` as a real Structured Streaming query over the
     events fixture (file source, one file per micro-batch, ``availableNow`` so
-    the query drains and stops) and return the FINAL complete-mode result as a
+    the query drains and stops) and return the stream's total output as a
     batch DataFrame.
 
-    The sink is ``foreachBatch`` → parquet overwrite: complete mode re-emits
-    the whole updated result each micro-batch, so after termination the
-    parquet directory holds exactly the stream's final state — no memory-sink
-    temp view (the registry-wide leak lint forbids session-global names), no
-    driver-side collect."""
+    The sink is ``foreachBatch`` → parquet: in complete mode each micro-batch
+    re-emits the whole updated result, so the sink is OVERWRITTEN and holds
+    exactly the final state; in append mode each micro-batch emits only new
+    finalized rows, so the sink is APPENDED and holds their union. No
+    memory-sink temp view (the registry-wide leak lint forbids session-global
+    names), no driver-side collect."""
     import tempfile
 
     events_path = os.path.join(sf_dir, "events.parquet")
@@ -457,9 +462,10 @@ def _replay_events_stream(
             os.mkdir(src_dir)
             os.symlink(events_path, os.path.join(src_dir, "events.parquet"))
         stream = build(read_events_stream(spark, src_dir))
+        write_mode = "overwrite" if mode == "complete" else "append"
         q = (
-            stream.writeStream.outputMode("complete")
-            .foreachBatch(lambda df, _epoch: df.write.mode("overwrite").parquet(sink))
+            stream.writeStream.outputMode(mode)
+            .foreachBatch(lambda df, _epoch: df.write.mode(write_mode).parquet(sink))
             .option("checkpointLocation", os.path.join(root, "ckpt"))
             .trigger(availableNow=True)
             .start()
@@ -559,6 +565,43 @@ def q_stream_session_equiv_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed = _replay_events_stream(spark, sf_dir, session_agg, "session")
     return equiv_ok(
         batch, streamed, ["session_start", "user_id"], ["session_end", "n_events"]
+    )
+
+
+@query(
+    "q_stream_scd2_equiv_gate",
+    oracle="SELECT TRUE AS ok",
+    category="streaming",
+    description=(
+        "SCD2 streaming-equivalence gate (round 7): replays the events "
+        "fixture through readStream into the applyInPandasWithState SCD "
+        "Type-2 state machine (append mode — each micro-batch emits only "
+        "the intervals CLOSED by a state change; the open interval lives in "
+        "GroupState) and emits ok = the streamed closed intervals equal the "
+        "batch twin's closed intervals (q_events_scd2 rows with a non-NULL "
+        "valid_to) row-for-row. With this, all three stateful streaming "
+        "shapes — windowed agg, session merge, custom GroupState operator — "
+        "are driver-hashed end-to-end."
+    ),
+)
+def q_stream_scd2_equiv_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.events_analytics import q_events_scd2
+
+    # closed intervals only: the streaming operator never emits the open one
+    batch = q_events_scd2(spark, sf_dir).filter(F.col("valid_to").isNotNull())
+    # same null-event-time exclusion as the batch build (a state change at
+    # unknown time is meaningless; the operator contract is event-time order)
+    streamed = _replay_events_stream(
+        spark,
+        sf_dir,
+        lambda s: streaming_scd2(s.filter(F.col("ts").isNotNull())),
+        "scd2",
+        mode="append",
+    )
+    # valid_to is non-NULL on both sides by construction, so it is the
+    # guaranteed-catch column equiv_ok needs for unmatched rows
+    return equiv_ok(
+        batch, streamed, ["user_id", "valid_from"], ["state", "valid_to"]
     )
 
 

@@ -111,7 +111,12 @@ def adversarial_sf(tmp_path_factory):
         (920003, TIMESTAMP '2024-03-04 00:02:00', 7201, 'view', 1.0, '{{"k": "str_not_int"}}'),
         (920004, TIMESTAMP '2024-03-04 00:03:00', 7201, 'view', 1.0, '[1,2,3]'),
         (920005, TIMESTAMP '2024-03-04 00:04:00', 7201, 'view', 1.0, '{{"k": {{"nested": {{"deep": 1}}}}}}'),
-        (920006, TIMESTAMP '2024-03-04 00:05:00', 7201, 'view', 1.0, 'null')
+        (920006, TIMESTAMP '2024-03-04 00:05:00', 7201, 'view', 1.0, 'null'),
+        -- round 7c: user 7103 gets a REAL event alongside its null-ts one —
+        -- a user with both would get different SCD2 change sequences per
+        -- engine (Spark windows sort NULLS FIRST, DuckDB NULLS LAST) unless
+        -- null event times are excluded, which both sides now do
+        (920007, TIMESTAMP '2024-03-04 01:00:00', 7103, 'click', 1.0, NULL)
       ) AS t(event_id, ts, user_id, event_type, value, props)
     ) TO '{dst}/events.parquet' (FORMAT PARQUET)
     """)

@@ -103,7 +103,9 @@ def test_driver_priority_window():
                  "q_llm_mix_stratified", "q_llm_split",
                  "q_llm_split_leakage_safe", "q_events_rollup_multires",
                  # round-7b re-seats (malformed JSON, vector dim contract)
-                 "q_scalar_json", "q_sim_cosine_topk", "q_vec_kmeans_gate"):
+                 "q_scalar_json", "q_sim_cosine_topk", "q_vec_kmeans_gate",
+                 # round-7c re-seat (SCD2 null-event-time exclusion)
+                 "q_events_scd2"):
         assert core in window, core
     # every window entry is oracled — rows-only queries would waste a slot
     qs = all_queries()
