@@ -67,6 +67,12 @@ HEADLINE = [
     "q_dedup_minhash_lsh_portable",
     "q_join_bloom_prefilter",
     "q_llm_pack_sequences",
+    # round-8 additions (VERDICT r7 item 5): the certified 100 TB twins of
+    # the two windowed headliners — salted rank and distributed ntile — so
+    # their cost is tracked round-over-round, not just their correctness.
+    # BASELINE_SET stays HEADLINE[:21]; the anchor ratio is unaffected.
+    "q_window_rank_salted",
+    "q_window_ntile_distributed",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal

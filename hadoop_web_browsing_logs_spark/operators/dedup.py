@@ -454,6 +454,7 @@ def q_dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "floor (32 perms -> stderr ~0.09 at J=0.5). Converts the "
         "self-evaluating q_dedup_minhash into a driver-hashable row."
     ),
+    tags=("calibrated",),
 )
 def q_dedup_minhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = q_dedup_minhash(spark, sf_dir)
@@ -477,6 +478,7 @@ def q_dedup_minhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Converts the self-evaluating q_dedup_minhash_lsh into a "
         "driver-hashable row."
     ),
+    tags=("calibrated",),
 )
 def q_dedup_minhash_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single pass over the quadratic brute-force side: a LEFT join marks each
@@ -704,6 +706,77 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_near_dup", F.col("sim") >= 0.8)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+    )
+
+
+def _dedup_embedding_bucketed_oracle() -> str:
+    from .similarity import lsh_anyband_oracle_parts
+
+    cte, any_band, verify_sim = lsh_anyband_oracle_parts()
+    return f"""
+    {cte}
+    SELECT vec_id, nearest_id, sim, sim >= 0.8 AS is_near_dup FROM (
+        SELECT a.vec_id, b.vec_id AS nearest_id, {verify_sim} AS sim,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {verify_sim} DESC, b.vec_id) AS rn
+        FROM s a JOIN s b ON a.vec_id <> b.vec_id
+        WHERE {any_band}
+    ) WHERE rn = 1
+    """
+
+
+@query(
+    "q_dedup_embedding_bucketed",
+    oracle=_dedup_embedding_bucketed_oracle(),
+    category="dedup",
+    description=(
+        "Embedding near-dup, BUCKETED end-to-end (round 8, VERDICT r7 item "
+        "4): hyperplane-LSH any-band candidate generation → exact-cosine "
+        "verify on surviving pairs only → nearest candidate per vector + "
+        "near-dup verdict at sim ≥ 0.8. This is the 100 TB shape of "
+        "q_dedup_embedding (whose all-pairs crossJoin is the labeled exact "
+        "baseline), and — unlike the self-evaluating recall queries — it is "
+        "HASH-PROVED: the DuckDB twin replays the same seeded plane "
+        "literals, any-band rule, verify cosine, and argmin, so the entire "
+        "pipeline (bucketing math included) must agree bit-for-bit. Scale "
+        "shape: the band join carries bare ids, embeddings re-join only for "
+        "surviving candidates, the argmin window partitions by vec_id."
+    ),
+)
+def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import cosine_similarity
+    from .similarity import CAND_STRIDE, lsh_band_signatures
+
+    e0 = (
+        load_vectors(spark, sf_dir)
+        .filter(F.col("vec_id") % CAND_STRIDE == 0)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=False)
+    )
+    sigs = e0.select(
+        "vec_id", F.explode(lsh_band_signatures("embedding")).alias("bs")
+    ).select("vec_id", "bs.band", "bs.sig")
+    # DIRECTED pairs (a, b) with a <> b: every vector is a query point, so
+    # the nearest-candidate argmin below is defined for each — unlike the
+    # portable-candidates query's undirected a < b canonical pairs
+    a = sigs.select(F.col("vec_id").alias("vec_id"), "band", "sig")
+    b = sigs.select(F.col("vec_id").alias("nearest_id"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("vec_id") != F.col("nearest_id"))
+        .select("vec_id", "nearest_id")
+        .dropDuplicates()
+    )
+    verified = (
+        cand.join(e0.select(F.col("vec_id"), F.col("embedding").alias("va")), "vec_id")
+        .join(e0.select(F.col("vec_id").alias("nearest_id"), F.col("embedding").alias("vb")), "nearest_id")
+        .select("vec_id", "nearest_id", cosine_similarity("va", "vb").alias("sim"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nearest_id"))
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "nearest_id", "sim", (F.col("sim") >= 0.8).alias("is_near_dup"))
     )
 
 

@@ -219,8 +219,12 @@ def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- meaningless, and NULL ordering inside the window DIFFERS between
         -- engines (Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST) —
         -- a user with both null-ts and real events would get different
-        -- change sequences
-        FROM events WHERE ts IS NOT NULL
+        -- change sequences. event_type IS NOT NULL (round 8, ADVICE r7): a
+        -- NULL state is not a state — SQL's `<>` change test evaluates NULL
+        -- for it (not a change) while the streaming twin's Python `!=` saw
+        -- a change, so the two builds diverged on NULL-state rows; exclude
+        -- them identically everywhere (same rationale as the ts exclusion)
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
     ),
     changes AS (
         SELECT user_id, event_type, ts, event_id
@@ -247,7 +251,8 @@ def q_events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         t(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull())
+        # NULL state excluded like NULL time (round 8): see oracle comment
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
         .select("user_id", "event_type", "ts", "event_id")
     )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")

@@ -516,6 +516,7 @@ def all_rows_gate(df: DataFrame, within: F.Column) -> DataFrame:
         "(max(5, 15%) of exact). Constant-oracle pattern — the sketch's "
         "exact output isn't portable, its error bound is."
     ),
+    tags=("calibrated",),
 )
 def q_agg_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = q_agg_approx_distinct(spark, sf_dir)
@@ -534,6 +535,7 @@ def q_agg_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "relative error must stay under 1% at accuracy 10k (the pytest "
         "envelope). Constant-oracle pattern."
     ),
+    tags=("calibrated",),
 )
 def q_agg_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = q_agg_approx_percentile(spark, sf_dir)

@@ -461,13 +461,16 @@ def ivf_ann_recall(
 CAND_STRIDE = 5  # bounds the oracle's quadratic all-pairs side
 
 
-def _lsh_candidates_oracle() -> str:
-    """All-pairs DuckDB twin of the banded hyperplane candidate generation:
-    the SAME seeded plane literals, the SAME sequential-DOUBLE dot products
+def lsh_anyband_oracle_parts() -> tuple[str, str, str]:
+    """Shared DuckDB twin pieces for the banded hyperplane bucketing: the
+    strided signature CTE (``WITH s AS …``), the any-band-match condition
+    over aliases ``a``/``b``, and the exact-cosine verify expression — the
+    SAME seeded plane literals, the SAME sequential-DOUBLE dot products
     (sign-of-dot is bit-portable — see functions/vector.py determinism
-    contract), the SAME any-band-match rule — so the bucketed Spark plan's
-    candidate SET and every cosine value must agree bit-for-bit with a
-    quadratic oracle."""
+    contract) as the Spark side, so every consumer's candidate SET and
+    cosine values agree bit-for-bit with a quadratic oracle. Consumers:
+    the portable-candidates query here and dedup's bucketed embedding
+    near-dup twin."""
     from ..functions.vector import duck_dot, duck_norm
 
     planes = _hyperplanes()
@@ -489,13 +492,22 @@ def _lsh_candidates_oracle() -> str:
 
     sig_list = "[" + ", ".join(band_sig("embedding", b) for b in range(N_BANDS)) + "]"
     any_band = " OR ".join(f"a.sig[{b + 1}] = b.sig[{b + 1}]" for b in range(N_BANDS))
-    return f"""
+    cte = f"""
     WITH s AS (
       SELECT vec_id, embedding, {duck_norm("embedding")} AS nrm, {sig_list} AS sig
       FROM {DUCK_VECTORS} v WHERE vec_id % {CAND_STRIDE} = 0
     )
+    """
+    verify_sim = f"{duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
+    return cte, any_band, verify_sim
+
+
+def _lsh_candidates_oracle() -> str:
+    cte, any_band, verify_sim = lsh_anyband_oracle_parts()
+    return f"""
+    {cte}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {duck_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+           {verify_sim} AS sim
     FROM s a JOIN s b ON a.vec_id < b.vec_id
     WHERE {any_band}
     """
@@ -622,6 +634,7 @@ def _margin_recall_gate(
         "Hash-comparable despite the underlying query being approximate — "
         "the oracle is the constant a healthy engine emits."
     ),
+    tags=("calibrated",),
 )
 def q_sim_lsh_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _margin_recall_gate(
@@ -646,6 +659,7 @@ def q_sim_lsh_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recall is 1.76-2.08x baseline. Same constant-oracle margin pattern "
         "as the LSH gate."
     ),
+    tags=("calibrated",),
 )
 def q_sim_ivf_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _margin_recall_gate(

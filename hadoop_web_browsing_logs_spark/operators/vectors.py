@@ -50,15 +50,24 @@ EMBEDDING_DIM = 64
 
 #: Oracle-side twin of :func:`load_vectors` — substitute for ``embeddings``.
 DUCK_VECTORS = (
-    f"(SELECT * FROM embeddings WHERE len(embedding) = {EMBEDDING_DIM})"
+    f"(SELECT * FROM embeddings WHERE len(embedding) = {EMBEDDING_DIM}"
+    f" AND len(list_filter(embedding, x -> x IS NULL)) = 0)"
 )
 
 
 def load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings table under the declared-dimension contract: NULL or
     wrong-dimension vectors (dead rows, truncated writes, mixed-model
-    contamination — routine at corpus scale) are excluded at the scan."""
-    return t(spark, sf_dir, "embeddings").filter(F.size("embedding") == EMBEDDING_DIM)
+    contamination — routine at corpus scale) are excluded at the scan.
+    A vector with a NULL ELEMENT is equally garbage under the contract
+    (round 8, ADVICE r7): the engines genuinely disagree on it — Spark's
+    aggregate-based dot absorbs the NULL product into a NULL sum while
+    DuckDB's list_sum skips it — so it is excluded identically on both
+    sides, like the wrong-dimension case."""
+    return t(spark, sf_dir, "embeddings").filter(
+        (F.size("embedding") == EMBEDDING_DIM)
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
 
 
 def nearest_center(points: DataFrame, centers: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -181,10 +190,14 @@ def q_vec_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     -- int8 quantization is only defined for finite vectors: a NaN/Inf
     -- element poisons the max-abs scale and crashes the integer cast in
-    -- BOTH engines — excluded identically on both sides (round 7)
+    -- BOTH engines — excluded identically on both sides (round 7). The
+    -- `x IS NULL OR` arm (round 8, ADVICE r7): a NULL element must also
+    -- disqualify the vector on BOTH sides — without it DuckDB's
+    -- list_filter silently dropped NULL elements from the check (kept the
+    -- row) while Spark's forall evaluated NULL (filtered the row).
     base AS (
         SELECT * FROM base0
-        WHERE len(list_filter(xd, x -> NOT isfinite(x))) = 0
+        WHERE len(list_filter(xd, x -> x IS NULL OR NOT isfinite(x))) = 0
     ),
     s AS (
         SELECT vec_id, xd,
@@ -220,9 +233,11 @@ def q_vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").isNotNull() & (F.size("embedding") > 0)
     )
     xd = F.transform("embedding", lambda x: x.cast("double"))
-    # finite vectors only, mirroring the oracle: abs(x) < inf is false for
-    # both ±Inf and NaN (Spark orders NaN above Infinity)
-    finite = F.forall("xd", lambda x: F.abs(x) < F.lit(float("inf")))
+    # finite NON-NULL vectors only, mirroring the oracle: abs(x) < inf is
+    # false for both ±Inf and NaN (Spark orders NaN above Infinity), and the
+    # explicit isNotNull arm makes a NULL element a definite disqualifier on
+    # both engines instead of a three-valued-logic divergence (ADVICE r7)
+    finite = F.forall("xd", lambda x: x.isNotNull() & (F.abs(x) < F.lit(float("inf"))))
     scale = F.greatest(F.array_max(F.transform("xd", F.abs)), F.lit(1e-30))
     quant = F.transform("xd", lambda x: F.floor(x * 127.0 / F.col("scale") + 0.5).cast("long"))
 
@@ -287,6 +302,7 @@ def q_vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "baseline). Converts the seeded-but-SQL-inexpressible q_vec_kmeans "
         "into a driver-hashable row."
     ),
+    tags=("calibrated",),
 )
 def q_vec_kmeans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = q_vec_kmeans(spark, sf_dir)

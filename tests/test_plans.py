@@ -80,32 +80,31 @@ def test_driver_priority_window():
     assert names[:50] == list(DRIVER_PRIORITY)
     # every priority name actually resolves to a registered query
     assert set(DRIVER_PRIORITY) <= set(names)
-    # round-7 allocation (COVERAGE.md): slot 1 = the new session-window
-    # streaming gate, slot 2 re-seats the tumbling gate (shared null-safe
-    # comparator), 11 round-6-modified re-seats (cosine family, SimHash,
-    # text quality), the entire remaining round-4 cohort, then the
-    # round-5 cohort oldest-first
+    # round-8 allocation (registry.py comment): slots 1-4 = the
+    # never-certified gates/queries (SCD2 gate, interval-join gate, bucketed
+    # embedding dedup, salted hot-key agg), then the round-8-modified
+    # re-seats, the dsum-kernel cohort, the ENTIRE round-5 cohort
+    # (porter gate's standing seat included), and five round-6 HEADLINE
+    # members
     window = set(DRIVER_PRIORITY)
-    assert DRIVER_PRIORITY[0] == "q_stream_session_equiv_gate"
-    assert DRIVER_PRIORITY[1] == "q_stream_equiv_gate"
-    for core in ("q_vec_nearest_center", "q_vec_cluster_groups",
-                 "q_sim_range_search", "q_sim_lsh_candidates_portable",
-                 "q_sim_ivf_candidates", "q_sim_lsh_ann_gate",
-                 "q_sim_ivf_ann_gate", "q_dedup_embedding",
-                 "q_dedup_simhash", "q_dedup_simhash_pairs",
-                 "q_text_quality", "q1_pricing_summary", "q_window_rank",
-                 "q_dedup_exact", "q_llm_decontaminate",
-                 "q_ref_pipeline_unstemmed", "q_text_tfidf",
-                 "q_stream_tumbling_batch",
-                 # round-7-modified re-seats (adversarial NaN/Inf/NULL fixes)
-                 "q_events_anomaly_zscore", "q_stream_session_batch",
-                 "q_stream_sliding_batch", "q_scalar_map",
-                 "q_llm_mix_stratified", "q_llm_split",
-                 "q_llm_split_leakage_safe", "q_events_rollup_multires",
-                 # round-7b re-seats (malformed JSON, vector dim contract)
-                 "q_scalar_json", "q_sim_cosine_topk", "q_vec_kmeans_gate",
-                 # round-7c re-seat (SCD2 null-event-time exclusion)
-                 "q_events_scd2"):
+    assert DRIVER_PRIORITY[0] == "q_stream_scd2_equiv_gate"
+    assert DRIVER_PRIORITY[1] == "q_stream_interval_equiv_gate"
+    assert DRIVER_PRIORITY[2] == "q_dedup_embedding_bucketed"
+    assert DRIVER_PRIORITY[3] == "q_agg_salted_hotkey"
+    for core in (
+                 # round-8-modified re-seats (ADVICE r7 alignments)
+                 "q_events_scd2", "q_vec_quantize_int8",
+                 # dsum-kernel cohort (transitively certified in r7)
+                 "q_agg_cube", "q_pivot", "q_scalar_date",
+                 "q_join_multiway", "q_join_range", "q_agg_stats",
+                 "q_agg_rollup", "q_agg_variance",
+                 # round-5 cohort anchors
+                 "q_text_porter_gate", "q_cte_pipeline",
+                 "q_llm_pack_sequences", "q_stream_interval_join_batch",
+                 "q_udf_python_row", "q_window_range_frame",
+                 # round-6 HEADLINE members
+                 "q_asof_join", "q_topk_per_group", "q_llm_chunk",
+                 "q_events_funnel", "q_join_bloom_prefilter"):
         assert core in window, core
     # every window entry is oracled — rows-only queries would waste a slot
     qs = all_queries()

@@ -99,6 +99,19 @@ def test_session_equiv_gate_green(spark):
     assert [r.ok for r in got] == [True]
 
 
+def test_interval_equiv_gate_green(spark):
+    """The round-8 stream-stream interval-join gate (real readStream replay
+    of the watermarked self-join) must emit ok=True on the fixture."""
+    got = get_query("q_stream_interval_equiv_gate").fn(spark, SF_DIR).collect()
+    assert [r.ok for r in got] == [True]
+
+
+def test_scd2_equiv_gate_green(spark):
+    """The SCD2 applyInPandasWithState gate must emit ok=True on the fixture."""
+    got = get_query("q_stream_scd2_equiv_gate").fn(spark, SF_DIR).collect()
+    assert [r.ok for r in got] == [True]
+
+
 def test_streaming_session_equals_batch(spark, events_dir):
     stream = SW.read_events_stream(spark, events_dir)
     agg = SW.session_agg(stream)
