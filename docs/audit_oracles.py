@@ -1,10 +1,12 @@
-"""Ad-hoc dual-scale oracle audit: replay every registered oracle against
-DuckDB at a given SF dir using the same type-sensitive comparator the pytest
-harness mirrors from the driver. Usage:
+"""Dual-scale oracle audit — the one-command round evidence (VERDICT r7
+item 8): replay every registered oracle against DuckDB using the same
+type-sensitive comparator the pytest harness mirrors from the driver, at
+EVERY given SF dir (default: sf0.01 AND sf0.1, one Spark session for both).
+Usage:
 
-    python docs/audit_oracles.py [sf_dir]
+    python docs/audit_oracles.py [sf_dir ...]
 
-Prints one line per query (ok/FAIL) and a final summary; exit 1 on any FAIL.
+Prints one line per (query, sf) and a summary per scale; exit 1 on any FAIL.
 """
 
 from __future__ import annotations
@@ -23,10 +25,7 @@ from hadoop_web_browsing_logs_spark.sources.readers import TABLE_NAMES
 from tests.conftest import canonical_rows, duck_fetch_typed
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    cpus = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
-    spark = get_spark("oracle-audit", cpus=cpus)
+def audit_one(spark, sf_dir: str) -> int:
     duck = duckdb.connect()
     for name in TABLE_NAMES:
         duck.execute(
@@ -63,7 +62,18 @@ def main() -> int:
     print(f"\n{len(names) - len(fails)}/{len(names)} oracled queries match at {sf_dir}")
     if fails:
         print("failures:", fails)
+    duck.close()
     return 1 if fails else 0
+
+
+def main() -> int:
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    cpus = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
+    spark = get_spark("oracle-audit", cpus=cpus)
+    rc = 0
+    for sf_dir in sf_dirs:
+        rc |= audit_one(spark, sf_dir)
+    return rc
 
 
 if __name__ == "__main__":
