@@ -43,28 +43,29 @@ _REGISTRY: dict[str, Query] = {}
 #: the minhash-rewrite re-seats, the full round-3 cohort, and the head of
 #: the round-4 cohort; round 7 seated the session gate plus the full
 #: round-4 remainder and the round-7-modified re-seats. Round 8 (VERDICT r7
-#: items 1, 2, 4, 6, 7) closes the remaining lag: slots 1-5 are the
+#: items 1, 2, 4, 6, 7) closes the remaining lag: first the
 #: never-certified queries (the SCD2 gate registered outside the r7 window,
-#: the NEW stream-stream interval-join gate, the NEW bucketed embedding
-#: near-dup twin, the NEW salted hot-key aggregation, and
-#: q_agg_approx_percentile — the one rows-only query no window ever
-#: reached); slots 6-7 are the round-8-MODIFIED re-seats (q_events_scd2's
-#: NULL-state exclusion, q_vec_quantize_int8's NULL-element check — both
-#: ADVICE r7); slots 8-15 are the eight queries whose only round-7 change
-#: was the shared dsum try_cast kernel (certified transitively in r7, now
-#: directly); slots 16-46 are the ENTIRE round-5 cohort — including the
-#: standing q_text_porter_gate seat (VERDICT item 6), q_cte_pipeline, and
-#: q_llm_pack_sequences — after this round no ORACLED query's last
-#: driver-green row predates round 6; slots 46-50 are the five
+#: the NEW inner and left-outer stream-stream interval-join gates + the
+#: left-outer batch twin, the NEW bucketed embedding near-dup twin, the
+#: NEW salted hot-key aggregation); then the round-8-MODIFIED re-seats
+#: (q_events_scd2's NULL-state exclusion, q_vec_quantize_int8's
+#: NULL-element check — both ADVICE r7); then the eight queries whose only
+#: round-7 change was the shared dsum try_cast kernel (certified
+#: transitively in r7, now directly); then the ENTIRE round-5 cohort —
+#: including the standing q_text_porter_gate seat (VERDICT item 6),
+#: q_cte_pipeline, and q_llm_pack_sequences — after this round no ORACLED
+#: query's last driver-green row predates round 6; the tail is three
 #: benched-every-round HEADLINE members of the round-6 cohort (freshest
 #: certification where cost is tracked). Rows-only queries stay out of the
 #: window by design (the driver's rows-only check is weak; their oracled
 #: _gate twins are all r6+-green and pytest replays them each run).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never driver-certified: the round-7 SCD2 gate + the three NEW
+    # --- never driver-certified: the round-7 SCD2 gate + the five NEW
     # round-8 queries ---
     "q_stream_scd2_equiv_gate",
     "q_stream_interval_equiv_gate",
+    "q_stream_interval_left_equiv_gate",
+    "q_stream_interval_join_left_batch",
     "q_dedup_embedding_bucketed",
     "q_agg_salted_hotkey",
     # --- round-8-MODIFIED re-seats (ADVICE r7 semantic alignments) ---
@@ -116,8 +117,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- round-6 cohort HEADLINE members (benched every round) ---
     "q_asof_join",
     "q_topk_per_group",
-    "q_llm_chunk",
-    "q_events_funnel",
     "q_join_bloom_prefilter",
 )
 

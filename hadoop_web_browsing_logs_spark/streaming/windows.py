@@ -330,6 +330,37 @@ def interval_join_views_purchases(views: DataFrame, purchases: DataFrame) -> Dat
     )
 
 
+def interval_join_purchases_left(purchases: DataFrame, views: DataFrame) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: every purchase emits — with its
+    preceding-hour views when they exist, null-extended when none do. The
+    semantically distinct stateful shape vs the inner join: a matched pair is
+    emitted the moment it joins, but an UNMATCHED purchase can only be
+    declared unmatched once the WATERMARK has passed its join window (a
+    qualifying view can no longer arrive) — so null-extended rows surface one
+    micro-batch after the watermark moves, not when the purchase does. Both
+    sides need watermarks; the time-bound condition lets Spark expire state."""
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value"),
+    )
+    v = views.select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+    )
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", "2 hours")
+        v = v.withWatermark("view_ts", "2 hours")
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    return p.join(v, cond, "left_outer").select(
+        "p_user", "purchase_id", "purchase_ts", "view_id", "view_ts", "value"
+    )
+
+
 @query(
     "q_stream_interval_join_batch",
     oracle="""
@@ -350,6 +381,37 @@ def q_stream_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = e.filter(F.col("event_type") == "view")
     purchases = e.filter(F.col("event_type") == "purchase")
     return interval_join_views_purchases(views, purchases)
+
+
+@query(
+    "q_stream_interval_join_left_batch",
+    oracle="""
+    SELECT p.user_id AS p_user,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           v.event_id AS view_id,     v.ts AS view_ts,
+           p.value
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+    LEFT JOIN (SELECT * FROM events
+               WHERE event_type = 'view' AND ts IS NOT NULL) v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+    category="streaming",
+    description=(
+        "LEFT-OUTER interval join: every purchase, view-enriched when a "
+        "same-user view preceded it within 1h, null-extended when none did — "
+        "batch twin of the watermarked left-outer stream-stream join. "
+        "ts IS NOT NULL on both inputs: the streaming watermark drops null "
+        "event times, and a null-ts purchase would otherwise survive the "
+        "batch LEFT join as a phantom unmatched row."
+    ),
+)
+def q_stream_interval_join_left_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _batch_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    views = e.filter(F.col("event_type") == "view")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    return interval_join_purchases_left(purchases, views)
 
 
 # ---------------------------------------------------------------------------
@@ -426,12 +488,52 @@ def _stream_static_oracle() -> str:
 _STREAM_EQUIV_CACHE: dict[str, str] = {}
 
 
+def _write_watermark_sentinel(src_dir: str, events_path: str) -> None:
+    """Stage a tiny second parquet file after the fixture: one far-future
+    (year 2100) view + purchase pair for user -999. With
+    ``maxFilesPerTrigger=1`` it becomes its own FINAL micro-batch, advancing
+    both sides' watermarks past every fixture event so watermark-gated output
+    (outer-join null extensions, final window closes) flushes before the
+    ``availableNow`` replay terminates. The physical ``ts`` type is copied
+    from the fixture footer so both files stream under one schema; gates
+    filter ``user_id = -999`` back out of the comparison."""
+    import datetime as dt
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(events_path):
+        events_path = sorted(_glob.glob(os.path.join(events_path, "*.parquet")))[0]
+    sch = pq.read_schema(events_path)
+    far = dt.datetime(2100, 1, 1)
+    ts_type = sch.field("ts").type
+    if pa.types.is_timestamp(ts_type):
+        ts_vals = pa.array([far, far + dt.timedelta(minutes=1)], type=ts_type)
+    else:  # int64 nanoseconds fixture
+        ns = int(pa.scalar(far, type=pa.timestamp("ns")).value)
+        ts_vals = pa.array([ns, ns + 60_000_000_000], type=pa.int64())
+    cols = {
+        "event_id": pa.array([-1, -2], type=sch.field("event_id").type),
+        "ts": ts_vals,
+        "user_id": pa.array([-999, -999], type=sch.field("user_id").type),
+        "event_type": pa.array(["view", "purchase"], type=sch.field("event_type").type),
+        "value": pa.array([0.0, 0.0], type=sch.field("value").type),
+        "props": pa.array([None, None], type=sch.field("props").type),
+    }
+    table = pa.table({f.name: cols[f.name] for f in sch}, schema=sch)
+    # zz_ prefix + written last: the file source orders by (mod time, path),
+    # so the sentinel is the final micro-batch either way
+    pq.write_table(table, os.path.join(src_dir, "zz_watermark_sentinel.parquet"))
+
+
 def _replay_events_stream(
     spark: SparkSession,
     sf_dir: str,
     build: Callable[[DataFrame], DataFrame],
     tag: str,
     mode: str = "complete",
+    watermark_sentinel: bool = False,
 ) -> DataFrame:
     """Run ``build(stream)`` as a real Structured Streaming query over the
     events fixture (file source, one file per micro-batch, ``availableNow`` so
@@ -457,10 +559,18 @@ def _replay_events_stream(
         # the file stream source requires a DIRECTORY; the fixture is a single
         # .parquet file — stage a symlink dir (no data copy)
         src_dir = events_path
-        if os.path.isfile(events_path):
+        if os.path.isfile(events_path) or watermark_sentinel:
             src_dir = os.path.join(root, "input")
             os.mkdir(src_dir)
-            os.symlink(events_path, os.path.join(src_dir, "events.parquet"))
+            if os.path.isfile(events_path):
+                os.symlink(events_path, os.path.join(src_dir, "events.parquet"))
+            else:
+                for f in sorted(os.listdir(events_path)):
+                    os.symlink(
+                        os.path.join(events_path, f), os.path.join(src_dir, f)
+                    )
+            if watermark_sentinel:
+                _write_watermark_sentinel(src_dir, events_path)
         stream = build(read_events_stream(spark, src_dir))
         write_mode = "overwrite" if mode == "complete" else "append"
         q = (
@@ -651,6 +761,48 @@ def q_stream_interval_equiv_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # payload. Null event times can't appear in either output: the batch
     # join's range predicate evaluates NULL for them and the streaming
     # watermark drops them — same exclusion, both sides.
+    return equiv_ok(
+        batch,
+        streamed,
+        ["purchase_id", "view_id"],
+        ["p_user", "purchase_ts", "view_ts", "value"],
+    )
+
+
+@query(
+    "q_stream_interval_left_equiv_gate",
+    oracle="SELECT TRUE AS ok",
+    category="streaming",
+    description=(
+        "LEFT-OUTER stream-stream join equivalence gate (round 8): the "
+        "watermark-gated shape the inner gate can't certify — an unmatched "
+        "purchase emits its null-extended row only after the watermark "
+        "passes its join window. The replay appends a far-future sentinel "
+        "micro-batch (user -999, year 2100) to advance both watermarks past "
+        "every fixture event so the tail's unmatched purchases flush before "
+        "availableNow terminates; the sentinel rows are filtered back out "
+        "of both sides of the comparison. ok = streamed rows equal the "
+        "batch LEFT-join twin's row-for-row on the (purchase_id, view_id) "
+        "pair key (view_id NULL for unmatched — eqNullSafe keys pair them)."
+    ),
+)
+def q_stream_interval_left_equiv_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch = q_stream_interval_join_left_batch(spark, sf_dir)
+    # explicit ts-not-null on the stream side, mirroring the batch twin: a
+    # null-event-time PURCHASE must not reach the left-outer join (its
+    # condition evaluates NULL → it would emit a phantom null-extended row
+    # that the watermark machinery may or may not drop — don't rely on it)
+    streamed = _replay_events_stream(
+        spark,
+        sf_dir,
+        lambda s: interval_join_purchases_left(
+            s.filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull()),
+            s.filter((F.col("event_type") == "view") & F.col("ts").isNotNull()),
+        ),
+        "interval_left",
+        mode="append",
+        watermark_sentinel=True,
+    ).filter(F.col("p_user") != -999)
     return equiv_ok(
         batch,
         streamed,

@@ -89,8 +89,10 @@ def test_driver_priority_window():
     window = set(DRIVER_PRIORITY)
     assert DRIVER_PRIORITY[0] == "q_stream_scd2_equiv_gate"
     assert DRIVER_PRIORITY[1] == "q_stream_interval_equiv_gate"
-    assert DRIVER_PRIORITY[2] == "q_dedup_embedding_bucketed"
-    assert DRIVER_PRIORITY[3] == "q_agg_salted_hotkey"
+    assert DRIVER_PRIORITY[2] == "q_stream_interval_left_equiv_gate"
+    assert DRIVER_PRIORITY[3] == "q_stream_interval_join_left_batch"
+    assert DRIVER_PRIORITY[4] == "q_dedup_embedding_bucketed"
+    assert DRIVER_PRIORITY[5] == "q_agg_salted_hotkey"
     for core in (
                  # round-8-modified re-seats (ADVICE r7 alignments)
                  "q_events_scd2", "q_vec_quantize_int8",
@@ -103,8 +105,7 @@ def test_driver_priority_window():
                  "q_llm_pack_sequences", "q_stream_interval_join_batch",
                  "q_udf_python_row", "q_window_range_frame",
                  # round-6 HEADLINE members
-                 "q_asof_join", "q_topk_per_group", "q_llm_chunk",
-                 "q_events_funnel", "q_join_bloom_prefilter"):
+                 "q_asof_join", "q_topk_per_group", "q_join_bloom_prefilter"):
         assert core in window, core
     # every window entry is oracled — rows-only queries would waste a slot
     qs = all_queries()

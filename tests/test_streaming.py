@@ -99,6 +99,22 @@ def test_session_equiv_gate_green(spark):
     assert [r.ok for r in got] == [True]
 
 
+def test_interval_left_equiv_gate_green(spark):
+    """The left-outer stream-stream gate must emit ok=True: null-extended
+    rows for unmatched purchases flush via the far-future sentinel batch."""
+    got = get_query("q_stream_interval_left_equiv_gate").fn(spark, SF_DIR).collect()
+    assert [r.ok for r in got] == [True]
+
+
+def test_interval_left_batch_has_unmatched_rows(spark):
+    """The fixture must actually exercise the null-extension path — if every
+    purchase had a preceding view the left-outer gate would degenerate to
+    the inner one."""
+    b = get_query("q_stream_interval_join_left_batch").fn(spark, SF_DIR)
+    assert b.filter("view_id IS NULL").count() > 0
+    assert b.filter("view_id IS NOT NULL").count() > 0
+
+
 def test_interval_equiv_gate_green(spark):
     """The round-8 stream-stream interval-join gate (real readStream replay
     of the watermarked self-join) must emit ok=True on the fixture."""
