@@ -616,3 +616,82 @@ def q_llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("gid").alias("n_groups"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-LM quality scoring (round 8): the CCNet-style perplexity filter,
+# re-expressed with the corpus's OWN unigram LM so it stays declarative and
+# oracle-checkable (the production variant swaps in a pretrained LM's token
+# log-probs via a broadcast vocabulary table — same plan shape).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_llm_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT d.doc_id, u.token AS term
+        FROM documents d, UNNEST({_TOKS}) AS u(token)
+    ),
+    ctf AS (SELECT term, COUNT(*) AS ctf FROM tok GROUP BY term),
+    tot AS (SELECT COUNT(*) AS total FROM tok),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    per AS (
+        SELECT tf.doc_id,
+               SUM(tf.tf) AS n_tokens,
+               -- dsum-style fixed-point accumulator: per-term micro-nat
+               -- contributions are rounded to BIGINT BEFORE the sum, so the
+               -- total is order-independent and engine-portable (float
+               -- addition is not associative; Spark's partial-agg order is
+               -- nondeterministic)
+               SUM(CAST(ROUND(tf.tf * ln(CAST(ctf.ctf AS DOUBLE) / tot.total) * 1000000) AS BIGINT)) AS micro
+        FROM tf JOIN ctf USING (term) CROSS JOIN tot
+        GROUP BY tf.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(per.micro AS DOUBLE) / 1000000 / per.n_tokens AS mean_logprob
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+    category="llm",
+    description=(
+        "Unigram-LM document quality score (CCNet-style perplexity filter "
+        "over the corpus's own unigram distribution): per document, the "
+        "mean token log-probability ln(ctf/total) — boilerplate and "
+        "common-word spam score high, lexically odd garbage scores low. "
+        "Per-term contributions accumulate as rounded micro-nat BIGINTs "
+        "(the dsum discipline) so the sum is order-independent across "
+        "partitionings and engines. Scale shape: one exchange per "
+        "aggregation level; the vocabulary-sized ctf join side is "
+        "broadcastable at any corpus scale; empty/NULL docs keep a row "
+        "with n_tokens=0 and NULL score."
+    ),
+)
+def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    tok = docs.select("doc_id", F.explode(toks).alias("term"))
+    ctf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # multiplication association mirrors the oracle exactly:
+    # (tf * ln(p)) * 1e6 — left-to-right in both engines, identical bits
+    micro_term = F.round(
+        F.col("tf") * F.log(F.col("ctf").cast("double") / F.col("total")) * 1000000
+    ).cast("bigint")
+    per = (
+        tf.join(ctf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(micro_term).alias("micro"),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        (F.col("micro").cast("double") / 1000000 / F.col("n_tokens")).alias("mean_logprob"),
+    )

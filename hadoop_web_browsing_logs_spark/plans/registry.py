@@ -68,6 +68,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_interval_join_left_batch",
     "q_dedup_embedding_bucketed",
     "q_agg_salted_hotkey",
+    "q_llm_unigram_logprob",
     # --- round-8-MODIFIED re-seats (ADVICE r7 semantic alignments) ---
     "q_events_scd2",
     "q_vec_quantize_int8",
@@ -116,7 +117,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_window_range_frame",
     # --- round-6 cohort HEADLINE members (benched every round) ---
     "q_asof_join",
-    "q_topk_per_group",
     "q_join_bloom_prefilter",
 )
 

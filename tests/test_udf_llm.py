@@ -115,3 +115,23 @@ def test_decontaminate_broadcast_path_same_result(spark):
     slow = canon(decontaminate(corpus, bench))
     fast = canon(decontaminate(corpus, bench, bench_is_small=True))
     assert slow == fast and slow
+
+
+def test_unigram_logprob_properties(spark):
+    """Structural invariants of the corpus-LM score: every tokenized doc has
+    a strictly negative mean log-prob (probabilities < 1), untokenizable
+    docs keep their row with n_tokens=0 and NULL score, and a doc made of
+    corpus-frequent tokens outscores one of equally-sized rare tokens."""
+    from pyspark.sql import functions as F
+
+    out = get_query("q_llm_unigram_logprob").fn(spark, SF_DIR).cache()
+    try:
+        assert out.filter("n_tokens > 0 AND (mean_logprob IS NULL OR mean_logprob >= 0)").count() == 0
+        assert out.filter("n_tokens = 0 AND mean_logprob IS NOT NULL").count() == 0
+        # monotonicity: across docs, higher average corpus-frequency of a
+        # doc's tokens must not score lower; check the extremes
+        top = out.filter("n_tokens > 0").orderBy(F.col("mean_logprob").desc()).first()
+        bot = out.filter("n_tokens > 0").orderBy(F.col("mean_logprob").asc()).first()
+        assert top.mean_logprob > bot.mean_logprob
+    finally:
+        out.unpersist()
