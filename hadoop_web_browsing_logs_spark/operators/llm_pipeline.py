@@ -748,3 +748,85 @@ def q_llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "q_llm_bigram_logprob",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    big AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM d, UNNEST(range(1, len(toks))) AS r(i)
+    ),
+    cbf AS (SELECT w1, w2, COUNT(*) AS cbf FROM big GROUP BY 1, 2),
+    ctx AS (SELECT w1, COUNT(*) AS ctx FROM big GROUP BY 1),
+    bf AS (SELECT doc_id, w1, w2, COUNT(*) AS bf FROM big GROUP BY 1, 2, 3),
+    per AS (
+        SELECT bf.doc_id,
+               SUM(bf.bf) AS n_bigrams,
+               SUM(CAST(ROUND(bf.bf * ln(CAST(cbf.cbf AS DOUBLE) / ctx.ctx) * 1000000) AS BIGINT)) AS micro
+        FROM bf JOIN cbf USING (w1, w2) JOIN ctx USING (w1)
+        GROUP BY bf.doc_id
+    )
+    SELECT d2.doc_id,
+           CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(per.micro AS DOUBLE) / 1000000 / per.n_bigrams AS mean_logprob
+    FROM documents d2 LEFT JOIN per ON d2.doc_id = per.doc_id
+    """,
+    category="llm",
+    description=(
+        "Bigram-LM document quality score — the sharper CCNet-style "
+        "perplexity filter: per document, the mean conditional "
+        "log-probability ln(c(w1,w2)/c_ctx(w1)) under the corpus's own "
+        "bigram MLE (every observed bigram has count >= 1, so the model is "
+        "total on its training corpus). Catches word-salad the unigram "
+        "filter misses: common words in impossible ORDER score low. "
+        "Bigrams are built JVM-side per document (slice + transform with "
+        "positional lambda — no shuffle, no Python); per-bigram "
+        "contributions accumulate as rounded micro-nat BIGINTs (the dsum "
+        "discipline) so the sum is order-independent across partitionings "
+        "and engines. Scale shape: the (doc,bigram)-level join keys on "
+        "(w1, w2) — a co-partitioned hash join whose build side is the "
+        "distinct-bigram table, never the corpus; docs with < 2 tokens "
+        "keep a row with n_bigrams=0 and NULL score."
+    ),
+)
+def q_llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    big = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 2, greatest(size(toks) - 1, 0)),"
+                    " (x, i) -> struct(toks[i] AS w1, x AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    cbf = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbf"))
+    ctx = big.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
+    bf = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("bf"))
+    # multiplication association mirrors the oracle exactly:
+    # (bf * ln(p)) * 1e6 — left-to-right in both engines, identical bits
+    micro_term = F.round(
+        F.col("bf") * F.log(F.col("cbf").cast("double") / F.col("ctx")) * 1000000
+    ).cast("bigint")
+    per = (
+        bf.join(cbf, ["w1", "w2"])
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(F.sum("bf").alias("n_bigrams"), F.sum(micro_term).alias("micro"))
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        (F.col("micro").cast("double") / 1000000 / F.col("n_bigrams")).alias("mean_logprob"),
+    )

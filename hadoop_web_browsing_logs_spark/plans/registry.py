@@ -70,6 +70,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_salted_hotkey",
     "q_llm_unigram_logprob",
     "q_llm_shard_manifest",
+    "q_llm_bigram_logprob",
     # --- round-8-MODIFIED re-seats (ADVICE r7 semantic alignments) ---
     "q_events_scd2",
     "q_vec_quantize_int8",
@@ -116,8 +117,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_udf_python_row",
     "q_window_navigation",
     "q_window_range_frame",
-    # --- round-6 cohort HEADLINE member (benched every round) ---
-    "q_asof_join",
 )
 
 

@@ -104,10 +104,9 @@ def test_driver_priority_window():
                  "q_text_porter_gate", "q_cte_pipeline",
                  "q_llm_pack_sequences", "q_stream_interval_join_batch",
                  "q_udf_python_row", "q_window_range_frame",
-                 # round-8 unigram-LM scorer + shard manifest
+                 # round-8 corpus-LM scorers + shard manifest
                  "q_llm_unigram_logprob", "q_llm_shard_manifest",
-                 # round-6 HEADLINE member
-                 "q_asof_join"):
+                 "q_llm_bigram_logprob"):
         assert core in window, core
     # every window entry is oracled — rows-only queries would waste a slot
     qs = all_queries()

@@ -168,3 +168,24 @@ def test_shard_manifest_properties(spark):
     for prev, nxt in zip(rows, rows[1:]):
         assert prev.last_doc < nxt.first_doc
         assert prev.first_doc <= prev.last_doc
+
+
+def test_bigram_logprob_properties(spark):
+    """Structural invariants of the bigram-LM score: every bigram carries
+    probability <= 1 so mean_logprob is strictly negative wherever defined
+    (a doc whose every adjacent pair is unique-in-corpus would score the
+    corpus-context log-prob, still < 0 unless its contexts are
+    single-occurrence too — allow == 0 only for docs whose every bigram is
+    its context's only continuation), n_bigrams ties exactly to the unigram
+    scorer's token count (max(n_tokens-1, 0)), and <2-token docs keep a
+    NULL-score row."""
+    uni = get_query("q_llm_unigram_logprob").fn(spark, SF_DIR).select("doc_id", "n_tokens")
+    bi = get_query("q_llm_bigram_logprob").fn(spark, SF_DIR)
+    j = bi.join(uni, "doc_id").cache()
+    try:
+        assert j.filter("n_bigrams != greatest(n_tokens - 1, 0)").count() == 0
+        assert j.filter("n_bigrams = 0 AND mean_logprob IS NOT NULL").count() == 0
+        assert j.filter("n_bigrams > 0 AND mean_logprob IS NULL").count() == 0
+        assert j.filter("mean_logprob > 0").count() == 0
+    finally:
+        j.unpersist()
