@@ -73,6 +73,10 @@ HEADLINE = [
     # BASELINE_SET stays HEADLINE[:21]; the anchor ratio is unaffected.
     "q_window_rank_salted",
     "q_window_ntile_distributed",
+    # round-8 addition: the bigram corpus-LM scorer — the heaviest new op of
+    # the round (corpus-wide bigram explode + two count tables + keyed join),
+    # tracked from birth so its cost history starts at its first round.
+    "q_llm_bigram_logprob",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal

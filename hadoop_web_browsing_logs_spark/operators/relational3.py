@@ -687,3 +687,73 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("o_orderkey").isNull(), 1)),
     )
     return qty.unionAll(disc).unionAll(ship).unionAll(uniq).unionAll(fk)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str, fp) -> DataFrame:
+    """Classify every key across two table snapshots as added / removed /
+    changed / unchanged — the CDC diff a crawl-refresh or lakehouse ingest
+    step emits before writing a changelog. ``fp`` is a fingerprint column
+    expression evaluated on each side (must be non-null whenever the row
+    exists, e.g. md5 over coalesced payload columns). One full-outer hash
+    join on the key — a single co-partitioned shuffle at any scale; no
+    payload columns cross the exchange, only fingerprints."""
+    o = old.select(F.col(key), fp.alias("fp_old"))
+    n = new.select(F.col(key), fp.alias("fp_new"))
+    return o.join(n, key, "full_outer").select(
+        key,
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") == F.col("fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH snap_old AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 5 THEN 'OLD::' || COALESCE(text, '')
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 2
+    ),
+    snap_new AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3
+    ),
+    o AS (SELECT doc_id, md5(COALESCE(text, '')) AS fp_old FROM snap_old),
+    n AS (SELECT doc_id, md5(COALESCE(text, '')) AS fp_new FROM snap_new)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN fp_old = fp_new THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL JOIN n ON o.doc_id = n.doc_id
+    """,
+    category="join",
+    description=(
+        "Snapshot diff (CDC changelog): classify every doc_id across two "
+        "corpus snapshots as added / removed / changed / unchanged by "
+        "comparing MD5 fingerprints through one full-outer hash join — the "
+        "step a crawl refresh runs before incremental dedup/re-train. The "
+        "fixture derives both snapshots deterministically from the one "
+        "documents table (drop doc_id%7=2 from old, doc_id%11=3 from new, "
+        "rewrite text on doc_id%13=5) so every status class is exercised "
+        "and the diff is engine-provable. Scale shape: fingerprints are "
+        "computed map-side, only (key, fp) crosses the single exchange."
+    ),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 2).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 5,
+            F.concat(F.lit("OLD::"), F.coalesce(F.col("text"), F.lit(""))),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    new = docs.filter(F.col("doc_id") % 11 != 3).select("doc_id", "text")
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    return snapshot_diff(old, new, "doc_id", fp)

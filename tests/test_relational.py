@@ -123,3 +123,30 @@ def test_sized_bloom_bits_properties():
         assert BLOOM_MIN_BITS <= m <= BLOOM_MAX_BITS
         if BLOOM_MIN_BITS < m < BLOOM_MAX_BITS:
             assert m >= 10 * n and m // 2 < 10 * n, (n, m)
+
+
+def test_snapshot_diff_classification(spark):
+    """snapshot_diff classifies a constructed 5-key universe exactly: key
+    only in new -> added, only in old -> removed, both with different
+    fingerprints -> changed, identical -> unchanged; NULL payloads
+    fingerprint through the coalesce so a NULL->'x' edit is a change, not
+    a dropped row."""
+    import pyspark.sql.functions as F
+
+    from hadoop_web_browsing_logs_spark.operators.relational3 import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (5, "same")], ["k", "payload"]
+    )
+    new = spark.createDataFrame(
+        [(2, "B"), (3, "x"), (4, "fresh"), (5, "same")], ["k", "payload"]
+    )
+    fp = F.md5(F.coalesce(F.col("payload"), F.lit("")))
+    got = {r.k: r.status for r in snapshot_diff(old, new, "k", fp).collect()}
+    assert got == {
+        1: "removed",
+        2: "changed",
+        3: "changed",
+        4: "added",
+        5: "unchanged",
+    }
