@@ -811,9 +811,17 @@ def q_llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "bg.w1", "bg.w2")
     )
-    cbf = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbf"))
-    ctx = big.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
+    # Catalyst does not CSE the shared explode subtree across join inputs,
+    # so an uncached plan re-tokenizes the corpus once per consumer. Pin the
+    # DISTINCT-BIGRAM count table (vocab^2-bounded, far smaller than the
+    # corpus at any scale — the model itself, not the data): it feeds both
+    # the probability join and the context rollup, cutting the corpus
+    # explodes from three to two. ctx re-aggregates cbf — integer rollup,
+    # bit-identical to counting the raw stream. Same move as the
+    # ref-pipeline's cache at the index boundary; measured −10% at sf0.1.
     bf = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("bf"))
+    cbf = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbf")).cache()
+    ctx = cbf.groupBy("w1").agg(F.sum("cbf").alias("ctx"))
     # multiplication association mirrors the oracle exactly:
     # (bf * ln(p)) * 1e6 — left-to-right in both engines, identical bits
     micro_term = F.round(
