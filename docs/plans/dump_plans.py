@@ -49,6 +49,13 @@ DUMPED = [
     "q_events_anomaly_zscore",
     # round-4 additions
     "q_window_rank_salted",
+    # round-8 additions: the corpus-LM scorers, the packing-output shard
+    # manifest, the weighted reservoir sampler, and the CDC snapshot diff
+    "q_llm_unigram_logprob",
+    "q_llm_bigram_logprob",
+    "q_llm_shard_manifest",
+    "q_llm_weighted_sample",
+    "q_snapshot_diff",
     # q_dedup_keep_canonical is NOT dumped: connected-components builds its
     # plan by iterative lineage extension, so the explain output is ~10k
     # lines of repeated join blocks — noise, not evidence. Its scale shape
