@@ -917,3 +917,157 @@ def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SAMPLE_K)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (round 8): the classic iterative pair-merge loop,
+# run — as every production BPE trainer does — on the WORD-FREQUENCY DICT,
+# not the raw corpus: one corpus scan builds the dict, then every iteration
+# touches only the vocabulary-sized table (the model, not the data), so the
+# loop's cost is independent of corpus size. Greedy left-to-right merge
+# application via a JVM-side aggregate() fold — no Python in the loop.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 8  # merges learned by q_llm_bpe_merges
+BPE_END = "</w>"
+
+_PAIR_EXPR = (
+    "transform(slice(syms, 2, greatest(size(syms) - 1, 0)),"
+    " (x, i) -> struct(syms[i] AS left_sym, x AS right_sym))"
+)
+
+
+def bpe_word_dict(docs: DataFrame) -> DataFrame:
+    """One corpus scan: whitespace words -> (syms, freq) dict, each word as
+    its character sequence plus the ``</w>`` end marker."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    return (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.expr(f"concat(split(word, ''), array('{BPE_END}'))").alias("syms"),
+            "freq",
+        )
+    )
+
+
+def bpe_pair_counts(word_dict: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency."""
+    return (
+        word_dict.select("freq", F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .groupBy("p.left_sym", "p.right_sym")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+
+
+def bpe_apply_merge(word_dict: DataFrame, left: str, right: str) -> DataFrame:
+    """Greedy left-to-right merge of the (left, right) pair inside every
+    symbol sequence — a JVM-side aggregate() fold carrying (emitted, pending)
+    state, so overlapping runs merge exactly like reference BPE trainers
+    ('aaa' + (a,a) -> ['aa','a'])."""
+    l, r = left.replace("'", "\\'"), right.replace("'", "\\'")
+    fold = (
+        "aggregate(syms,"
+        " named_struct('acc', cast(array() as array<string>), 'pend', cast(null as string)),"
+        " (s, x) -> CASE"
+        f"  WHEN s.pend IS NULL THEN named_struct('acc', s.acc, 'pend', cast(x as string))"
+        f"  WHEN s.pend = '{l}' AND x = '{r}' THEN"
+        f"   named_struct('acc', concat(s.acc, array('{l}{r}')), 'pend', cast(null as string))"
+        "  ELSE named_struct('acc', concat(s.acc, array(s.pend)), 'pend', cast(x as string)) END,"
+        " s -> CASE WHEN s.pend IS NULL THEN s.acc ELSE concat(s.acc, array(s.pend)) END)"
+    )
+    return word_dict.select(F.expr(fold).alias("syms"), "freq")
+
+
+def bpe_train(word_dict: DataFrame, n_merges: int) -> list[tuple]:
+    """Learn ``n_merges`` BPE merges: each iteration takes the globally most
+    frequent adjacent pair (count DESC, then lexicographic left/right — fully
+    deterministic) and folds it into the dict. One driver-side ``.first()``
+    per iteration — the same iterate-measure-update shape as k-means; the
+    dict is localCheckpoint'ed each step so fold lineage never stacks."""
+    merges = []
+    cur = word_dict.localCheckpoint(eager=False)
+    for rank in range(1, n_merges + 1):
+        top = (
+            bpe_pair_counts(cur)
+            .orderBy(F.col("cnt").desc(), "left_sym", "right_sym")
+            .first()
+        )
+        if top is None or top.cnt is None:
+            break
+        merges.append((rank, top.left_sym, top.right_sym, top.left_sym + top.right_sym, top.cnt))
+        cur = bpe_apply_merge(cur, top.left_sym, top.right_sym).localCheckpoint(
+            eager=False
+        )
+    return merges
+
+
+@query(
+    "q_llm_bpe_first_merge",
+    oracle=f"""
+    WITH w AS (
+        SELECT u.token AS word, COUNT(*) AS freq
+        FROM documents d, UNNEST({_TOKS}) AS u(token)
+        GROUP BY u.token
+    ),
+    s AS (
+        SELECT list_append(string_split(word, ''), '{BPE_END}') AS syms, freq FROM w
+    ),
+    p AS (
+        SELECT syms[i] AS left_sym, syms[i + 1] AS right_sym,
+               CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM s, UNNEST(range(1, len(syms))) AS r(i)
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT left_sym, right_sym, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, left_sym, right_sym) AS rank
+        FROM p
+    )
+    SELECT rank, left_sym, right_sym, cnt FROM ranked WHERE rank <= 10
+    """,
+    category="llm",
+    description=(
+        "BPE merge candidates, iteration 1 (the oracled gate twin of the "
+        "iterative q_llm_bpe_merges): top-10 adjacent character pairs by "
+        "corpus frequency over the word-frequency dict, deterministic "
+        "(cnt DESC, lexicographic) tiebreak. One corpus scan builds the "
+        "dict; everything after is vocabulary-sized. The top-1 row here IS "
+        "the loop's first learned merge — pytest pins that identity."
+    ),
+)
+def q_llm_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = bpe_pair_counts(bpe_word_dict(t(spark, sf_dir, "documents")))
+    top = pairs.orderBy(F.col("cnt").desc(), "left_sym", "right_sym").limit(10)
+    # rank the 10 surviving rows only — the global sort is TakeOrdered, the
+    # window never sees more than 10 rows
+    w = W.orderBy(F.col("cnt").desc(), "left_sym", "right_sym")
+    return top.select(
+        F.row_number().over(w).alias("rank"), "left_sym", "right_sym", "cnt"
+    )
+
+
+@query(
+    "q_llm_bpe_merges",
+    category="llm",
+    description=(
+        "BPE tokenizer training (rows-only; its oracled gate twin is "
+        "q_llm_bpe_first_merge, whose top-1 row pytest pins to this loop's "
+        "first merge): learn BPE_MERGES merges by the classic iterative "
+        "argmax-and-fold on the word-frequency dict. Scale shape: ONE "
+        "corpus scan builds the dict; every iteration runs on the "
+        "vocabulary-sized table with a JVM-side aggregate() fold and one "
+        "driver .first() for the argmax (the k-means iterate shape); "
+        "localCheckpoint truncates fold lineage each step. Returns the "
+        "merge table (rank, left_sym, right_sym, merged, cnt) — the model "
+        "artifact a tokenizer ships."
+    ),
+)
+def q_llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = bpe_train(bpe_word_dict(t(spark, sf_dir, "documents")), BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, merged string, cnt bigint"
+    )

@@ -213,3 +213,48 @@ def test_weighted_sample_properties(spark):
         assert s_mean > p_mean, (s_mean, p_mean)
     finally:
         samp.unpersist()
+
+
+def test_bpe_golden_classic_corpus(spark):
+    """The canonical BPE example (low x5, lower x2, newest x6, widest x3)
+    learns the textbook merge sequence: (e,s) wins the 9-way tie
+    lexicographically, then (es,t), (est,</w>), then the (l,o)/(o,w) tie
+    resolves to (l,o) and cascades to (lo,w) — greedy left-to-right
+    application, deterministic count-then-lexicographic argmax."""
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import (
+        bpe_train,
+        bpe_word_dict,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    merges = bpe_train(bpe_word_dict(docs), 5)
+    assert [(m[1], m[2], m[3], m[4]) for m in merges] == [
+        ("e", "s", "es", 9),
+        ("es", "t", "est", 9),
+        ("est", "</w>", "est</w>", 9),
+        ("l", "o", "lo", 7),
+        ("lo", "w", "low", 7),
+    ]
+
+
+def test_bpe_merges_first_row_is_the_oracled_first_merge(spark):
+    """The rows-only iterative loop is gated by its oracled twin: the loop's
+    rank-1 merge must equal q_llm_bpe_first_merge's rank-1 candidate (same
+    pair, same count), and the merge table is structurally sound (dense
+    ranks, merged = left||right, positive counts)."""
+    gate = (
+        get_query("q_llm_bpe_first_merge").fn(spark, SF_DIR)
+        .filter("rank = 1").first()
+    )
+    rows = sorted(
+        get_query("q_llm_bpe_merges").fn(spark, SF_DIR).collect(),
+        key=lambda r: r.rank,
+    )
+    assert (rows[0].left_sym, rows[0].right_sym, rows[0].cnt) == (
+        gate.left_sym, gate.right_sym, gate.cnt,
+    )
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.merged == r.left_sym + r.right_sym
+        assert r.cnt > 0
