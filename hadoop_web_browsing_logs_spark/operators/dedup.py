@@ -1045,3 +1045,152 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup (round 8): dedup a NEW batch against the EXISTING
+# corpus without re-pairing the corpus against itself — the shape a
+# continuously-growing 100 TB corpus actually runs. old x old pairs are
+# never generated: the band join keys the (small) new batch's bands against
+# everything, so the pair shuffle is |new| x bucket-width, not |corpus|².
+# At scale the old side's band table is the PRECOMPUTED index a production
+# pipeline stores between batches; here it derives from the same fixture.
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs_incremental(
+    docs_old: DataFrame, docs_new: DataFrame
+) -> DataFrame:
+    """Near-dup pairs involving at least one NEW doc: old x new plus
+    new x new (batch-internal), never old x old. Portable polynomial
+    hashes + exact concat band slots so every stage has a DuckDB twin
+    (the q_dedup_minhash_lsh_portable discipline); same >= 2-of-8-band
+    candidate rule and exact-Jaccard verify. The new side is unhinted —
+    batch-sized in production, so AQE broadcasts its band table when it
+    fits (a forced hint would pin a corpus-derived table, which the plan
+    lint rightly rejects)."""
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+
+    def prep(docs: DataFrame, is_new: bool) -> DataFrame:
+        hashed = docs.select(
+            "doc_id",
+            F.lit(is_new).alias("is_new"),
+            F.expr(f"array_distinct(transform({_TOKS_SQL}, tok -> {_POLY_SQL}))").alias("toks"),
+        )
+        return (
+            hashed.select(
+                "doc_id", "is_new", "toks",
+                minhash_signature_from_hashes(F.col("toks")).alias("sig"),
+            )
+            # empty-doc hot-bucket exclusion, same rationale as the full pipeline
+            .filter(F.size("toks") > 0)
+            .cache()
+        )
+
+    d_old, d_new = prep(docs_old, False), prep(docs_new, True)
+
+    def slots(d: DataFrame) -> DataFrame:
+        slot_exprs = ", ".join(
+            "concat_ws(',', {i}, {rows})".format(
+                i=i,
+                rows=", ".join(
+                    f"element_at(sig, {i * rows_per_band + j + 1})"
+                    for j in range(rows_per_band)
+                ),
+            )
+            for i in range(MINHASH_BANDS)
+        )
+        return d.select(
+            "doc_id", "is_new", F.expr(f"explode(array({slot_exprs}))").alias("slot")
+        )
+
+    bands_all = slots(d_old).unionByName(slots(d_new))
+    bands_new = slots(d_new).select(F.col("doc_id").alias("doc_b"), "slot")
+    a = bands_all.select(F.col("doc_id").alias("doc_a"), F.col("is_new").alias("a_new"), "slot")
+    # each qualifying pair counts each matching band exactly once: old x new
+    # pairs exist only in (a=old, b=new) orientation; new x new pairs keep
+    # the a < b orientation only
+    cands = (
+        a.join(bands_new, ["slot"])
+        .filter((~F.col("a_new")) | (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= 2)
+        .select("doc_a", "doc_b")
+    )
+    toks_all = d_old.unionByName(d_new).select("doc_id", "toks")
+    pairs = cands.join(
+        toks_all.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")), "doc_a"
+    ).join(
+        toks_all.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")), "doc_b"
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    exact = inter.cast("double") / (F.size("toks_a") + F.size("toks_b") - inter)
+    from fractions import Fraction
+
+    frac = Fraction(str(JACCARD_THRESHOLD))
+    num, den = frac.numerator, frac.denominator
+    keep = (den + num) * inter >= num * (F.size("toks_a") + F.size("toks_b"))
+    return pairs.filter(keep).select("doc_a", "doc_b", exact.alias("jaccard"))
+
+
+def _incremental_lsh_oracle() -> str:
+    """All-pairs DuckDB twin: identical hashes/signatures/band rule/threshold,
+    pair universe restricted to (old x new) ∪ (new x new, a < b)."""
+    from fractions import Fraction
+
+    p = MINHASH_PRIME
+    rpb = MINHASH_PERMS // MINHASH_BANDS
+    sig_exprs = ",\n               ".join(
+        f"list_min(list_transform(hs, h -> (h*{a} + {b}) % {p}))" for a, b in _minhash_params()
+    )
+    band_terms = " + ".join(
+        "(CASE WHEN "
+        + " AND ".join(f"a.sig[{i * rpb + j + 1}] = b.sig[{i * rpb + j + 1}]" for j in range(rpb))
+        + " THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_BANDS)
+    )
+    frac = Fraction(str(JACCARD_THRESHOLD))
+    num, den = frac.numerator, frac.denominator
+    return f"""
+    WITH d0 AS (
+        SELECT doc_id, (doc_id % 4 = 1) AS is_new,
+               list_distinct(list_transform({_DUCK_TOKS}, tok -> {_DUCK_POLY})) AS hs
+        FROM documents WHERE doc_id % {PAIR_STRIDE} = 0
+    ),
+    d AS (SELECT * FROM d0 WHERE len(hs) > 0),
+    sigs AS (
+        SELECT doc_id, is_new, hs,
+               [{sig_exprs}] AS sig
+        FROM d
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+             / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+    FROM sigs a JOIN sigs b
+      ON b.is_new AND ((NOT a.is_new) OR a.doc_id < b.doc_id)
+    WHERE ({band_terms}) >= 2
+      AND {den + num} * len(list_intersect(a.hs, b.hs)) >= {num} * (len(a.hs) + len(b.hs))
+    """
+
+
+@query(
+    "q_dedup_incremental_lsh",
+    oracle=_incremental_lsh_oracle(),
+    category="dedup",
+    description=(
+        "Incremental MinHash-LSH near-dup: dedup a NEW document batch "
+        "(doc_id % 4 = 1 of the sampled universe) against the EXISTING "
+        "corpus without ever generating old x old pairs — the band join "
+        "keys the batch's bands against the stored corpus index, so the "
+        "pair shuffle scales with the batch, not the corpus². Portable "
+        "hashes end-to-end: signature math, >= 2-of-8-band candidates and "
+        "the exact-Jaccard verify are hash-proved against an all-pairs "
+        "DuckDB twin over the same restricted pair universe."
+    ),
+)
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % PAIR_STRIDE == 0)
+    return minhash_lsh_pairs_incremental(
+        docs.filter(F.col("doc_id") % 4 != 1), docs.filter(F.col("doc_id") % 4 == 1)
+    )

@@ -122,3 +122,21 @@ def test_connected_components_consistent_with_pairs(spark):
     for m, c in member_to_comp.items():
         got.setdefault(c, set()).add(m)
     assert sorted(map(sorted, truth.values())) == sorted(map(sorted, got.values()))
+
+
+def test_incremental_lsh_equals_full_pipeline_restricted(spark):
+    """The incremental batch-vs-corpus pipeline must agree with the FULL
+    portable pipeline restricted to pairs touching the batch: same unordered
+    pairs, same exact Jaccard, and zero old x old pairs — proving the
+    incremental rewrite prunes the corpus-squared work without changing any
+    emitted pair."""
+    full = {
+        frozenset((r.doc_a, r.doc_b)): r.jaccard
+        for r in get_query("q_dedup_minhash_lsh_portable").fn(spark, SF_DIR).collect()
+        if r.doc_a % 4 == 1 or r.doc_b % 4 == 1
+    }
+    inc_rows = get_query("q_dedup_incremental_lsh").fn(spark, SF_DIR).collect()
+    inc = {frozenset((r.doc_a, r.doc_b)): r.jaccard for r in inc_rows}
+    assert inc == full and full
+    for r in inc_rows:
+        assert r.doc_b % 4 == 1  # the b side is always the new batch
