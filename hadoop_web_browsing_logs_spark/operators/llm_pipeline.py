@@ -417,7 +417,7 @@ def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ranked AS (
         SELECT source, doc_id,
                ROW_NUMBER() OVER (PARTITION BY source
-                                  ORDER BY md5(text), doc_id) AS rn
+                                  ORDER BY md5(COALESCE(text, '')), doc_id) AS rn
         FROM documents
     )
     SELECT source, doc_id FROM ranked WHERE rn <= {DOMAIN_CAP}
@@ -427,14 +427,20 @@ def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Per-domain document caps (source-mixing control): keep at most "
         "DOMAIN_CAP docs per source, selected by MD5-fingerprint order — a "
         "deterministic uniform draw with no RNG, reproducible across "
-        "clusters. Partitioned window, shuffles on source only; a skewed "
-        "mega-domain is exactly the case where the cap fires, and row_number "
-        "short-circuits past rank DOMAIN_CAP."
+        "clusters. NULL text hashes as '' (round 8: a bare md5(text) put "
+        "NULL-text docs NULLS-FIRST in Spark but NULLS-LAST in DuckDB — "
+        "latent until a source exceeded the cap WITH a NULL-text doc, "
+        "exposed by the extended poison fixture). Partitioned window, "
+        "shuffles on source only; a skewed mega-domain is exactly the case "
+        "where the cap fires, and row_number short-circuits past rank "
+        "DOMAIN_CAP."
     ),
 )
 def q_llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    w = W.partitionBy("source").orderBy(F.md5("text"), F.col("doc_id"))
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.coalesce(F.col("text"), F.lit(""))), F.col("doc_id")
+    )
     return (
         docs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= DOMAIN_CAP)

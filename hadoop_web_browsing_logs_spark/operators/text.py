@@ -140,7 +140,7 @@ def densify_incidence(index: DataFrame, n_docs: int, one_based: bool = True) -> 
            MAX(token)               AS last_token
     FROM (
         SELECT d.lang, d.doc_id, u.token
-        FROM documents d, UNNEST(string_split_regex(lower(trim(d.text)), '\\s+')) AS u(token)
+        FROM documents d, UNNEST(list_transform(string_split_regex(lower(trim(d.text)), '\\s+'), x -> regexp_replace(x, '\\pP', '', 'g'))) AS u(token)
         WHERE u.token <> ''
     )
     GROUP BY lang
@@ -170,7 +170,7 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS tf_total,
                ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT doc_id) DESC, token) AS rnk
         FROM (SELECT d.doc_id, u.token
-              FROM documents d, UNNEST(string_split_regex(lower(trim(d.text)), '\\s+')) AS u(token)
+              FROM documents d, UNNEST(list_transform(string_split_regex(lower(trim(d.text)), '\\s+'), x -> regexp_replace(x, '\\pP', '', 'g'))) AS u(token)
               WHERE u.token <> '')
         GROUP BY token
     ) WHERE rnk <= 20
@@ -198,7 +198,7 @@ def q_text_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT token AS term, COUNT(*) AS n
     FROM (SELECT u.token
-          FROM documents d, UNNEST(string_split_regex(lower(trim(d.text)), '\\s+')) AS u(token)
+          FROM documents d, UNNEST(list_transform(string_split_regex(lower(trim(d.text)), '\\s+'), x -> regexp_replace(x, '\\pP', '', 'g'))) AS u(token)
           WHERE u.token <> '')
     WHERE token NOT IN ({_SW_SQL})
     GROUP BY token
@@ -218,7 +218,7 @@ def q_text_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT doc_id) AS df,
            array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
     FROM (SELECT d.doc_id, u.token
-          FROM documents d, UNNEST(string_split_regex(lower(trim(d.text)), '\\s+')) AS u(token)
+          FROM documents d, UNNEST(list_transform(string_split_regex(lower(trim(d.text)), '\\s+'), x -> regexp_replace(x, '\\pP', '', 'g'))) AS u(token)
           WHERE u.token <> '')
     WHERE token NOT IN ({_SW_SQL})
     GROUP BY token
@@ -292,7 +292,7 @@ def q_text_porter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
         SELECT d.doc_id, u.token AS term
-        FROM documents d, UNNEST(string_split_regex(lower(trim(d.text)), '\\s+')) AS u(token)
+        FROM documents d, UNNEST(list_transform(string_split_regex(lower(trim(d.text)), '\\s+'), x -> regexp_replace(x, '\\pP', '', 'g'))) AS u(token)
         WHERE u.token <> ''
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -461,7 +461,7 @@ def q_ref_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH tok AS (
         SELECT d.doc_id, u.token AS term
-        FROM documents d, UNNEST(string_split_regex(lower(trim(d.text)), '\\s+')) AS u(token)
+        FROM documents d, UNNEST(list_transform(string_split_regex(lower(trim(d.text)), '\\s+'), x -> regexp_replace(x, '\\pP', '', 'g'))) AS u(token)
         WHERE u.token <> '' AND u.token NOT IN ({_SW_SQL})
     ),
     idx AS (

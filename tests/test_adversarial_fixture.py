@@ -80,7 +80,13 @@ def adversarial_sf(tmp_path_factory):
         -- NULL lang (stratification key), NULL source (grouping key)
         (91000, NULL,        'en', 'webx', 0),
         (91005, 'some text', NULL, 'webx', 9),
-        (91010, 'more text', 'en', NULL,   9)
+        (91010, 'more text', 'en', NULL,   9),
+        -- round 8: BPE-hostile rows — a word that IS the literal end
+        -- marker (its chars must never alias the appended '</w>' symbol),
+        -- and single-char words (a symbol sequence of length 2, the
+        -- minimum that still yields one pair)
+        (92000, '</w> </w> x', 'en', 'webx', 11),
+        (92005, 'a b a b a',   'en', 'webx', 9)
       ) AS t(doc_id, text, lang, source, n_chars)
     ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
     """)
