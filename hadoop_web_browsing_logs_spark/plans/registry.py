@@ -114,7 +114,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_text_term_doc_freq",
     "q_text_token_stats",
     "q_udf_grouped_agg",
-    "q_udf_python_row",
+    # round-8-MODIFIED late re-seat: q_llm_domain_cap's NULL-text ordering
+    # fix changed BOTH sides (md5(COALESCE(text,'')) — see the poison-row
+    # commit); it takes q_udf_python_row's r5-cohort seat (that query is
+    # unchanged since r5, its mechanics are pytest-pinned, and it is the
+    # lowest-information oracle row in the cohort)
+    "q_llm_domain_cap",
     "q_window_navigation",
     "q_window_range_frame",
 )

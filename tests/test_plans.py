@@ -103,7 +103,7 @@ def test_driver_priority_window():
                  # round-5 cohort anchors
                  "q_text_porter_gate", "q_cte_pipeline",
                  "q_llm_pack_sequences", "q_stream_interval_join_batch",
-                 "q_udf_python_row", "q_window_range_frame",
+                 "q_llm_domain_cap", "q_window_range_frame",
                  # round-8 corpus-LM scorers + shard manifest
                  "q_llm_unigram_logprob", "q_llm_shard_manifest",
                  "q_llm_bigram_logprob"):
