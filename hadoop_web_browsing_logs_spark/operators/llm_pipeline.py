@@ -1077,3 +1077,65 @@ def q_llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left_sym string, right_sym string, merged string, cnt bigint"
     )
+
+
+QUALITY_KEEP_FRAC = 0.5  # keep the top half of each source by LM score
+
+
+@query(
+    "q_llm_quality_filter_mix",
+    oracle=f"""
+    WITH tok AS (
+        SELECT d.doc_id, u.token AS term
+        FROM documents d, UNNEST({_TOKS}) AS u(token)
+    ),
+    ctf AS (SELECT term, COUNT(*) AS ctf FROM tok GROUP BY term),
+    tot AS (SELECT COUNT(*) AS total FROM tok),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    per AS (
+        SELECT tf.doc_id,
+               SUM(tf.tf) AS n_tokens,
+               SUM(CAST(ROUND(tf.tf * ln(CAST(ctf.ctf AS DOUBLE) / tot.total) * 1000000) AS BIGINT)) AS micro
+        FROM tf JOIN ctf USING (term) CROSS JOIN tot
+        GROUP BY tf.doc_id
+    ),
+    scored AS (
+        SELECT d.source, d.doc_id,
+               CAST(per.micro AS DOUBLE) / 1000000 / per.n_tokens AS score
+        FROM documents d JOIN per ON d.doc_id = per.doc_id
+        WHERE per.n_tokens > 0
+    ),
+    ranked AS (
+        SELECT source, doc_id, score,
+               PERCENT_RANK() OVER (PARTITION BY source
+                                    ORDER BY score DESC, doc_id) AS pr
+        FROM scored
+    )
+    SELECT source, doc_id FROM ranked WHERE pr <= {QUALITY_KEEP_FRAC}
+    """,
+    category="llm",
+    description=(
+        "Quality-filtered mix — the keep/drop decision a curation pipeline "
+        "actually makes: rank every doc within its source by the "
+        "corpus-unigram-LM score (the certified q_llm_unigram_logprob "
+        "kernel, bit-identical doubles in both engines) and keep the top "
+        "QUALITY_KEEP_FRAC by percent_rank with doc_id tiebreak. "
+        "Deterministic because the score itself is hash-proved "
+        "engine-identical; unscoreable (0-token) docs are excluded. Scale "
+        "shape: the scorer's aggregations plus ONE extra shuffle on the "
+        "source key for the partitioned rank window."
+    ),
+)
+def q_llm_quality_filter_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = (
+        q_llm_unigram_logprob(spark, sf_dir)
+        .filter(F.col("n_tokens") > 0)
+        .join(t(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id")
+        .select("source", "doc_id", F.col("mean_logprob").alias("score"))
+    )
+    w = W.partitionBy("source").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= QUALITY_KEEP_FRAC)
+        .select("source", "doc_id")
+    )

@@ -258,3 +258,29 @@ def test_bpe_merges_first_row_is_the_oracled_first_merge(spark):
     for r in rows:
         assert r.merged == r.left_sym + r.right_sym
         assert r.cnt > 0
+
+
+def test_quality_filter_mix_properties(spark):
+    """The quality-filtered mix keeps per source at most
+    ceil(n_scoreable * frac) + 1 docs (percent_rank <= 0.5 keeps the top
+    half inclusive of the boundary rank), never keeps an unscoreable doc,
+    and the kept set's mean LM score strictly exceeds the dropped set's."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import QUALITY_KEEP_FRAC
+
+    uni = get_query("q_llm_unigram_logprob").fn(spark, SF_DIR).filter("n_tokens > 0")
+    kept = get_query("q_llm_quality_filter_mix").fn(spark, SF_DIR).cache()
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "source")
+        pop = {r.source: r.n for r in docs.join(uni, "doc_id").groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        for r in kept.groupBy("source").count().collect():
+            assert r["count"] <= math.ceil(pop[r.source] * QUALITY_KEEP_FRAC) + 1, (r.source, r["count"], pop[r.source])
+        scored = uni.join(kept.select("doc_id", F.lit(True).alias("k")), "doc_id", "left")
+        means = scored.groupBy(F.coalesce("k", F.lit(False)).alias("k")).agg(F.avg("mean_logprob").alias("m")).collect()
+        m = {r.k: r.m for r in means}
+        assert m[True] > m[False]
+    finally:
+        kept.unpersist()
