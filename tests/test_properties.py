@@ -336,3 +336,63 @@ def test_cosine_similarity_total_on_zero_vectors(spark):
     rows = {r["id"]: r["cos"] for r in df.select("id", cosine_similarity("a", "b").alias("cos")).collect()}
     assert rows[1] is None and rows[2] is None
     assert abs(rows[3] - 1.0) < 1e-12
+
+
+def _ref_bpe(word_freqs: dict, n_merges: int) -> list:
+    """Independent pure-Python reference BPE trainer (word-freq dict,
+    count-desc + lexicographic argmax, greedy left-to-right application) —
+    the third implementation the distributed trainer must agree with
+    (DuckDB oracles iteration 1; this covers the full loop)."""
+    seqs = {tuple(list(w) + ["</w>"]): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict = {}
+        for syms, f in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, a, b, a + b, c))
+        new_seqs: dict = {}
+        for syms, f in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_seqs[tuple(out)] = f
+        seqs = new_seqs
+    return merges
+
+
+def test_bpe_differential_vs_python_reference(spark):
+    """Randomized differential test: the distributed BPE trainer must match
+    the independent Python reference merge-for-merge (pair, merged symbol,
+    count) on adversarial tiny-alphabet corpora engineered for ties and
+    overlapping runs ('aaaa', repeated words, shared prefixes)."""
+    import random
+
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import (
+        bpe_train,
+        bpe_word_dict,
+    )
+
+    rng = random.Random(8)
+    alphabet = "abc"
+    for trial in range(4):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 5)))
+            for _ in range(rng.randint(3, 8))
+        ] + ["aaaa"]  # force overlapping-run merges
+        freqs: dict = {}
+        for w in words:
+            freqs[w] = freqs.get(w, 0) + rng.randint(1, 4)
+        text = " ".join(w for w, f in freqs.items() for _ in range(f))
+        docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        got = bpe_train(bpe_word_dict(docs), 4)
+        want = _ref_bpe(freqs, 4)
+        assert got == want, (trial, freqs, got, want)
