@@ -276,3 +276,140 @@ def salted_hotkey_agg(events: DataFrame, n_salts: int = 32) -> DataFrame:
 )
 def q_agg_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_hotkey_agg(t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Two-phase heavy hitters: Misra-Gries candidates -> exact verify (round 8).
+#
+# The shape a 100 TB engine uses when the key domain itself is too large to
+# group exactly (URLs, n-grams, user agents): a plain groupBy(key) shuffles
+# one record per DISTINCT key — at web scale that exchange is the job. The
+# two-phase plan bounds it:
+#
+#   phase 1  map-only Misra-Gries summary, <= k counters per partition, no
+#            shuffle; emits <= k (key, residual) rows per partition.
+#   phase 1b mergeable-summaries reduction (Agarwal et al., PODS'12): sum
+#            residuals per key (<= k*P skinny rows into the exchange),
+#            then a distributed TakeOrdered keeps the top k — a GLOBAL
+#            candidate set hard-capped at k rows at any SF.
+#   phase 2  exact COUNT over ONLY the candidates — the <= k-row set is
+#            broadcast, the semi-join prunes fact rows map-side, and the
+#            final exchange carries just the candidate keys instead of the
+#            whole key domain.
+#
+# Guarantees. Within one partition, every decrement event subtracts delta
+# from >= k+1 counters at once, so the total decrement D applied to any
+# single key satisfies D * (k+1) <= n_p: the residual underestimates the
+# partition frequency by at most n_p/(k+1). Summing residuals across
+# partitions, a key's merged residual underestimates its global frequency f
+# by at most sum n_p/(k+1) = N/(k+1) — so a true heavy hitter (f > N/k)
+# has merged residual > N/k - N/(k+1) > 0, while at most k keys can have
+# merged residual above the (k+1)-th largest value; the top-k cut therefore
+# retains EVERY key with f > N/k (ties at the boundary break arbitrarily,
+# but boundary rows are never true heavy hitters, so the FINAL answer —
+# exact counts + exact threshold — is deterministic and sketch-independent,
+# which is exactly what the DuckDB oracle, a plain GROUP BY .. HAVING,
+# proves).
+# ---------------------------------------------------------------------------
+
+HH_K = 80  # threshold divisor AND per-partition counter budget
+
+
+def misra_gries_partials(keyed: DataFrame, k: int = HH_K) -> DataFrame:
+    """Phase 1: per-partition Misra-Gries over the single ``key`` column.
+
+    Arrow-batched ``mapInPandas`` (a declared Python sketch kernel — see the
+    plan-lint allowlist): only the key column crosses the boundary, counters
+    are bounded at ``k`` entries, and the batched decrement subtracts the
+    smallest value ``delta`` that leaves <= k counters positive (equivalent
+    to a sequence of unit decrements, same bound). Emits the surviving
+    (key, residual-count) pairs."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for key_val, c in pdf["key"].value_counts().items():
+                counters[key_val] = counters.get(key_val, 0) + int(c)
+            if len(counters) > k:
+                vals = sorted(counters.values())
+                delta = vals[len(counters) - k - 1]  # (m-k)-th smallest
+                counters = {kv: c - delta for kv, c in counters.items() if c > delta}
+        yield pd.DataFrame(
+            {
+                "key": pd.array(list(counters), dtype="Int64"),
+                "cnt": pd.array(list(counters.values()), dtype="Int64"),
+            }
+        )
+
+    return keyed.mapInPandas(mg, schema="key bigint, cnt bigint")
+
+
+def heavy_hitters(keyed: DataFrame, k: int = HH_K) -> DataFrame:
+    """All keys with global frequency strictly > N/k, with exact counts.
+
+    ``keyed`` must be a single nullable-free BIGINT ``key`` column. Three
+    scans: the MG partial pass (map-only Python sketch), a JVM count for N,
+    and the exact verify pass (broadcast semi-join + hash agg over the <= k
+    global candidates). At 100 TB N would fold into the MG pass's output;
+    here the extra count keeps phase 1's schema trivial."""
+    cand = (
+        misra_gries_partials(keyed, k)
+        .groupBy("key")
+        .agg(F.sum("cnt").alias("_merged"))
+        .orderBy(F.desc("_merged"))
+        .limit(k)  # TakeOrdered: hard k-row cap, superset proof above
+        .select("key")
+    )
+    n_total = keyed.agg(F.count(F.lit(1)).alias("n_total"))
+    counts = keyed.join(F.broadcast(cand), "key").groupBy("key").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        counts.crossJoin(F.broadcast(n_total))
+        .filter(F.col("cnt") * k > F.col("n_total"))
+        .select(F.col("key").alias("bucket"), "cnt", "n_total")
+        .orderBy(F.desc("cnt"), "bucket")
+    )
+
+
+@query(
+    "q_agg_heavy_hitters",
+    oracle=f"""
+    WITH e AS (
+        SELECT CAST(FLOOR(value) AS BIGINT) AS key
+        FROM events
+        WHERE value IS NOT NULL AND isfinite(value)
+    )
+    SELECT key AS bucket,
+           COUNT(*) AS cnt,
+           (SELECT COUNT(*) FROM e) AS n_total
+    FROM e
+    GROUP BY key
+    HAVING COUNT(*) * {HH_K} > (SELECT COUNT(*) FROM e)
+    ORDER BY cnt DESC, bucket
+    """,
+    category="skew",
+    description=(
+        "Two-phase heavy hitters over the skewed floor(value) bucket "
+        "(log-normal-ish: a few hundred distinct buckets, the hottest "
+        "holding ~2% of rows): per-partition Misra-Gries partials "
+        "(map-only, <= 80 bounded counters, no shuffle), a mergeable-"
+        "summaries reduction + distributed TakeOrdered trim to <= 80 "
+        "global candidates, then an exact broadcast-semi-join verify over "
+        "candidates only. The candidate set is provably a superset of "
+        "every key above N/80, so the exact phase makes the output "
+        "sketch-independent — proved by the plain GROUP BY/HAVING oracle. "
+        "The 100 TB shape for frequency mining over unbounded key domains "
+        "(URLs, n-grams) where a full groupBy's per-distinct-key exchange "
+        "IS the cost."
+    ),
+)
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    keyed = ev.filter(
+        F.col("value").isNotNull() & (F.abs("value") < F.lit(float("inf")))
+    ).select(F.floor("value").cast("long").alias("key"))
+    return heavy_hitters(keyed, HH_K)

@@ -286,6 +286,10 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark):
         # per-event-type hourly stats: event_type is a bounded enum domain
         # (one row per type), not an SF-scaled key
         "q_events_anomaly_zscore",
+        # heavy-hitter candidate set: grouped on the bucket key but trimmed
+        # by a distributed TakeOrdered to <= HH_K = 80 rows before the
+        # broadcast — a hard cap independent of SF (skew.py heavy_hitters)
+        "q_agg_heavy_hitters",
     }
 
     def node_depth(line: str) -> int:
@@ -474,6 +478,7 @@ def test_python_stage_allowlist(spark):
         "q_ref_pipeline", "q_text_stemmed_terms", "q_text_porter_gate",  # Porter stem
         "q_multimodal_features",                                         # mapInPandas
         "q_udf_grouped_map", "q_udf_grouped_agg", "q_udf_python_row",    # B14 demos
+        "q_agg_heavy_hitters",  # Misra-Gries sketch kernel (mapInPandas)
     }
     offenders = {}
     for name, q in all_queries().items():

@@ -396,3 +396,34 @@ def test_bpe_differential_vs_python_reference(spark):
         got = bpe_train(bpe_word_dict(docs), 4)
         want = _ref_bpe(freqs, 4)
         assert got == want, (trial, freqs, got, want)
+
+
+def test_heavy_hitters_differential_vs_python_counter(spark):
+    """Randomized differential test: the two-phase Misra-Gries heavy-hitter
+    plan must equal the exact Counter answer on skewed corpora sized so the
+    per-partition counter budget overflows (k=5 counters vs up to 40
+    distinct keys across 4 partitions) — forcing the decrement and the
+    mergeable-summaries trim paths that the uniform fixture never stresses."""
+    import collections
+    import random
+
+    from hadoop_web_browsing_logs_spark.operators.skew import heavy_hitters
+
+    rng = random.Random(8)
+    for trial in range(4):
+        n_keys = rng.randint(10, 40)
+        # zipf-ish: key i drawn with weight ~ 1/(i+1)
+        weights = [1.0 / (i + 1) for i in range(n_keys)]
+        vals = rng.choices(range(n_keys), weights=weights, k=rng.randint(200, 600))
+        k = 5
+        exact = collections.Counter(vals)
+        n = len(vals)
+        want = sorted(
+            ((key, c) for key, c in exact.items() if c * k > n),
+            key=lambda it: (-it[1], it[0]),
+        )
+        keyed = spark.createDataFrame([(v,) for v in vals], "key bigint").repartition(4)
+        rows = heavy_hitters(keyed, k).collect()
+        got = [(r.bucket, r.cnt) for r in rows]
+        assert got == want, (trial, got, want)
+        assert all(r.n_total == n for r in rows)
