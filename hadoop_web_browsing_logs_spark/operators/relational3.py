@@ -757,3 +757,84 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 11 != 3).select("doc_id", "text")
     fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
     return snapshot_diff(old, new, "doc_id", fp)
+
+
+@query(
+    "q_incremental_agg_refresh",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS n_chars
+    FROM (SELECT source, text FROM documents WHERE doc_id % 11 <> 3)
+    GROUP BY source
+    ORDER BY source
+    """,
+    category="agg",
+    description=(
+        "Incremental materialized-view maintenance: per-source corpus "
+        "stats (doc count, total chars) for the NEW snapshot computed as "
+        "old-MV plus changelog deltas — docs delta from presence flags, "
+        "chars delta from per-row length differences, merged into the old "
+        "aggregate through a null-safe full-outer join — NOT by rescanning "
+        "the new snapshot. The DuckDB oracle IS the full recompute, so the "
+        "gate proves the delta algebra exactly equals recomputation, "
+        "including sources that disappear (all docs removed -> the merged "
+        "count hits zero and the row is retired). At 100 TB the old MV and "
+        "the changelog are both tiny next to the corpus: this is the "
+        "refresh step that avoids the full scan a recompute would pay. "
+        "Snapshots derive from the one documents table exactly as in "
+        "q_snapshot_diff (drop doc_id%7=2 from old, doc_id%11=3 from new, "
+        "rewrite text on doc_id%13=5) so added/removed/changed/unchanged "
+        "all contribute deltas."
+    ),
+)
+def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    chars = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+    old = docs.filter(F.col("doc_id") % 7 != 2).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 13 == 5,
+            F.length(
+                F.concat(F.lit("OLD::"), F.coalesce(F.col("text"), F.lit("")))
+            ).cast("long"),
+        )
+        .otherwise(chars)
+        .alias("chars"),
+    )
+    new = docs.filter(F.col("doc_id") % 11 != 3).select(
+        "doc_id", "source", chars.alias("chars")
+    )
+
+    # the standing MV over the OLD snapshot (at 100 TB: read, not computed)
+    mv_old = old.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("chars").alias("n_chars")
+    )
+
+    # changelog deltas: one co-partitioned full-outer join on doc_id; only
+    # (doc_id, source, chars) cross the exchange, never the text payload
+    o = old.select("doc_id", F.col("source").alias("src_o"), F.col("chars").alias("ch_o"))
+    n = new.select("doc_id", F.col("source").alias("src_n"), F.col("chars").alias("ch_n"))
+    log = o.join(n, "doc_id", "full_outer").select(
+        F.coalesce("src_n", "src_o").alias("source"),
+        (
+            F.when(F.col("src_n").isNotNull(), 1).otherwise(0)
+            - F.when(F.col("src_o").isNotNull(), 1).otherwise(0)
+        ).alias("d_docs"),
+        (F.coalesce("ch_n", F.lit(0)) - F.coalesce("ch_o", F.lit(0))).alias("d_chars"),
+    )
+    deltas = log.groupBy("source").agg(
+        F.sum("d_docs").alias("d_docs"), F.sum("d_chars").alias("d_chars")
+    )
+
+    # merge: MV + deltas, null-safe on the group key (a NULL source must
+    # stay ONE group on both sides, matching the recompute's GROUP BY)
+    merged = mv_old.join(
+        deltas, mv_old["source"].eqNullSafe(deltas["source"]), "full_outer"
+    ).select(
+        F.coalesce(deltas["source"], mv_old["source"]).alias("source"),
+        (F.coalesce(mv_old["n_docs"], F.lit(0)) + F.coalesce(deltas["d_docs"], F.lit(0))).alias("n_docs"),
+        (F.coalesce(mv_old["n_chars"], F.lit(0)) + F.coalesce(deltas["d_chars"], F.lit(0))).alias("n_chars"),
+    )
+    return merged.filter(F.col("n_docs") > 0).orderBy("source")
