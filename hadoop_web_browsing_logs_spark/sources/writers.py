@@ -119,3 +119,62 @@ def write_sorted_parquet(
     one sort dimension dominates)."""
     out = df.repartitionByRange(*( [n_files] if n_files else [] ), *sort_cols)
     out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def zorder_column(df: DataFrame, cols: list[str], bits: int = 12) -> "F.Column":
+    """Morton (Z-order) curve key over numeric ``cols``.
+
+    Each column is min-max scaled to a ``bits``-bit integer grid (one tiny
+    stats job — the same move as catalog range statistics; NULLs map to
+    cell 0 so they cluster together), then the grid coordinates are
+    bit-interleaved into one BIGINT: bit ``i`` of column ``j`` lands at
+    position ``i * len(cols) + j``. Sorting by the result orders rows
+    along the space-filling curve, so nearby rows are close in EVERY
+    dimension at once. The whole key is a pure JVM expression tree
+    (shift/and/or over ~bits x n_cols terms) — codegen'd, no UDF.
+
+    ``bits * len(cols)`` must stay <= 62 to fit the BIGINT."""
+    if bits * len(cols) > 62:
+        raise ValueError("bits * n_cols must fit in a signed 64-bit key")
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).first()
+    n = len(cols)
+    cells = []
+    top = (1 << bits) - 1
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None or mx <= mn:
+            cells.append(F.lit(0).cast("long"))
+            continue
+        scaled = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn) * top
+        cell = F.least(F.greatest(F.floor(scaled), F.lit(0)), F.lit(top)).cast("long")
+        cells.append(F.coalesce(cell, F.lit(0).cast("long")))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, cell in enumerate(cells):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(cell, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return z
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int | None = None,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered write (the OPTIMIZE ZORDER layout pass): rows are
+    range-distributed and sorted along a Morton curve over ``cols``, so
+    parquet row-group min/max statistics become tight in EVERY listed
+    dimension — a scan filtering on ANY of the z-columns skips most files,
+    where a plain sort only prunes on its leading column. The standard
+    layout decision for a 100 TB fact table queried along multiple
+    independent predicates (ts x user, orderkey x partkey)."""
+    out = df.withColumn("_z", zorder_column(df, cols, bits))
+    out = out.repartitionByRange(*([n_files] if n_files else []), "_z")
+    out.sortWithinPartitions("_z").drop("_z").write.mode(mode).parquet(path)

@@ -305,3 +305,51 @@ def test_events_ts_nanos_and_micros_read_identically(spark, tmp_path):
             "2023-11-14T22:13:20.000001",
             "2023-11-14T22:13:20",
         ], (unit, rows)
+
+
+def test_zordered_write_prunes_on_both_dimensions(spark, tmp_path):
+    """write_zordered_parquet must leave per-file min/max spans that are
+    narrow in BOTH z-dimensions (the Morton curve tiles the plane), where a
+    plain leading-column sort leaves the secondary column's span at ~the
+    full domain in every file — the property that lets a scan filtering on
+    EITHER column skip most files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hadoop_web_browsing_logs_spark.sources.readers import load_table
+    from hadoop_web_browsing_logs_spark.sources.writers import (
+        write_sorted_parquet,
+        write_zordered_parquet,
+    )
+
+    from .conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+
+    def avg_span_fraction(path: str, col_idx: int) -> float:
+        los, his, spans = [], [], []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            los.append(lo), his.append(hi), spans.append(hi - lo)
+        domain = max(his) - min(los)
+        return sum(spans) / len(spans) / domain
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered_parquet(li, zpath, ["l_orderkey", "l_partkey"], n_files=16)
+    assert spark.read.parquet(zpath).count() == li.count()
+    # 16 files tile a 2-D grid ~4x4 → per-file span ~1/4 of each domain;
+    # allow slack for range-boundary straddle
+    assert avg_span_fraction(zpath, 0) < 0.5
+    assert avg_span_fraction(zpath, 1) < 0.5
+
+    spath = str(tmp_path / "sorted")
+    write_sorted_parquet(li, spath, ["l_orderkey"], n_files=16)
+    # the baseline: leading column tight, secondary column unpruned
+    assert avg_span_fraction(spath, 0) < 0.2
+    assert avg_span_fraction(spath, 1) > 0.8
