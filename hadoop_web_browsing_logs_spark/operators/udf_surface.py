@@ -11,6 +11,8 @@ UDF surface is deliberately tiny and typed:
                                    documented slow path — kept off hot paths)
 - ``mapInPandas``                → multimodal featurize (operators/multimodal.py)
 - ``applyInPandasWithState``     → streaming counter (streaming/windows.py)
+- Python UDTF + lateral join     → context-window chunker (this module;
+                                   PySpark-4 table-valued function)
 
 Determinism notes: the grouped-map z-score uses exact integer moments (not
 pandas float accumulation) so the oracle's SQL formula lands on identical
@@ -126,3 +128,69 @@ def q_udf_python_row(spark: SparkSession, sf_dir: str) -> DataFrame:
         digit_sum("o_orderkey").alias("digit_sum"),
         (digit_sum("o_orderkey") % 9).alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (PySpark 4): table-valued function + lateral join (round 8)
+# ---------------------------------------------------------------------------
+
+
+class _ContextWindows:
+    """UDTF: explode one document into overlapping fixed-size token windows
+    (length 10, stride 5) — the context-window chunking an LLM pretraining
+    pipeline runs before packing. Window tokens are whitespace tokens of
+    lower(trim(text)); a NULL/empty doc yields no rows."""
+
+    def eval(self, doc_id, text):  # noqa: ANN001 — UDTF protocol
+        if text is None:
+            return
+        import re
+
+        toks = [tk for tk in re.split(r"\s+", text.strip().lower()) if tk]
+        for i, start in enumerate(range(0, len(toks), 5)):
+            w = toks[start : start + 10]
+            yield doc_id, i, " ".join(w), len(w)
+
+
+@query(
+    "q_udtf_context_windows",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+        WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(g.s // 5 AS INT) AS win_idx,
+           array_to_string(tk[CAST(g.s + 1 AS BIGINT):CAST(LEAST(g.s + 10, len(tk)) AS BIGINT)], ' ') AS win_text,
+           CAST(LEAST(g.s + 10, len(tk)) - g.s AS INT) AS n_tokens
+    FROM toks, UNNEST(range(0, len(tk), 5)) AS g(s)
+    WHERE len(tk) > 0
+    """,
+    category="udf",
+    description=(
+        "Python UDTF (PySpark 4 table-valued function) through a LATERAL "
+        "join: each document explodes into overlapping 10-token context "
+        "windows at stride 5 — the chunking step before sequence packing. "
+        "Declared Python-path API demo (B14): the same windows are "
+        "SQL-expressible (the oracle builds them with range+list slicing), "
+        "which is what makes the UDTF mechanism itself provable. Scale "
+        "shape: the lateral join is row-local (no shuffle); the Python "
+        "stage is the documented cost."
+    ),
+)
+def q_udtf_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    windows = udtf(
+        _ContextWindows,
+        returnType="doc_id bigint, win_idx int, win_text string, n_tokens int",
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("_did"), "text"
+    )
+    return docs.lateralJoin(
+        windows(F.col("_did").outer(), F.col("text").outer())
+    ).select("doc_id", "win_idx", "win_text", "n_tokens")
