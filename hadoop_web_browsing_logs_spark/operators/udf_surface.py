@@ -13,6 +13,7 @@ UDF surface is deliberately tiny and typed:
 - ``applyInPandasWithState``     → streaming counter (streaming/windows.py)
 - Python UDTF + lateral join     → context-window chunker (this module;
                                    PySpark-4 table-valued function)
+- cogrouped-map ``applyInPandas``→ per-order fulfillment stats (this module)
 
 Determinism notes: the grouped-map z-score uses exact integer moments (not
 pandas float accumulation) so the oracle's SQL formula lands on identical
@@ -194,3 +195,62 @@ def q_udtf_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.lateralJoin(
         windows(F.col("_did").outer(), F.col("text").outer())
     ).select("doc_id", "win_idx", "win_text", "n_tokens")
+
+
+@query(
+    "q_udf_cogrouped_map",
+    oracle="""
+    SELECT COALESCE(o.k, l.k) AS o_orderkey,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(l.n_items, 0) AS n_items,
+           CAST(COALESCE(l.ext_cents, 0) AS BIGINT) AS ext_cents
+    FROM (SELECT o_orderkey AS k, COUNT(*) AS n_orders
+          FROM orders WHERE o_orderkey % 37 = 0 GROUP BY o_orderkey) o
+    FULL JOIN (SELECT l_orderkey AS k, COUNT(*) AS n_items,
+                      CAST(SUM(TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ext_cents
+               FROM lineitem WHERE l_orderkey % 37 = 0 GROUP BY l_orderkey) l
+      ON o.k = l.k
+    """,
+    category="udf",
+    description=(
+        "Cogrouped-map applyInPandas (the last pandas-API shape): orders "
+        "and lineitem cogrouped on orderkey, the Python worker receiving "
+        "BOTH groups' frames at once and emitting per-order fulfillment "
+        "stats with exact integer-cents money math — oracled by the "
+        "equivalent FULL JOIN of two SQL aggregates. Sampled keys "
+        "(orderkey % 37 = 0): a declared Python-path mechanism demo, like "
+        "the row-UDF; production aggregation stays JVM-side."
+    ),
+)
+def q_udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0).select(
+        "o_orderkey"
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 37 == 0).select(
+        "l_orderkey", "l_extendedprice"
+    )
+
+    def fulfillment(key: tuple, opdf: pd.DataFrame, lpdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # exact integer cents per row (prices are positive 2-decimal values,
+        # so floor(x*100 + 0.5) == ROUND(x*100) in both engines), summed as
+        # int64 — no float accumulation to diverge from the SQL twin
+        ext = int(np.floor(lpdf["l_extendedprice"].to_numpy() * 100 + 0.5).sum()) if len(lpdf) else 0
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "n_orders": [len(opdf)],
+                "n_items": [len(lpdf)],
+                "ext_cents": [ext],
+            }
+        )
+
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            fulfillment,
+            schema="o_orderkey bigint, n_orders bigint, n_items bigint, ext_cents bigint",
+        )
+    )

@@ -480,6 +480,7 @@ def test_python_stage_allowlist(spark):
         "q_udf_grouped_map", "q_udf_grouped_agg", "q_udf_python_row",    # B14 demos
         "q_agg_heavy_hitters",  # Misra-Gries sketch kernel (mapInPandas)
         "q_udtf_context_windows",  # PySpark-4 UDTF lateral-join demo (B14)
+        "q_udf_cogrouped_map",  # cogrouped-map applyInPandas demo (B14)
     }
     offenders = {}
     for name, q in all_queries().items():
