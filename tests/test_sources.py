@@ -353,3 +353,26 @@ def test_zordered_write_prunes_on_both_dimensions(spark, tmp_path):
     # the baseline: leading column tight, secondary column unpruned
     assert avg_span_fraction(spath, 0) < 0.2
     assert avg_span_fraction(spath, 1) > 0.8
+
+
+def test_zorder_key_is_monotone_per_dimension(spark):
+    """The Morton key must be non-decreasing in each dimension when the
+    other is held fixed (the property that makes curve-contiguous files
+    axis-prunable), and NULLs must land in cell 0 rather than crash."""
+    from hadoop_web_browsing_logs_spark.sources.writers import zorder_column
+
+    rows = [(x, y) for x in range(0, 100, 7) for y in range(0, 100, 11)]
+    df = spark.createDataFrame(rows + [(None, 0), (0, None)], "x int, y int")
+    z = df.withColumn("z", zorder_column(df, ["x", "y"], bits=8)).collect()
+    zmap = {(r.x, r.y): r.z for r in z}
+    xs = sorted({x for x, _ in rows})
+    ys = sorted({y for _, y in rows})
+    for y in ys:
+        series = [zmap[(x, y)] for x in xs]
+        assert series == sorted(series), f"not monotone in x at y={y}"
+    for x in xs:
+        series = [zmap[(x, y)] for y in ys]
+        assert series == sorted(series), f"not monotone in y at x={x}"
+    # NULL coordinates map to grid cell 0 on that axis
+    assert zmap[(None, 0)] <= zmap[(0, 0)]
+    assert zmap[(0, None)] <= zmap[(0, 0)]
