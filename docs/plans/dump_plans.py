@@ -57,6 +57,7 @@ DUMPED = [
     "q_llm_weighted_sample",
     "q_snapshot_diff",
     "q_agg_heavy_hitters",
+    "q_incremental_agg_refresh",
     # q_dedup_keep_canonical is NOT dumped: connected-components builds its
     # plan by iterative lineage extension, so the explain output is ~10k
     # lines of repeated join blocks — noise, not evidence. Its scale shape
