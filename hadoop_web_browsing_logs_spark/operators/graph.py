@@ -1,0 +1,202 @@
+"""Graph analytics: weighted PageRank over an edge DataFrame.
+
+The reference repo has no graph operator (its two chained jobs are a text
+pipeline, ProcessData.java:650-678); this module is part of the engine's
+beyond-the-reference surface (SURVEY.md §2 Table B) alongside the other
+iterative algorithm already shipped, connected-components label propagation
+(``dedup.connected_components``). Both use the standard Spark shape for
+iteration when GraphFrames isn't on the classpath: a driver-side loop over
+distributed joins, with lazy ``localCheckpoint`` lineage truncation.
+
+Scale shape (100 TB): per iteration, ONE shuffle — the contribution
+aggregation keyed on ``dst`` — plus an edge⋈rank equi-join that AQE plans
+as broadcast while the rank table fits and as a co-partitioned shuffle join
+beyond that. The edge table (with out-weight ratios folded in) and the node
+table are lazily checkpointed ONCE before the loop, so iterations never
+re-run the upstream build; the rank table is node-sized, never wider than
+(node, pr).
+
+Float policy (README "Correctness & performance"): the per-destination
+contribution sum is the one cross-row float reduction — it runs through the
+fixed-point ``dsum`` kernel (round-to-integer-grid, exact associative BIGINT
+sum), so results are bit-identical across engines, partitionings, and
+retries. All remaining arithmetic is per-row double expressions with one
+fixed evaluation shape, mirrored literally in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ._util import t
+from .relational import dsum, dsum_sql
+
+#: Fixed-point digits for the contribution sum. Rank mass totals 1.0, so at
+#: 10^15 the summed integers stay ~3 orders below BIGINT overflow at ANY
+#: node count, while the absolute grid (1e-15) sits near double's own
+#: resolution for rank values. (For graphs past ~1e12 nodes, where
+#: individual ranks approach the grid, widen the accumulator to
+#: DECIMAL(38,n) — same note as dsum.)
+PR_DIGITS = 15
+
+#: Shared constants: the oracle embeds ``repr()`` of these exact Python
+#: doubles, so both engines teleport with the SAME bits (1 - 0.85 is
+#: 0.15000000000000002 in binary — spelling "0.15" in SQL would diverge).
+PR_DAMPING = 0.85
+PR_ITERATIONS = 3
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = PR_ITERATIONS,
+    damping: float = PR_DAMPING,
+    truncate_every: int = 4,
+) -> DataFrame:
+    """Weighted PageRank after a FIXED number of synchronous iterations.
+
+    ``edges`` has columns (src, dst, w); multi-edges should be pre-summed.
+    Every node starts at rank 1/N; each iteration every node keeps the
+    teleport share (1-d)/N plus d times the rank mass its in-edges carry,
+    where an edge carries ``w / out_weight(src)`` of its source's rank.
+    Dangling nodes (no out-edges) simply leak their damped mass — the
+    plain power-iteration variant, chosen over dangling-redistribution
+    because it needs no per-iteration global scalar and is exactly
+    SQL-expressible (the DuckDB oracle unrolls the same K steps).
+
+    Fixed iteration count, not convergence-tested: the result is a
+    deterministic function of the graph (run-to-run identical), which is
+    what a differential gate can hash. Callers wanting convergence loop
+    over this with their own delta probe.
+    """
+    teleport = 1.0 - damping
+    # one-time build, lazily checkpointed: iterations must not re-run it
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ew = (
+        edges.join(outw, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("w").cast("double") / F.col("ow").cast("double")).alias("ratio"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for i in range(iterations):
+        contrib = (
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(dsum(F.col("pr") * F.col("ratio"), PR_DIGITS).alias("contrib"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport) / F.col("n")
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+        if (i + 1) % truncate_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The undirected customer↔supplier purchase graph: one edge per
+    (customer, supplier) pair that traded, weighted by lineitem count,
+    materialized in BOTH directions so the random walk can traverse the
+    bipartite graph. Node ids are prefixed strings ('c'/'s') because the
+    two key spaces overlap numerically."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    el = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    rev = el.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    return el.union(rev)
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled K-iteration PageRank as one DuckDB CTE chain — an
+    independent restatement (plain SQL window-free joins) of the same
+    fixed-point recurrence, sharing only the spelled-out constants."""
+    contrib = dsum_sql("r.pr * ew.ratio", PR_DIGITS)
+    sql = f"""
+    WITH el AS (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst,
+               COUNT(*) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT src, dst, w FROM el
+              UNION ALL SELECT dst AS src, src AS dst, w FROM el),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+    ew AS (SELECT e.src, e.dst,
+                  CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE) AS ratio
+           FROM edges e JOIN outw o ON e.src = o.src),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr
+           FROM nodes CROSS JOIN nn)"""
+    for k in range(PR_ITERATIONS):
+        sql += f""",
+    r{k + 1} AS (
+        SELECT nodes.node,
+               {1.0 - PR_DAMPING!r} / nn.n
+                 + {PR_DAMPING!r} * COALESCE(s.contrib, CAST(0 AS DOUBLE)) AS pr
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN (
+            SELECT ew.dst, {contrib} AS contrib
+            FROM ew JOIN r{k} r ON ew.src = r.node
+            GROUP BY ew.dst
+        ) s ON nodes.node = s.dst
+    )"""
+    sql += f"""
+    SELECT node, pr FROM r{PR_ITERATIONS} ORDER BY node"""
+    return sql
+
+
+@query(
+    "q_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    category="graph",
+    description=(
+        "Weighted PageRank (3 synchronous iterations, damping 0.85) over "
+        "the undirected customer↔supplier purchase graph built from "
+        "lineitem⋈orders — an SF-scaled node domain (every customer and "
+        "supplier is a node). The iterative-join Spark shape shared with "
+        "connected components: one dst-keyed shuffle per iteration, edge "
+        "and node tables lazily checkpointed once before the loop, rank "
+        "table never wider than (node, pr). Contribution sums run through "
+        "the fixed-point dsum kernel so the result is hash-provable "
+        "against a DuckDB oracle that unrolls the same recurrence as a "
+        "CTE chain."
+    ),
+    tags=("graph", "iterative"),
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = pagerank(_purchase_edges(spark, sf_dir))
+    return ranks.orderBy("node")

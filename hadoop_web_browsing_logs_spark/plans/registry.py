@@ -154,6 +154,7 @@ def _ensure_loaded() -> None:
     from ..operators import (  # noqa: F401
         dedup,
         events_analytics,
+        graph,
         llm_pipeline,
         multimodal,
         relational,

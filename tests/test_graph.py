@@ -1,0 +1,92 @@
+"""Graph-operator tests: DuckDB-differential replay plus PageRank
+properties on hand-built graphs (mass conservation, symmetry, agreement
+with a plain power-iteration reference)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_web_browsing_logs_spark.plans.registry import all_queries
+
+from .conftest import assert_query_matches_oracle
+
+
+def _oracle_names():
+    return sorted(
+        n for n, q in all_queries().items() if q.oracle is not None and q.category == "graph"
+    )
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_matches_duckdb_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name)
+
+
+def _pr(spark, edges, **kw):
+    from hadoop_web_browsing_logs_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    return {r.node: r.pr for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_star_graph_center_dominates(spark):
+    # undirected star: center 0 touches leaves 1..4; center must outrank
+    # every leaf and all leaves tie exactly (identical positions)
+    edges = []
+    for leaf in range(1, 5):
+        edges += [("n0", f"n{leaf}", 1), (f"n{leaf}", "n0", 1)]
+    ranks = _pr(spark, edges)
+    assert len(ranks) == 5
+    leaf_ranks = {v for k, v in ranks.items() if k != "n0"}
+    assert len(leaf_ranks) == 1, "symmetric leaves must have identical rank"
+    assert ranks["n0"] > max(leaf_ranks)
+
+
+def test_pagerank_mass_conservation_no_dangling(spark):
+    # every node has out-edges (undirected), so total rank mass stays 1
+    # up to the 1e-15 fixed-point grid per destination
+    edges = [("a", "b", 2), ("b", "a", 2), ("b", "c", 1), ("c", "b", 1), ("c", "a", 3), ("a", "c", 3)]
+    ranks = _pr(spark, edges)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_leaks_documented_semantics(spark):
+    # directed a->b only: b is dangling; after the first iteration its
+    # damped mass leaves the system (plain power-iteration variant)
+    ranks = _pr(spark, [("a", "b", 1)], iterations=1)
+    # a holds only teleport 0.15/2; b holds teleport + 0.85 * a's initial 0.5
+    assert ranks["a"] == pytest.approx(0.075, abs=1e-12)
+    assert ranks["b"] == pytest.approx(0.075 + 0.85 * 0.5, abs=1e-12)
+
+
+def test_pagerank_matches_power_iteration_reference(spark):
+    # weighted digraph vs an independent dense power iteration
+    edges = [
+        ("a", "b", 3), ("a", "c", 1), ("b", "c", 2),
+        ("c", "a", 1), ("b", "a", 1), ("c", "b", 5),
+    ]
+    ranks = _pr(spark, edges, iterations=4)
+    nodes = ["a", "b", "c"]
+    outw = {"a": 4, "b": 3, "c": 6}
+    ratio = {("a", "b"): 3 / 4, ("a", "c"): 1 / 4, ("b", "c"): 2 / 3,
+             ("c", "a"): 1 / 6, ("b", "a"): 1 / 3, ("c", "b"): 5 / 6}
+    pr = {n: 1 / 3 for n in nodes}
+    for _ in range(4):
+        nxt = {}
+        for v in nodes:
+            s = sum(pr[u] * r for (u, d), r in ratio.items() if d == v)
+            nxt[v] = 0.15 / 3 + 0.85 * s
+        pr = nxt
+    for n in nodes:
+        assert ranks[n] == pytest.approx(pr[n], abs=1e-9), n
+    assert ranks["b"] > ranks["a"]  # heaviest in-mass
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    from hadoop_web_browsing_logs_spark.operators.graph import _purchase_edges, pagerank
+
+    from .conftest import SF_DIR
+
+    a = {r.node: r.pr for r in pagerank(_purchase_edges(spark, SF_DIR)).collect()}
+    b = {r.node: r.pr for r in pagerank(_purchase_edges(spark, SF_DIR)).collect()}
+    assert a == b, "bitwise run-to-run determinism (fixed-point contribution sums)"
