@@ -500,3 +500,319 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidate_views",
         )
     )
+
+
+def _correlation_oracle() -> str:
+    from .relational import dsum_sql
+
+    return f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               {dsum_sql('value')} AS v
+        FROM events GROUP BY 1, 2
+    ),
+    hv AS (SELECT * FROM hourly WHERE v IS NOT NULL),
+    p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.v AS va, b.v AS vb
+        FROM hv a JOIN hv b ON a.h = b.h AND a.event_type < b.event_type
+    ),
+    m AS (
+        SELECT type_a, type_b, CAST(COUNT(*) AS DOUBLE) AS n,
+               {dsum_sql('va')} AS sx, {dsum_sql('vb')} AS sy,
+               {dsum_sql('va * vb', 4)} AS sxy,
+               {dsum_sql('va * va', 4)} AS sx2,
+               {dsum_sql('vb * vb', 4)} AS sy2
+        FROM p GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_hours,
+           (n * sxy - sx * sy)
+             / (SQRT(GREATEST(n * sx2 - sx * sx, CAST(0 AS DOUBLE)))
+                * SQRT(GREATEST(n * sy2 - sy * sy, CAST(0 AS DOUBLE)))) AS corr
+    FROM m
+    """
+
+
+@query(
+    "q_events_correlation",
+    oracle=_correlation_oracle(),
+    category="aggregation",
+    description=(
+        "Pairwise Pearson correlation matrix between event types' hourly "
+        "value series (upper triangle, paired on hours where both types "
+        "are active). The metric-correlation pass an observability stack "
+        "runs across its series store. Engine shape: correlation is NOT "
+        "computed with the built-in corr() — a running float aggregate "
+        "whose merge order varies with partitioning — but from the five "
+        "moment sums, each an exact fixed-point dsum, combined in one "
+        "per-group double expression: bit-identical across engines and "
+        "partitionings. The pair join is hour-keyed on the already-reduced "
+        "hourly rollup (|types|x|hours| rows, never the raw fact table); "
+        "zero-variance pairs (constant bursts) yield NULL via try_divide, "
+        "and GREATEST(.,0) clamps the tiny negative variance a fixed-grid "
+        "cancellation can produce, on both engines — sqrt(negative) would "
+        "be NaN on Spark but an Out-of-Range ERROR on DuckDB."
+    ),
+)
+def q_events_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import dsum
+
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(dsum("value").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    a = hourly.select(F.col("event_type").alias("type_a"), "h", F.col("v").alias("va"))
+    b = hourly.select(F.col("event_type").alias("type_b"), "h", F.col("v").alias("vb"))
+    pairs = a.join(b, "h").filter(F.col("type_a") < F.col("type_b"))
+    m = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("va").alias("sx"),
+        dsum("vb").alias("sy"),
+        dsum(F.col("va") * F.col("vb"), 4).alias("sxy"),
+        dsum(F.col("va") * F.col("va"), 4).alias("sx2"),
+        dsum(F.col("vb") * F.col("vb"), 4).alias("sy2"),
+    )
+    corr = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.sqrt(F.greatest(F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"), F.lit(0.0)))
+        * F.sqrt(F.greatest(F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy"), F.lit(0.0))),
+    )
+    return m.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("bigint").alias("n_hours"),
+        corr.alias("corr"),
+    )
+
+
+@query(
+    "q_events_path_mining",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type, 1) OVER w AS t1, LAG(event_type, 2) OVER w AS t2,
+               LAG(ts, 1) OVER w AS ts1, LAG(ts, 2) OVER w AS ts2
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT t2 || '>' || t1 || '>' || event_type AS path, COUNT(*) AS cnt
+        FROM s
+        WHERE t2 IS NOT NULL
+          AND ts1 >= ts - INTERVAL 30 MINUTE
+          AND ts2 >= ts1 - INTERVAL 30 MINUTE
+        GROUP BY 1
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, path) AS rank, path, cnt
+    FROM paths ORDER BY cnt DESC, path LIMIT 20
+    """,
+    category="aggregation",
+    description=(
+        "Navigation path mining: top-20 3-step event-type paths users "
+        "actually walk, counted only within a session (both hops <= 30 "
+        "min apart — the same gap rule as the session windows). The "
+        "click-path analysis a web-browsing-log warehouse runs for UX "
+        "and recommendation work. Shape: two lags ride ONE user_id "
+        "window pass, the path count is one hash aggregation over a "
+        "|types|³-bounded key domain, and the top-20 is distributed "
+        "TakeOrdered + a 20-row ranking window (one_group) — no global "
+        "sort, no fact-sized window. Tie-break (cnt DESC, path) is "
+        "total, so the result is deterministic and hash-provable."
+    ),
+)
+def q_events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import one_group
+
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        "ts",
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("ts", 1).over(w).alias("ts1"),
+        F.lag("ts", 2).over(w).alias("ts2"),
+    )
+    paths = (
+        s.filter(
+            F.col("t2").isNotNull()
+            & (F.col("ts1") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("ts2") >= F.col("ts1") - F.expr("INTERVAL 30 MINUTES"))
+        )
+        .select(F.concat_ws(">", "t2", "t1", "event_type").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = paths.orderBy(F.col("cnt").desc(), "path").limit(20)
+    wr = W.partitionBy(one_group("path")).orderBy(F.col("cnt").desc(), "path")
+    return top.select(F.row_number().over(wr).alias("rank"), "path", "cnt")
+
+
+def _chisq_oracle() -> str:
+    from .relational import dsum_sql
+
+    contrib = dsum_sql(
+        "((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)) / e", 6
+    )
+    return f"""
+    WITH cells AS (
+        SELECT user_id % 10 AS cohort, event_type, COUNT(*) AS o
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    rt AS (SELECT cohort, SUM(o) AS rtot FROM cells GROUP BY cohort),
+    ct AS (SELECT event_type, SUM(o) AS ctot FROM cells GROUP BY event_type),
+    nn AS (SELECT SUM(o) AS n, COUNT(DISTINCT cohort) AS nr,
+                  COUNT(DISTINCT event_type) AS nc
+           FROM cells),
+    ex AS (
+        SELECT c.o,
+               (CAST(r.rtot AS DOUBLE) * CAST(t.ctot AS DOUBLE))
+                 / CAST(nn.n AS DOUBLE) AS e
+        FROM cells c
+        JOIN rt r ON c.cohort = r.cohort
+        JOIN ct t ON c.event_type = t.event_type
+        CROSS JOIN nn
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n,
+           CAST((nn.nr - 1) * (nn.nc - 1) AS BIGINT) AS dof,
+           s.chi2
+    FROM nn CROSS JOIN (SELECT {contrib} AS chi2 FROM ex) s
+    """
+
+
+@query(
+    "q_events_chisq",
+    oracle=_chisq_oracle(),
+    category="aggregation",
+    description=(
+        "Chi-squared test of independence between user cohort "
+        "(user_id % 10) and event type: observed cell counts vs "
+        "expected-under-independence (row_total x col_total / n), one "
+        "statistic row (n, dof, chi2). The does-behavior-differ-by-cohort "
+        "screen an experimentation platform runs. All inputs are exact "
+        "integer counts; the one cross-row float reduction (summing cell "
+        "contributions) runs through fixed-point dsum, so the statistic "
+        "is bit-identical across engines and partitionings. The cell "
+        "table is |cohorts| x |types| — the totals joins and the final "
+        "reduction touch only that bounded table, never the fact scan."
+    ),
+)
+def q_events_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import dsum
+
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select((F.col("user_id") % 10).alias("cohort"), "event_type")
+    )
+    cells = e.groupBy("cohort", "event_type").agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("cohort").agg(F.sum("o").alias("rtot"))
+    ct = cells.groupBy("event_type").agg(F.sum("o").alias("ctot"))
+    nn = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("cohort").alias("nr"),
+        F.count_distinct("event_type").alias("nc"),
+    )
+    ex = (
+        cells.join(rt, "cohort")
+        .join(ct, "event_type")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "o",
+            (
+                (F.col("rtot").cast("double") * F.col("ctot").cast("double"))
+                / F.col("n").cast("double")
+            ).alias("e"),
+        )
+    )
+    contrib = ((F.col("o").cast("double") - F.col("e")) * (F.col("o").cast("double") - F.col("e"))) / F.col("e")
+    s = ex.agg(dsum(contrib, 6).alias("chi2"))
+    return nn.crossJoin(F.broadcast(s)).select(
+        F.col("n").cast("bigint").alias("n"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+        "chi2",
+    )
+
+
+def _winsorize_oracle() -> str:
+    from .relational import dsum_sql
+
+    return f"""
+    WITH fin AS (
+        SELECT event_type, value FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL AND isfinite(value)
+    ),
+    b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.99) AS hi
+        FROM fin GROUP BY event_type
+    )
+    SELECT f.event_type, b.lo, b.hi,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN f.value < b.lo THEN 1 END) AS n_clamped_lo,
+           COUNT(CASE WHEN f.value > b.hi THEN 1 END) AS n_clamped_hi,
+           {dsum_sql('LEAST(GREATEST(f.value, b.lo), b.hi)', 4)} AS winsorized_sum
+    FROM fin f JOIN b ON f.event_type = b.event_type
+    GROUP BY f.event_type, b.lo, b.hi
+    """
+
+
+@query(
+    "q_events_winsorize",
+    oracle=_winsorize_oracle(),
+    category="aggregation",
+    description=(
+        "Per-type winsorization: clamp the value column to its own "
+        "[p05, p99] band and report bounds, clamp counts, and the "
+        "winsorized sum — the outlier-robust metric prep before any "
+        "mean-based monitoring. Exact linear-interpolated percentiles "
+        "(Spark percentile() ≡ DuckDB quantile_cont(), probed "
+        "bit-identical on this data) gate the oracle; at 100 TB swap the "
+        "BOUND computation to the mergeable approx_percentile sketch "
+        "(same clamp join, and the sketch's error envelope is already "
+        "gated by q_agg_approx_percentile_gate) — exact per-group "
+        "percentile buffers every value of a group in one aggregation "
+        "buffer, which is the documented non-scale path. Non-finite "
+        "garbage (NaN/±Inf, routine in metric columns) is excluded with "
+        "mirrored finite-ness predicates on both engines; the bounds "
+        "table is |types|-sized, so its join back to the fact stream is "
+        "an AQE broadcast."
+    ),
+)
+def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import dsum
+
+    fin = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+            & (F.abs("value") < F.lit(float("inf")))
+        )
+        .select("event_type", "value")
+    )
+    b = fin.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05D)").alias("lo"),
+        F.expr("percentile(value, 0.99D)").alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        fin.join(b, "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("value") < F.col("lo"), 1)).alias("n_clamped_lo"),
+            F.count(F.when(F.col("value") > F.col("hi"), 1)).alias("n_clamped_hi"),
+            dsum(clamped, 4).alias("winsorized_sum"),
+        )
+        .select("event_type", "lo", "hi", "n", "n_clamped_lo", "n_clamped_hi", "winsorized_sum")
+    )
