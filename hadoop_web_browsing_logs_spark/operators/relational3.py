@@ -838,3 +838,48 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(mv_old["n_chars"], F.lit(0)) + F.coalesce(deltas["d_chars"], F.lit(0))).alias("n_chars"),
     )
     return merged.filter(F.col("n_docs") > 0).orderBy("source")
+
+
+@query(
+    "q_agg_sketch_reaggregate",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS ok
+    FROM events GROUP BY event_type
+    """,
+    category="aggregation",
+    description=(
+        "Sketch re-aggregation: per-(type, day) HLL sketches "
+        "(hll_sketch_agg, Apache DataSketches) union-merged per type "
+        "(hll_union_agg) and estimated — the rollup-without-rescan shape "
+        "for distinct counts at 100 TB: daily sketch partials persist at "
+        "bytes per group, and any coarser rollup (weekly, monthly, "
+        "all-time) is a cheap register-wise merge of stored sketches "
+        "instead of a full re-scan of the fact table. The query gates the "
+        "merged estimate against the exact per-type distinct (within "
+        "max(5, 5%) — default lgConfigK=12 gives ~1.6% rsd) and emits "
+        "the exact counts, which the oracle hash-proves; the final "
+        "exact⋈merged stitch is eqNullSafe so the NULL-type group "
+        "survives like the oracle's GROUP BY. The built-in "
+        "approx_count_distinct gate (q_agg_approx_distinct_gate) covers "
+        "the one-shot estimate; this one proves MERGEABILITY."
+    ),
+)
+def q_agg_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"), "user_id")
+    daily = e.groupBy("event_type", "day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = e.groupBy("event_type").agg(F.count_distinct("user_id").alias("exact_users"))
+    x, m = exact.alias("x"), merged.alias("m")
+    stitched = x.join(
+        m, F.col("x.event_type").eqNullSafe(F.col("m.event_type"))
+    ).select(
+        F.col("x.event_type").alias("event_type"),
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.greatest(F.lit(5.0), F.lit(0.05) * F.col("exact_users"))
+        ).alias("ok"),
+    )
+    return stitched
