@@ -77,6 +77,14 @@ HEADLINE = [
     # the round (corpus-wide bigram explode + two count tables + keyed join),
     # tracked from birth so its cost history starts at its first round.
     "q_llm_bigram_logprob",
+    # late-round-8 additions, tracked from birth: the iterative PageRank
+    # (3 dst-keyed shuffles + checkpointed edge build — the heaviest new
+    # plan), the percentile-bounded winsorization (exact per-group
+    # percentile + clamp join), and the HLL sketch re-aggregation (two-level
+    # sketch rollup over the events scan).
+    "q_graph_pagerank",
+    "q_events_winsorize",
+    "q_agg_sketch_reaggregate",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal

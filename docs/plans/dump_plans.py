@@ -58,6 +58,14 @@ DUMPED = [
     "q_snapshot_diff",
     "q_agg_heavy_hitters",
     "q_incremental_agg_refresh",
+    # late round-8: graph + statistical + fuzzy-join + sketch-rollup family
+    "q_graph_pagerank",
+    "q_events_correlation",
+    "q_events_chisq",
+    "q_events_winsorize",
+    "q_events_path_mining",
+    "q_dedup_fuzzy_vocab",
+    "q_agg_sketch_reaggregate",
     # q_dedup_keep_canonical is NOT dumped: connected-components builds its
     # plan by iterative lineage extension, so the explain output is ~10k
     # lines of repeated join blocks — noise, not evidence. Its scale shape
