@@ -816,3 +816,218 @@ def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "lo", "hi", "n", "n_clamped_lo", "n_clamped_hi", "winsorized_sum")
     )
+
+
+@query(
+    "q_events_robust_zscore",
+    oracle="""
+    WITH fin AS (
+        SELECT event_type, value FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL AND isfinite(value)
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM fin GROUP BY event_type
+    ),
+    dev AS (
+        SELECT f.event_type, f.value, m.med, ABS(f.value - m.med) AS adev
+        FROM fin f JOIN med m ON f.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.med, a.mad,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN ABS(0.6745 * (d.value - d.med) / a.mad) > 3.5
+                      THEN 1 END) AS n_outliers
+    FROM dev d JOIN mad a ON d.event_type = a.event_type
+    WHERE a.mad > 0
+    GROUP BY d.event_type, d.med, a.mad
+    """,
+    category="aggregation",
+    description=(
+        "Robust outlier detection: per-type median/MAD z-scores "
+        "(0.6745·(x-med)/MAD, flagged beyond 3.5 — Iglewicz-Hoberg), the "
+        "mean/stddev-free twin of q_events_anomaly_zscore that a single "
+        "corrupted burst cannot drag. Two exact-percentile passes (median, "
+        "then median absolute deviation) — each bit-identical to DuckDB "
+        "quantile_cont (probed parity) — then a counting aggregate; the "
+        "median/MAD tables are |types|-sized so both joins back are AQE "
+        "broadcasts. Zero-MAD types (>=50% constant values) are excluded "
+        "on both sides rather than dividing by zero. Same 100 TB note as "
+        "winsorize: swap the two bound computations to approx_percentile; "
+        "the flagging pass is unchanged."
+    ),
+)
+def q_events_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fin = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+            & (F.abs("value") < F.lit(float("inf")))
+        )
+        .select("event_type", "value")
+    )
+    med = fin.groupBy("event_type").agg(F.expr("percentile(value, 0.5D)").alias("med"))
+    dev = fin.join(med, "event_type").withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5D)").alias("mad"))
+    z = F.abs(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"))
+    return (
+        dev.join(mad, "event_type")
+        .filter(F.col("mad") > 0)
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(z > 3.5, 1)).alias("n_outliers"),
+        )
+        .select("event_type", "med", "mad", "n", "n_outliers")
+    )
+
+
+def _trend_oracle() -> str:
+    from .relational import dsum_sql
+
+    return f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hx,
+               {dsum_sql('value')} AS v
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    hv AS (SELECT * FROM hourly WHERE v IS NOT NULL),
+    m AS (
+        SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(hx) AS DOUBLE) AS sx,
+               {dsum_sql('v')} AS sy,
+               CAST(SUM(hx * hx) AS DOUBLE) AS sx2,
+               {dsum_sql('hx * v')} AS sxy
+        FROM hv GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS slope_per_hour,
+           (sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n AS intercept
+    FROM m WHERE n > 1
+    """
+
+
+@query(
+    "q_events_trend",
+    oracle=_trend_oracle(),
+    category="aggregation",
+    description=(
+        "Per-type linear trend: least-squares slope and intercept of the "
+        "hourly value sum against the integer hour index — the "
+        "is-this-metric-drifting screen behind every monitoring alert. "
+        "Same moment-sum discipline as the correlation matrix: the hour "
+        "index is an exact BIGINT (epoch/3600), the y side and the mixed "
+        "moment run through fixed-point dsum, integer moments through "
+        "plain exact SUMs, and slope/intercept are one per-group double "
+        "expression over those exact inputs — bit-identical across "
+        "engines and partitionings, no order-dependent float aggregate. "
+        "Everything after the hourly rollup is |types|-sized. Types with "
+        "a single active hour are excluded (undefined slope) on both "
+        "sides."
+    ),
+)
+def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import dsum
+
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hx"),
+        )
+        .agg(dsum("value").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("hx").cast("double").alias("sx"),
+        dsum("v").alias("sy"),
+        F.sum(F.col("hx") * F.col("hx")).cast("double").alias("sx2"),
+        dsum(F.col("hx") * F.col("v")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    return (
+        m.filter(F.col("n") > 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_hours"),
+            slope.alias("slope_per_hour"),
+            ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        )
+    )
+
+
+@query(
+    "q_events_conversion_latency",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, ts FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    v AS (SELECT user_id, MIN(ts) AS vts FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    conv AS (
+        SELECT p.user_id,
+               CAST(FLOOR(epoch(MIN(p.ts))) AS BIGINT)
+                 - CAST(FLOOR(epoch(v.vts)) AS BIGINT) AS delta_secs
+        FROM e p JOIN v ON p.user_id = v.user_id
+        WHERE p.event_type = 'purchase' AND p.ts >= v.vts
+        GROUP BY p.user_id, v.vts
+    )
+    SELECT COUNT(*) AS n_converted,
+           quantile_cont(delta_secs, 0.5) AS median_secs,
+           quantile_cont(delta_secs, 0.9) AS p90_secs
+    FROM conv
+    """,
+    category="aggregation",
+    description=(
+        "Conversion-latency distribution: per user, seconds from FIRST "
+        "view to FIRST subsequent purchase; global median and p90 over "
+        "converting users — the how-long-does-conversion-take companion "
+        "to the step-count funnel (q_events_funnel). First-touch anchors "
+        "(MIN per user) make the metric deterministic; the latency is "
+        "integer epoch-second arithmetic (the retention idiom, "
+        "engine-exact); the percentiles are exact linear interpolation "
+        "(probed bit-identical to DuckDB quantile_cont; approx_percentile "
+        "is the documented 100 TB swap). Both aggregations ride the "
+        "user_id exchange; the final reduction sees one bigint per "
+        "converting user."
+    ),
+)
+def q_events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("vts"))
+        .groupBy("user_id", "vts")
+        .agg(F.min("ts").alias("pts"))
+        .select(
+            (
+                F.floor(F.unix_timestamp("pts")).cast("bigint")
+                - F.floor(F.unix_timestamp("vts")).cast("bigint")
+            ).alias("delta_secs")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile(delta_secs, 0.5D)").alias("median_secs"),
+        F.expr("percentile(delta_secs, 0.9D)").alias("p90_secs"),
+    )

@@ -79,6 +79,10 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # (node, n) base, checkpointed ONCE: every iteration's teleport term
+    # reads it directly instead of re-aggregating the node count and
+    # re-broadcasting it per iteration (3 extra jobs at K=3, measured)
+    base = nodes.crossJoin(F.broadcast(nn)).localCheckpoint(eager=False)
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     ew = (
         edges.join(outw, "src")
@@ -89,9 +93,7 @@ def pagerank(
         )
         .localCheckpoint(eager=False)
     )
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("pr")
-    )
+    ranks = base.select("node", (F.lit(1.0) / F.col("n")).alias("pr"))
     for i in range(iterations):
         contrib = (
             ew.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -100,8 +102,7 @@ def pagerank(
             .withColumnRenamed("dst", "node")
         )
         ranks = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(contrib, "node", "left")
+            base.join(contrib, "node", "left")
             .select(
                 "node",
                 (
