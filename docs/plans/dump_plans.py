@@ -68,6 +68,7 @@ DUMPED = [
     "q_agg_sketch_reaggregate",
     "q_events_robust_zscore",
     "q_events_trend",
+    "q_graph_triangles",
     # q_dedup_keep_canonical is NOT dumped: connected-components builds its
     # plan by iterative lineage extension, so the explain output is ~10k
     # lines of repeated join blocks — noise, not evidence. Its scale shape

@@ -1,4 +1,4 @@
-"""Graph analytics: weighted PageRank over an edge DataFrame.
+"""Graph analytics: weighted PageRank and triangle counting over edge DataFrames.
 
 The reference repo has no graph operator (its two chained jobs are a text
 pipeline, ProcessData.java:650-678); this module is part of the engine's
@@ -201,3 +201,131 @@ def _pagerank_oracle() -> str:
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(_purchase_edges(spark, sf_dir))
     return ranks.orderBy("node")
+
+
+def triangle_participation(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph.
+
+    ``edges`` holds each undirected edge ONCE as (a, b) with ``a < b`` (any
+    total order), no self-loops. The implementation is the compact-forward /
+    degree-orientation algorithm: direct every edge from its lower-(degree,
+    id) endpoint to its higher one, enumerate wedges as two out-edges of a
+    pivot node, and close each wedge with a semi-check against the oriented
+    edge set. Orienting by DEGREE (not id) is the 100 TB move: a node's
+    out-degree is then at most O(sqrt(m)), so the wedge count — the one
+    super-linear intermediate — is bounded by m^1.5 instead of being
+    quadratic in the hottest node's degree (a celebrity node with 10^6
+    neighbors contributes zero wedges as a pivot unless its neighbors are
+    even hotter). Every join is an equi-join Catalyst can shuffle on the
+    pivot/endpoint keys; the degree table is node-sized (AQE broadcasts it
+    while it fits).
+    """
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    lt = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lt, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(lt, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
+            F.when(lt, F.col("b")).otherwise(F.col("a")).alias("key_dst"),
+        )
+    )
+    # wedge (u→v, u→w) deduped by the same (deg, id) order on v, w; the
+    # closing edge, if present, is oriented v→w by transitivity
+    e1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.col("deg_dst").alias("dv"), F.col("key_dst").alias("kv"),
+    )
+    e2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"),
+        F.col("deg_dst").alias("dw"), F.col("key_dst").alias("kw"),
+    )
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("kv") < F.col("kw")))
+    )
+    closer = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closer, ["v", "w"], "left_semi").select("u", "v", "w")
+    return (
+        tri.select(F.col("u").alias("node"))
+        .union(tri.select("v"))
+        .union(tri.select("w"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+#: Co-order edge threshold: pairs of parts must share >= this many orders.
+#: Keeps the projected graph sparse at every SF (repeat co-orders are rare),
+#: so the triangle query's cost tracks the TRUE co-purchase signal instead
+#: of the quadratic one-off-basket noise.
+TRI_MIN_W = 2
+
+
+def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-order graph: an undirected edge (a, b), a < b, for each part
+    pair appearing together in >= TRI_MIN_W orders. The self-join shuffles
+    on l_orderkey and per-order pair fan-out is quadratic only in basket
+    size (bounded ~7 lines in this schema — a hot ORDER cannot blow up)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    lj = li.toDF("l_orderkey", "pb")
+    return (
+        li.join(lj, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("pb"))
+        .groupBy(F.col("l_partkey").alias("a"), F.col("pb").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= TRI_MIN_W)
+        .select("a", "b")
+    )
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH e AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_W}
+    ),
+    tri AS (
+        SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    nodes AS (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM nodes GROUP BY node
+    """,
+    category="graph",
+    description=(
+        "Per-node triangle participation over the part co-order graph "
+        "(edges: part pairs sharing >= 2 orders). Spark runs the "
+        "degree-orientation compact-forward algorithm — every edge "
+        "directed low-degree→high-degree, wedges enumerated at the pivot, "
+        "closed by a left-semi join against the oriented edge set — so "
+        "the super-linear wedge intermediate is bounded by m^1.5 "
+        "regardless of hot nodes. The DuckDB oracle is deliberately the "
+        "OPPOSITE plan (naive id-oriented three-way self-join), so the "
+        "hash equality proves the orientation theorem (every triangle "
+        "enumerated exactly once) rather than mere expression parity. "
+        "Pure integer counting: no float policy needed."
+    ),
+    tags=("graph", "triangles"),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_participation(_coorder_edges(spark, sf_dir)).orderBy("node")

@@ -90,3 +90,65 @@ def test_pagerank_deterministic_across_runs(spark):
     a = {r.node: r.pr for r in pagerank(_purchase_edges(spark, SF_DIR)).collect()}
     b = {r.node: r.pr for r in pagerank(_purchase_edges(spark, SF_DIR)).collect()}
     assert a == b, "bitwise run-to-run determinism (fixed-point contribution sums)"
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting: orientation-theorem property tests
+# ---------------------------------------------------------------------------
+
+
+def _tri(spark, pairs):
+    from hadoop_web_browsing_logs_spark.operators.graph import triangle_participation
+
+    df = spark.createDataFrame(sorted(pairs), ["a", "b"])
+    return {r.node: r.n_triangles for r in triangle_participation(df).collect()}
+
+
+def _brute_triangles(pairs):
+    from collections import Counter
+    from itertools import combinations
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = Counter()
+    for u, v, w in combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            counts[u] += 1
+            counts[v] += 1
+            counts[w] += 1
+    return dict(counts)
+
+
+def test_triangles_k4_every_node_in_three(spark):
+    # K4: 4 triangles total, each node participates in exactly C(3,2)=3
+    pairs = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert _tri(spark, pairs) == {n: 3 for n in range(4)}
+
+
+def test_triangles_star_plus_rim_hostile_degrees(spark):
+    """Hostile for naive orientation: a hub (node 0) joined to every rim
+    node, rim wired as a cycle — each rim edge closes one triangle through
+    the hub. Degree orientation must point rim→hub so the hub pivots no
+    wedge pair; counts must still equal brute force exactly."""
+    rim = list(range(1, 12))
+    pairs = [(0, r) for r in rim]
+    pairs += [(min(a, b), max(a, b)) for a, b in zip(rim, rim[1:] + rim[:1])]
+    assert _tri(spark, pairs) == _brute_triangles(pairs)
+
+
+def test_triangles_random_graph_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(40))
+    pairs = {
+        (a, b)
+        for a in nodes
+        for b in nodes
+        if a < b and rng.random() < 0.12
+    }
+    expected = _brute_triangles(pairs)
+    assert sum(expected.values()) > 30, "fixture must actually contain triangles"
+    assert _tri(spark, pairs) == expected
