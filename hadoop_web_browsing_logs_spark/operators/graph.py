@@ -9,11 +9,13 @@ iteration when GraphFrames isn't on the classpath: a driver-side loop over
 distributed joins, with lazy ``localCheckpoint`` lineage truncation.
 
 Scale shape (100 TB): per iteration, ONE shuffle — the contribution
-aggregation keyed on ``dst`` — plus an edge⋈rank equi-join that AQE plans
-as broadcast while the rank table fits and as a co-partitioned shuffle join
-beyond that. The edge table (with out-weight ratios folded in) and the node
-table are lazily checkpointed ONCE before the loop, so iterations never
-re-run the upstream build; the rank table is node-sized, never wider than
+aggregation keyed on ``dst``. The edge table (with out-weight ratios folded
+in) and the (node, n) base are repartitioned + sorted on their join keys and
+lazily checkpointed ONCE before the loop (under an AQE-off toggle so the
+LogicalRDD records the partitioning — see ``_aqe_off``); every iteration's
+two sort-merge joins then consume the static sides with zero exchange and
+zero sort (plan-pinned by ``tests/test_graph.py``), re-sorting only the
+node-sized contribution table. The rank table is never wider than
 (node, pr).
 
 Float policy (README "Correctness & performance"): the per-destination
@@ -25,6 +27,8 @@ fixed evaluation shape, mirrored literally in the DuckDB oracle.
 """
 
 from __future__ import annotations
+
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,11 +52,30 @@ PR_DAMPING = 0.85
 PR_ITERATIONS = 3
 
 
+@contextmanager
+def _aqe_off(spark: SparkSession):
+    """Plan a subtree with AQE disabled. ``localCheckpoint`` copies the
+    physical plan's outputPartitioning/outputOrdering onto the resulting
+    LogicalRDD — but only when that plan is NOT an AdaptiveSparkPlanExec
+    wrapper, which reports unknown partitioning before materialization
+    (measured: with AQE on, a repartition+sort+checkpoint table was
+    re-exchanged AND re-sorted by every downstream join). The static-table
+    builds here are a single shuffle+sort, so AQE has nothing to re-plan
+    anyway; the OUTER iterative query still runs fully adaptive."""
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = PR_ITERATIONS,
     damping: float = PR_DAMPING,
     truncate_every: int = 4,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Weighted PageRank after a FIXED number of synchronous iterations.
 
@@ -60,10 +83,17 @@ def pagerank(
     Every node starts at rank 1/N; each iteration every node keeps the
     teleport share (1-d)/N plus d times the rank mass its in-edges carry,
     where an edge carries ``w / out_weight(src)`` of its source's rank.
-    Dangling nodes (no out-edges) simply leak their damped mass — the
-    plain power-iteration variant, chosen over dangling-redistribution
-    because it needs no per-iteration global scalar and is exactly
-    SQL-expressible (the DuckDB oracle unrolls the same K steps).
+
+    Dangling nodes (no out-edges): by default they simply leak their damped
+    mass — the plain power-iteration variant, which needs no per-iteration
+    global scalar. With ``redistribute_dangling=True`` each iteration also
+    dsum-aggregates the rank mass sitting on dangling nodes into ONE scalar
+    row (broadcast cross join — no driver action, no collect) and spreads
+    it uniformly: ``pr = (1-d)/N + d*(contrib + dm/N)``. That conserves
+    total mass exactly (the semantics most users mean by "PageRank") at the
+    cost of one extra tiny all-to-one aggregation per iteration; both
+    variants stay exactly SQL-expressible (the DuckDB oracles unroll the
+    same K steps).
 
     Fixed iteration count, not convergence-tested: the result is a
     deterministic function of the graph (run-to-run identical), which is
@@ -71,28 +101,64 @@ def pagerank(
     over this with their own delta probe.
     """
     teleport = 1.0 - damping
-    # one-time build, lazily checkpointed: iterations must not re-run it
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    # (node, n) base, checkpointed ONCE: every iteration's teleport term
-    # reads it directly instead of re-aggregating the node count and
-    # re-broadcasting it per iteration (3 extra jobs at K=3, measured)
-    base = nodes.crossJoin(F.broadcast(nn)).localCheckpoint(eager=False)
-    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    ew = (
-        edges.join(outw, "src")
-        .select(
-            "src",
-            "dst",
-            (F.col("w").cast("double") / F.col("ow").cast("double")).alias("ratio"),
+    spark = edges.sparkSession
+    # one-time builds, lazily checkpointed: iterations must not re-run them.
+    # Each static table is repartition+sortWithinPartitions'ed on its join
+    # key BEFORE its checkpoint, under the _aqe_off toggle so the LogicalRDD
+    # actually records that partitioning/ordering (VERDICT r8: the
+    # un-partitioned checkpoints were re-exchanged and re-sorted by BOTH
+    # sort-merge joins in every iteration — 2-3 exchanges per step instead
+    # of the one the design intends).
+    with _aqe_off(spark):
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=False)
         )
-        .localCheckpoint(eager=False)
-    )
+        nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+        # (node, n) base, checkpointed ONCE: every iteration's teleport term
+        # reads it directly instead of re-aggregating the node count and
+        # re-broadcasting it per iteration (3 extra jobs at K=3, measured);
+        # hash(node) + sorted, so the per-iteration base⋈contrib left join
+        # (contrib arrives hash-partitioned on dst from its groupBy) moves
+        # and sorts NOTHING on the static side.
+        base = (
+            nodes.crossJoin(F.broadcast(nn))
+            .repartition("node")
+            .sortWithinPartitions("node")
+            .localCheckpoint(eager=False)
+        )
+        outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+        # same move for the edge table: hash(src) + sorted once, so the
+        # per-iteration ew⋈rank sort-merge join re-sorts only the node-sized
+        # rank side and the ONLY per-iteration exchange left is the
+        # dst-keyed contribution aggregation.
+        ew = (
+            edges.join(outw, "src")
+            .select(
+                "src",
+                "dst",
+                (F.col("w").cast("double") / F.col("ow").cast("double")).alias(
+                    "ratio"
+                ),
+            )
+            .repartition("src")
+            .sortWithinPartitions("src")
+            .localCheckpoint(eager=False)
+        )
+        # dangling node set (no out-edges), static and node-sized; only
+        # built when the redistribution variant needs it
+        dang = None
+        if redistribute_dangling:
+            dang = (
+                nodes.join(
+                    outw.select(F.col("src").alias("node")), "node", "left_anti"
+                )
+                .repartition("node")
+                .sortWithinPartitions("node")
+                .localCheckpoint(eager=False)
+            )
     ranks = base.select("node", (F.lit(1.0) / F.col("n")).alias("pr"))
     for i in range(iterations):
         contrib = (
@@ -101,30 +167,52 @@ def pagerank(
             .agg(dsum(F.col("pr") * F.col("ratio"), PR_DIGITS).alias("contrib"))
             .withColumnRenamed("dst", "node")
         )
-        ranks = (
-            base.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport) / F.col("n")
-                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("pr"),
+        if redistribute_dangling:
+            # ONE scalar row: dangling rank mass this iteration, through the
+            # same fixed-point kernel as the contribution sums (exact,
+            # order-independent). Empty dangling set → SUM over no rows is
+            # NULL in both engines → coalesce to 0 in both oracles alike.
+            dm = ranks.join(dang, "node", "left_semi").agg(
+                F.coalesce(dsum(F.col("pr"), PR_DIGITS), F.lit(0.0)).alias("dm")
             )
-        )
+            ranks = (
+                base.crossJoin(F.broadcast(dm))
+                .join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport) / F.col("n")
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + F.col("dm") / F.col("n")
+                        )
+                    ).alias("pr"),
+                )
+            )
+        else:
+            ranks = (
+                base.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport) / F.col("n")
+                        + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("pr"),
+                )
+            )
         if (i + 1) % truncate_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
-def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The undirected customer↔supplier purchase graph: one edge per
-    (customer, supplier) pair that traded, weighted by lineitem count,
-    materialized in BOTH directions so the random walk can traverse the
-    bipartite graph. Node ids are prefixed strings ('c'/'s') because the
-    two key spaces overlap numerically."""
+def _purchase_el(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DIRECTED edge customer→supplier per pair that traded, weighted by
+    lineitem count. Node ids are prefixed strings ('c'/'s') because the two
+    key spaces overlap numerically."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    el = (
+    return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull())
         .select(
@@ -134,6 +222,13 @@ def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
+
+
+def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The undirected customer↔supplier purchase graph: the directed edge
+    list materialized in BOTH directions so the random walk can traverse
+    the bipartite graph."""
+    el = _purchase_el(spark, sf_dir)
     rev = el.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     return el.union(rev)
 
@@ -200,6 +295,75 @@ def _pagerank_oracle() -> str:
 )
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(_purchase_edges(spark, sf_dir))
+    return ranks.orderBy("node")
+
+
+def _pagerank_dangling_oracle() -> str:
+    """Unrolled K-iteration dangling-redistribution PageRank over the
+    DIRECTED customer→supplier graph (every supplier is dangling, so the
+    redistribution term is live at every step, not a degenerate zero)."""
+    contrib = dsum_sql("r.pr * ew.ratio", PR_DIGITS)
+    dm = dsum_sql("r.pr", PR_DIGITS)
+    sql = f"""
+    WITH edges AS (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst,
+               COUNT(*) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+    ew AS (SELECT e.src, e.dst,
+                  CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE) AS ratio
+           FROM edges e JOIN outw o ON e.src = o.src),
+    dang AS (SELECT node FROM nodes
+             WHERE NOT EXISTS (SELECT 1 FROM outw WHERE outw.src = nodes.node)),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr
+           FROM nodes CROSS JOIN nn)"""
+    for k in range(PR_ITERATIONS):
+        sql += f""",
+    dm{k} AS (
+        SELECT COALESCE({dm}, CAST(0 AS DOUBLE)) AS dm
+        FROM r{k} r JOIN dang d ON r.node = d.node
+    ),
+    r{k + 1} AS (
+        SELECT nodes.node,
+               {1.0 - PR_DAMPING!r} / nn.n
+                 + {PR_DAMPING!r} * (COALESCE(s.contrib, CAST(0 AS DOUBLE))
+                                     + dm{k}.dm / nn.n) AS pr
+        FROM nodes CROSS JOIN nn CROSS JOIN dm{k}
+        LEFT JOIN (
+            SELECT ew.dst, {contrib} AS contrib
+            FROM ew JOIN r{k} r ON ew.src = r.node
+            GROUP BY ew.dst
+        ) s ON nodes.node = s.dst
+    )"""
+    sql += f"""
+    SELECT node, pr FROM r{PR_ITERATIONS} ORDER BY node"""
+    return sql
+
+
+@query(
+    "q_graph_pagerank_dangling",
+    oracle=_pagerank_dangling_oracle(),
+    category="graph",
+    description=(
+        "Dangling-mass-redistribution PageRank (VERDICT r8 item 6) over "
+        "the DIRECTED customer→supplier purchase graph — every supplier "
+        "has no out-edges, so the redistribution scalar is live at every "
+        "iteration. Each step dsum-aggregates the dangling rank mass into "
+        "one broadcast scalar row (no driver action) and spreads it "
+        "uniformly, conserving total mass exactly — the semantics most "
+        "users expect from 'PageRank'. Hash-proved against a DuckDB "
+        "oracle unrolling the same recurrence with per-step dm CTEs."
+    ),
+    tags=("graph", "iterative"),
+)
+def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = pagerank(_purchase_el(spark, sf_dir), redistribute_dangling=True)
     return ranks.orderBy("node")
 
 

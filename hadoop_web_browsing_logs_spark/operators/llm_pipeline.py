@@ -974,7 +974,13 @@ def bpe_apply_merge(word_dict: DataFrame, left: str, right: str) -> DataFrame:
     symbol sequence — a JVM-side aggregate() fold carrying (emitted, pending)
     state, so overlapping runs merge exactly like reference BPE trainers
     ('aaa' + (a,a) -> ['aa','a'])."""
-    l, r = left.replace("'", "\\'"), right.replace("'", "\\'")
+    # escape backslashes BEFORE quotes: a symbol containing `\` (or ending in
+    # one) would otherwise eat the closing quote and misparse the fold SQL
+    # (ADVICE r8) — real-world corpora contain backslash tokens
+    def esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    l, r = esc(left), esc(right)
     fold = (
         "aggregate(syms,"
         " named_struct('acc', cast(array() as array<string>), 'pend', cast(null as string)),"

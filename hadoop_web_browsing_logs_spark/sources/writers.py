@@ -136,9 +136,18 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = 12) -> "F.Column":
     ``bits * len(cols)`` must stay <= 62 to fit the BIGINT."""
     if bits * len(cols) > 62:
         raise ValueError("bits * n_cols must fit in a signed 64-bit key")
+    # stats over FINITE values only: one NaN would make F.max return NaN
+    # (Spark orders NaN above every double), which slips past the `mx <= mn`
+    # guard (NaN comparisons are False) and silently NaNs every row's scaled
+    # coordinate — the dimension would lose all pruning (ADVICE r8). ±Inf
+    # likewise collapses the scale; row-side NaN/Inf values just clamp.
+    def _finite(c: str) -> "F.Column":
+        d = F.col(c).cast("double")
+        return F.when(~F.isnan(d) & (F.abs(d) != float("inf")), d)
+
     stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        *[F.min(_finite(c)).alias(f"mn_{c}") for c in cols],
+        *[F.max(_finite(c)).alias(f"mx_{c}") for c in cols],
     ).first()
     n = len(cols)
     cells = []

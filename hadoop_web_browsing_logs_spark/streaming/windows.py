@@ -781,7 +781,9 @@ def q_stream_interval_equiv_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "micro-batch (user -999, year 2100) to advance both watermarks past "
         "every fixture event so the tail's unmatched purchases flush before "
         "availableNow terminates; the sentinel rows are filtered back out "
-        "of both sides of the comparison. ok = streamed rows equal the "
+        "with a null-safe predicate (~eqNullSafe(-999)) so NULL-user "
+        "purchases survive identically on both sides. ok = streamed rows "
+        "equal the "
         "batch LEFT-join twin's row-for-row on the (purchase_id, view_id) "
         "pair key (view_id NULL for unmatched — eqNullSafe keys pair them)."
     ),
@@ -802,7 +804,12 @@ def q_stream_interval_left_equiv_gate(spark: SparkSession, sf_dir: str) -> DataF
         "interval_left",
         mode="append",
         watermark_sentinel=True,
-    ).filter(F.col("p_user") != -999)
+        # eqNullSafe, not `!=`: under three-valued logic `p_user != -999`
+        # also drops NULL-user purchases — but only from this side, while the
+        # batch twin keeps them as null-extended unmatched rows, so the first
+        # NULL-user purchase in a fixture would red the gate on a phantom
+        # diff. Null-safe inequality strips exactly the sentinel (ADVICE r8).
+    ).filter(~F.col("p_user").eqNullSafe(-999))
     return equiv_ok(
         batch,
         streamed,
