@@ -139,9 +139,18 @@ def pagerank(
             .select(
                 "src",
                 "dst",
-                (F.col("w").cast("double") / F.col("ow").cast("double")).alias(
-                    "ratio"
-                ),
+                # try_divide, not `/`: a node whose out-weights SUM to zero
+                # (all-zero or cancelling +/- weights — legal inputs to this
+                # public API) makes ANSI Spark throw DIVIDE_BY_ZERO where
+                # DuckDB's division yields NULL. try_divide is DuckDB's
+                # exact semantics and bit-identical for non-zero
+                # denominators; a NULL ratio makes the edge carry no mass
+                # (NULL products are skipped by the dsum kernel in both
+                # engines), so such a node leaks its mass like a dangling
+                # node — deterministic, engine-identical.
+                F.try_divide(
+                    F.col("w").cast("double"), F.col("ow").cast("double")
+                ).alias("ratio"),
             )
             .repartition("src")
             .sortWithinPartitions("src")
@@ -201,7 +210,18 @@ def pagerank(
                     ).alias("pr"),
                 )
             )
-        if (i + 1) % truncate_every == 0 and (i + 1) < iterations:
+        # Lineage truncation. The redistribution variant checkpoints EVERY
+        # iteration: its rank table is consumed twice per step (contribution
+        # join + dangling-mass scalar), so an un-truncated lazy plan
+        # duplicates the previous iteration's subtree 2^k times — exponential
+        # plan growth AND double execution. The node-sized materialization is
+        # cheap; _aqe_off preserves hash(node) partitioning + ordering into
+        # the LogicalRDD, keeping the one-exchange-per-iteration shape.
+        if redistribute_dangling:
+            if (i + 1) < iterations:
+                with _aqe_off(spark):
+                    ranks = ranks.localCheckpoint(eager=False)
+        elif (i + 1) % truncate_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
 

@@ -1085,6 +1085,56 @@ def q_llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The canonical BPE textbook example (low x5, lower x2, newest x6,
+#: widest x3) and its full merge sequence: (e,s) wins the 9-way count tie
+#: lexicographically, cascades through (es,t) and (est,</w>), then the
+#: (l,o)/(o,w) tie resolves to (l,o) and folds into (lo,w). Independent of
+#: any fixture scale — the gate carries its own corpus, like the Porter gate.
+_BPE_GOLDEN_TEXT = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+_BPE_GOLDEN_MERGES = [
+    (1, "e", "s", "es", 9),
+    (2, "es", "t", "est", 9),
+    (3, "est", "</w>", "est</w>", 9),
+    (4, "l", "o", "lo", 7),
+    (5, "lo", "w", "low", 7),
+]
+_BPE_SCHEMA = "rank int, left_sym string, right_sym string, merged string, cnt bigint"
+
+
+@query(
+    "q_llm_bpe_merges_gate",
+    oracle="SELECT TRUE AS ok",
+    category="llm",
+    description=(
+        "Driver gate for the full iterative BPE trainer (VERDICT r8 item "
+        "8): runs bpe_train end-to-end — argmax-and-fold loop, greedy "
+        "left-to-right merge application, lineage-truncating checkpoints — "
+        "on the canonical textbook corpus it carries (sf-independent, like "
+        "the Porter gate) and emits ok = the ENTIRE learned merge sequence "
+        "equals the golden one, via a full-outer join on every column with "
+        "per-side presence counts (any missing, extra, or differing row "
+        "flips ok). With this the rows-only q_llm_bpe_merges loop is "
+        "driver-visible end-to-end, not just its first merge."
+    ),
+)
+def q_llm_bpe_merges_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.createDataFrame([(1, _BPE_GOLDEN_TEXT)], ["doc_id", "text"])
+    merges = bpe_train(bpe_word_dict(docs), len(_BPE_GOLDEN_MERGES))
+    got = spark.createDataFrame(merges, _BPE_SCHEMA).withColumn("g", F.lit(1))
+    want = spark.createDataFrame(_BPE_GOLDEN_MERGES, _BPE_SCHEMA).withColumn(
+        "w", F.lit(1)
+    )
+    cols = ["rank", "left_sym", "right_sym", "merged", "cnt"]
+    n = len(_BPE_GOLDEN_MERGES)
+    return got.join(want, cols, "full_outer").agg(
+        (
+            (F.count(F.lit(1)) == n)
+            & (F.sum("g") == n)
+            & (F.sum("w") == n)
+        ).alias("ok")
+    )
+
+
 QUALITY_KEEP_FRAC = 0.5  # keep the top half of each source by LM score
 
 

@@ -35,93 +35,88 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 #: Explicit driver-facing registration order. The differential-correctness
-#: driver samples only the FIRST 50 registered queries. The rotation so far:
-#: round 2 certified the 45 queries round 1 never reached; round 3
-#: re-certified the 40 whose last green row predated the round-2 refactors;
-#: round 4 completed first-pass coverage; round 5 re-certified the entire
-#: last-green-round-2 cohort; round 6 seated the new q_stream_equiv_gate,
-#: the minhash-rewrite re-seats, the full round-3 cohort, and the head of
-#: the round-4 cohort; round 7 seated the session gate plus the full
-#: round-4 remainder and the round-7-modified re-seats. Round 8 (VERDICT r7
-#: items 1, 2, 4, 6, 7) closes the remaining lag: first the
-#: never-certified queries (the SCD2 gate registered outside the r7 window,
-#: the NEW inner and left-outer stream-stream interval-join gates + the
-#: left-outer batch twin, the NEW bucketed embedding near-dup twin, the
-#: NEW salted hot-key aggregation); then the round-8-MODIFIED re-seats
-#: (q_events_scd2's NULL-state exclusion, q_vec_quantize_int8's
-#: NULL-element check — both ADVICE r7); then the eight queries whose only
-#: round-7 change was the shared dsum try_cast kernel (certified
-#: transitively in r7, now directly); then the ENTIRE round-5 cohort —
-#: including the standing q_text_porter_gate seat (VERDICT item 6),
-#: q_cte_pipeline, and q_llm_pack_sequences — after this round no ORACLED
-#: query's last driver-green row predates round 6; the tail is three
-#: benched-every-round HEADLINE members of the round-6 cohort (freshest
-#: certification where cost is tracked). Rows-only queries stay out of the
-#: window by design (the driver's rows-only check is weak; their oracled
-#: _gate twins are all r6+-green and pytest replays them each run).
+#: driver samples only the FIRST 50 registered queries. Rotation history:
+#: rounds 2-4 completed first-pass coverage; round 5 re-certified the
+#: round-2 cohort; round 6 seated the stream gate + minhash re-seats + the
+#: round-3 cohort; round 7 the round-4 remainder; round 8 the
+#: never-certified stream/dedup/skew/LLM queries, the dsum-kernel cohort,
+#: and the entire round-5 cohort. Round 9 (VERDICT r8 item 1) is
+#: certification catch-up for the TWENTY oracled queries registered late in
+#: round 8 that have pytest-oracle greens but no driver row (graph,
+#: events-statistics, fuzzy-vocab, incremental-LSH, sketch/heavy-hitter,
+#: MV-refresh, UDTF/cogrouped, weighted-sample, quality-mix, BPE
+#: first-merge, snapshot-diff), plus: the two NEW round-9 queries
+#: (dangling-redistribution PageRank, the full-BPE-loop gate), the
+#: round-9-MODIFIED re-seat (q_stream_interval_left_equiv_gate's null-safe
+#: sentinel strip — ADVICE r8), q_udf_python_row (displaced since r5 —
+#: VERDICT item 1 explicitly queues it), and the three queries whose
+#: DuckDB oracles gained the round-8 punctuation strip with no driver row
+#: since (q_text_tfidf, q_text_inverted_index, q_ref_pipeline_unstemmed).
+#: The remaining 23 seats take the round-6 cohort head (oldest-green-first;
+#: its 11-row tail rolls to round 10). After r9, every oracled query's
+#: last driver-green is r6+ with no r6 row older than the window can reach.
+#: Rows-only queries stay out of the window by design (the driver's
+#: rows-only check is weak; their oracled _gate twins are seated instead
+#: and pytest replays them each run).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never driver-certified: the round-7 SCD2 gate + the five NEW
-    # round-8 queries ---
-    "q_stream_scd2_equiv_gate",
-    "q_stream_interval_equiv_gate",
+    # --- never driver-certified: the 20 late-round-8 registrations ---
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_events_correlation",
+    "q_events_chisq",
+    "q_events_winsorize",
+    "q_events_path_mining",
+    "q_events_robust_zscore",
+    "q_events_trend",
+    "q_events_conversion_latency",
+    "q_dedup_fuzzy_vocab",
+    "q_dedup_incremental_lsh",
+    "q_agg_sketch_reaggregate",
+    "q_agg_heavy_hitters",
+    "q_incremental_agg_refresh",
+    "q_llm_weighted_sample",
+    "q_llm_quality_filter_mix",
+    "q_llm_bpe_first_merge",
+    "q_snapshot_diff",
+    "q_udtf_context_windows",
+    "q_udf_cogrouped_map",
+    # --- NEW round-9 queries ---
+    "q_graph_pagerank_dangling",
+    "q_llm_bpe_merges_gate",
+    # --- round-9-MODIFIED re-seat (ADVICE r8 null-safe sentinel strip) ---
     "q_stream_interval_left_equiv_gate",
-    "q_stream_interval_join_left_batch",
-    "q_dedup_embedding_bucketed",
-    "q_agg_salted_hotkey",
-    "q_llm_unigram_logprob",
-    "q_llm_shard_manifest",
-    "q_llm_bigram_logprob",
-    # --- round-8-MODIFIED re-seats (ADVICE r7 semantic alignments) ---
-    "q_events_scd2",
-    "q_vec_quantize_int8",
-    # --- dsum-kernel cohort: only round-7 change was the shared try_cast
-    # kernel (relational.py dsum); certified transitively through its
-    # eleven r7-seated consumers, now directly ---
-    "q_agg_cube",
-    "q_pivot",
-    "q_scalar_date",
-    "q_join_multiway",
-    "q_join_range",
-    "q_agg_stats",
-    "q_agg_rollup",
-    "q_agg_variance",
-    # --- the ENTIRE round-5 cohort (31) ---
-    "q_text_porter_gate",  # standing every-other-round seat (VERDICT item 6)
-    "q_cte_pipeline",
-    "q_llm_pack_sequences",
-    "q_agg_bool_bit",
-    "q_agg_conditional",
-    "q_agg_grouping_sets",
-    "q_exists_priority",
-    "q_join_right",
-    "q_join_sixway",
-    "q_llm_token_budget",
-    "q_merge_upsert",
-    "q_profile_columns",
-    "q_scalar_array",
-    "q_scalar_date2",
-    "q_scalar_math",
-    "q_scalar_null",
-    "q_scalar_url",
-    "q_set_ops_bag",
-    "q_stream_dedup_batch",
-    "q_stream_interval_join_batch",
-    "q_subquery_correlated",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_ngrams",
-    "q_text_stopword_filter",
-    "q_text_term_doc_freq",
-    "q_text_token_stats",
-    "q_udf_grouped_agg",
-    # round-8-MODIFIED late re-seat: q_llm_domain_cap's NULL-text ordering
-    # fix changed BOTH sides (md5(COALESCE(text,'')) — see the poison-row
-    # commit); it takes q_udf_python_row's r5-cohort seat (that query is
-    # unchanged since r5, its mechanics are pytest-pinned, and it is the
-    # lowest-information oracle row in the cohort)
-    "q_llm_domain_cap",
-    "q_window_navigation",
-    "q_window_range_frame",
+    # --- displaced since round 5; queued by VERDICT r8 item 1 ---
+    "q_udf_python_row",
+    # --- oracle-only round-8 text fixes (Spark sides unchanged): the
+    # punctuation strip landed in the DuckDB twins without a driver row ---
+    "q_text_tfidf",
+    "q_text_inverted_index",
+    "q_ref_pipeline_unstemmed",
+    # --- round-6 cohort head (oldest-green-first, 23 of 34; the 11-row
+    # tail — multimodal/profile/scalar2/set/window rows — rolls to r10) ---
+    "q_agg_percentile",
+    "q_agg_stringagg",
+    "q_asof_join",
+    "q_dedup_components",
+    "q_dedup_jaccard_pairs",
+    "q_dedup_keep_canonical",
+    "q_dedup_minhash_gate",
+    "q_dedup_minhash_lsh_gate",
+    "q_dedup_minhash_lsh_portable",
+    "q_dedup_substring",
+    "q_distinct",
+    "q_events_funnel",
+    "q_filter_project",
+    "q_join_anti",
+    "q_join_bloom_prefilter",
+    "q_join_full",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_theta",
+    "q_llm_chunk",
+    "q_llm_quality_rules",
+    "q_llm_repetition_rules",
+    "q_llm_scrub",
 )
 
 

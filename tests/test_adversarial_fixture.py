@@ -32,6 +32,17 @@ guard + TRY_CAST on both sides; every pairwise-vector query scans through
 vectors.load_vectors / DUCK_VECTORS (the declared-dimension contract);
 quantization excludes empty vectors.
 
+Round 9 (VERDICT r8 item 7) extended the poison to the graph/BPE families:
+a NULL-custkey order carrying both NULL-key and live-key lineitems (the
+purchase-graph and co-order builders' IS NOT NULL / a<b drops must agree
+across engines, and ~40 other lineitem/orders consumers re-prove NULL-key
+join/group parity), a 3000-symbol single word (aggregate() fold depth), a
+word at 20k corpus frequency (BIGINT pair counts), and words made of
+backslashes/quotes (the merge-fold SQL-literal escaping fixed by ADVICE
+r8). First sweep: green — no new divergences. Self-loop / zero-weight /
+negative-weight edges can't flow through COUNT(*)-weighted fixture
+builders, so those live as direct pagerank() API tests in test_graph.py.
+
 This test pins all the fixes: it poisons a copy of the sf0.001 fixture with
 those rows and replays EVERY registered oracle differentially — an engine
 crash or an engine/oracle divergence on degenerate data fails with the
@@ -57,9 +68,43 @@ def adversarial_sf(tmp_path_factory):
     dst = str(tmp_path_factory.mktemp("adversarial_sf"))
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        if t in ("documents", "events", "embeddings"):
+        if t in ("documents", "events", "embeddings", "lineitem", "orders"):
             continue
         shutil.copy(os.path.join(SF_DIR, f"{t}.parquet"), os.path.join(dst, f"{t}.parquet"))
+    # round 9 (VERDICT r8 item 7): graph-hostile rows must flow through the
+    # fact tables the edge builders scan — an order with a NULL customer and
+    # a lineitem with NULL supplier/part keys (the builders' IS NOT NULL
+    # filters and the co-order a<b predicate must drop them IDENTICALLY in
+    # both engines); every other column is clean so the ~40 other
+    # lineitem/orders consumers exercise NULL-key join/group semantics, not
+    # value-domain crashes.
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')
+      UNION ALL
+      SELECT * FROM (VALUES
+        (9900001, NULL, 'O', 100.0, TIMESTAMP '2024-01-01 00:00:00', '3-MEDIUM')
+      ) AS t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             o_orderpriority)
+    ) TO '{dst}/orders.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')
+      UNION ALL
+      SELECT * FROM (VALUES
+        -- NULL supp+part keys on the NULL-custkey order
+        (9900001, NULL, NULL, 1, 1.0, 100.0, 0.0, 0.0, 'N', 'O',
+         TIMESTAMP '2024-01-02 00:00:00'),
+        -- real keys on the NULL-custkey order: reaches the purchase-graph
+        -- builder's o_custkey IS NOT NULL filter with a live supplier
+        (9900001, 1, 1, 2, 1.0, 50.0, 0.0, 0.0, 'N', 'O',
+         TIMESTAMP '2024-01-02 00:00:00')
+      ) AS t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+             l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+             l_shipdate)
+    ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+    """)
     con.execute(f"""
     COPY (
       SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')
@@ -86,7 +131,15 @@ def adversarial_sf(tmp_path_factory):
         -- and single-char words (a symbol sequence of length 2, the
         -- minimum that still yields one pair)
         (92000, '</w> </w> x', 'en', 'webx', 11),
-        (92005, 'a b a b a',   'en', 'webx', 9)
+        (92005, 'a b a b a',   'en', 'webx', 9),
+        -- round 9 (VERDICT r8 item 7): one extremely LONG single word
+        -- (3000-symbol aggregate() fold, quadratic-feeling pair explode),
+        -- one word repeated at count-stressing frequency (pair counts must
+        -- ride BIGINT, not int32, in both engines), and words built of
+        -- backslashes/quotes (the merge-fold SQL-literal escaping path)
+        (93000, repeat('ab', 1500),   'en', 'webx', 3000),
+        (93005, repeat('zq ', 20000), 'en', 'webx', 60000),
+        (93010, 'a\b a\b c''d c''d', 'xx', 'webx', 15)
       ) AS t(doc_id, text, lang, source, n_chars)
     ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
     """)

@@ -157,6 +157,70 @@ def test_pagerank_deterministic_across_runs(spark):
 
 
 # ---------------------------------------------------------------------------
+# Adversarial edge lists (VERDICT r8 item 7): self-loops, zero-weight and
+# negative-weight edges — hostile inputs to the PUBLIC pagerank(edges) API
+# that the lineitem⋈orders fixture builders (COUNT(*) weights, bipartite
+# prefixed ids) can never produce.
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_self_loop_matches_reference(spark):
+    # a self-loop keeps part of a node's mass on itself — legal input,
+    # must match the dense reference exactly
+    edges = [("a", "a", 1), ("a", "b", 1), ("b", "a", 1)]
+    ranks = _pr(spark, edges, iterations=3)
+    ratio = {("a", "a"): 0.5, ("a", "b"): 0.5, ("b", "a"): 1.0}
+    pr = {"a": 0.5, "b": 0.5}
+    for _ in range(3):
+        pr = {
+            v: 0.15 / 2 + 0.85 * sum(pr[u] * r for (u, d), r in ratio.items() if d == v)
+            for v in ("a", "b")
+        }
+    assert ranks["a"] == pytest.approx(pr["a"], abs=1e-12)
+    assert ranks["b"] == pytest.approx(pr["b"], abs=1e-12)
+
+
+def test_pagerank_zero_weight_out_edges_do_not_crash(spark):
+    # node a's out-weights sum to 0: ANSI Spark would throw DIVIDE_BY_ZERO
+    # on the ratio without try_divide. Semantics: a's edges carry no mass
+    # (NULL ratio, skipped by the dsum kernel) — a leaks like a dangling
+    # node; b still feeds a.
+    ranks = _pr(spark, [("a", "b", 0), ("b", "a", 1)], iterations=1)
+    assert ranks["b"] == pytest.approx(0.075, abs=1e-12)
+    assert ranks["a"] == pytest.approx(0.075 + 0.85 * 0.5, abs=1e-12)
+
+
+def test_pagerank_negative_weights_match_reference(spark):
+    # negative weights are numerically legal (the ratio math is the same
+    # expression in both engines); a's out-weight sum is 2-1=1
+    edges = [("a", "b", 2), ("a", "c", -1), ("b", "a", 1), ("c", "a", 1)]
+    ranks = _pr(spark, edges, iterations=2)
+    ratio = {("a", "b"): 2.0, ("a", "c"): -1.0, ("b", "a"): 1.0, ("c", "a"): 1.0}
+    pr = {n: 1 / 3 for n in ("a", "b", "c")}
+    for _ in range(2):
+        pr = {
+            v: 0.15 / 3 + 0.85 * sum(pr[u] * r for (u, d), r in ratio.items() if d == v)
+            for v in ("a", "b", "c")
+        }
+    for n in ("a", "b", "c"):
+        assert ranks[n] == pytest.approx(pr[n], abs=1e-12), n
+
+
+def test_pagerank_cancelling_weights_redistribution_no_crash(spark):
+    # +2/-2 out-weights cancel to exactly 0 on a node that ALSO sits in the
+    # redistribution variant: must not crash, and b/c (fed by nothing)
+    # hold teleport + dangling share only
+    edges = [("a", "b", 2), ("a", "c", -2), ("c", "a", 1)]
+    ranks = _pr(spark, edges, iterations=1, redistribute_dangling=True)
+    # dangling set = {b} (a HAS out-edges — zero-sum, not dangling); dm = 1/3
+    expect_b = 0.15 / 3 + 0.85 * (0.0 + (1 / 3) / 3)
+    assert ranks["b"] == pytest.approx(expect_b, abs=1e-12)
+    assert ranks["a"] == pytest.approx(
+        0.15 / 3 + 0.85 * (1 / 3 + (1 / 3) / 3), abs=1e-12
+    )
+
+
+# ---------------------------------------------------------------------------
 # Triangle counting: orientation-theorem property tests
 # ---------------------------------------------------------------------------
 

@@ -80,33 +80,34 @@ def test_driver_priority_window():
     assert names[:50] == list(DRIVER_PRIORITY)
     # every priority name actually resolves to a registered query
     assert set(DRIVER_PRIORITY) <= set(names)
-    # round-8 allocation (registry.py comment): slots 1-4 = the
-    # never-certified gates/queries (SCD2 gate, interval-join gate, bucketed
-    # embedding dedup, salted hot-key agg), then the round-8-modified
-    # re-seats, the dsum-kernel cohort, the ENTIRE round-5 cohort
-    # (porter gate's standing seat included), and five round-6 HEADLINE
-    # members
+    # round-9 allocation (registry.py comment, VERDICT r8 item 1): slots
+    # 1-20 = the never-certified late-round-8 registrations, then the two
+    # NEW round-9 queries, the round-9-modified gate re-seat, the
+    # displaced-since-r5 q_udf_python_row, the three oracle-only text
+    # re-seats, and the round-6 cohort head
     window = set(DRIVER_PRIORITY)
-    assert DRIVER_PRIORITY[0] == "q_stream_scd2_equiv_gate"
-    assert DRIVER_PRIORITY[1] == "q_stream_interval_equiv_gate"
-    assert DRIVER_PRIORITY[2] == "q_stream_interval_left_equiv_gate"
-    assert DRIVER_PRIORITY[3] == "q_stream_interval_join_left_batch"
-    assert DRIVER_PRIORITY[4] == "q_dedup_embedding_bucketed"
-    assert DRIVER_PRIORITY[5] == "q_agg_salted_hotkey"
+    assert DRIVER_PRIORITY[0] == "q_graph_pagerank"
+    assert DRIVER_PRIORITY[1] == "q_graph_triangles"
     for core in (
-                 # round-8-modified re-seats (ADVICE r7 alignments)
-                 "q_events_scd2", "q_vec_quantize_int8",
-                 # dsum-kernel cohort (transitively certified in r7)
-                 "q_agg_cube", "q_pivot", "q_scalar_date",
-                 "q_join_multiway", "q_join_range", "q_agg_stats",
-                 "q_agg_rollup", "q_agg_variance",
-                 # round-5 cohort anchors
-                 "q_text_porter_gate", "q_cte_pipeline",
-                 "q_llm_pack_sequences", "q_stream_interval_join_batch",
-                 "q_llm_domain_cap", "q_window_range_frame",
-                 # round-8 corpus-LM scorers + shard manifest
-                 "q_llm_unigram_logprob", "q_llm_shard_manifest",
-                 "q_llm_bigram_logprob"):
+                 # never-certified late-round-8 families
+                 "q_events_correlation", "q_events_chisq",
+                 "q_events_winsorize", "q_events_path_mining",
+                 "q_events_robust_zscore", "q_events_trend",
+                 "q_events_conversion_latency", "q_dedup_fuzzy_vocab",
+                 "q_dedup_incremental_lsh", "q_agg_sketch_reaggregate",
+                 "q_agg_heavy_hitters", "q_incremental_agg_refresh",
+                 "q_llm_weighted_sample", "q_llm_quality_filter_mix",
+                 "q_llm_bpe_first_merge", "q_snapshot_diff",
+                 "q_udtf_context_windows", "q_udf_cogrouped_map",
+                 # NEW round-9 queries
+                 "q_graph_pagerank_dangling", "q_llm_bpe_merges_gate",
+                 # round-9-modified re-seat (ADVICE r8)
+                 "q_stream_interval_left_equiv_gate",
+                 # displaced since round 5
+                 "q_udf_python_row",
+                 # oracle-only round-8 text fixes
+                 "q_text_tfidf", "q_text_inverted_index",
+                 "q_ref_pipeline_unstemmed"):
         assert core in window, core
     # every window entry is oracled — rows-only queries would waste a slot
     qs = all_queries()

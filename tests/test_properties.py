@@ -398,6 +398,27 @@ def test_bpe_differential_vs_python_reference(spark):
         assert got == want, (trial, freqs, got, want)
 
 
+def test_bpe_backslash_and_quote_symbols(spark):
+    """ADVICE r8: merge symbols containing backslashes and single quotes are
+    spliced into the aggregate() fold as SQL literals — a backslash-final
+    symbol used to eat the closing quote. This corpus FORCES the winning
+    merges through both escape paths (first merge ("'", "</w>") then
+    ("\\\\", "'</w>") — a backslash left symbol AND a quote-leading right
+    symbol) and must match the Python reference merge-for-merge."""
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import (
+        bpe_train,
+        bpe_word_dict,
+    )
+
+    freqs = {"\\'": 3, "\\'x": 1}
+    text = " ".join(w for w, f in freqs.items() for _ in range(f))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = bpe_train(bpe_word_dict(docs), 3)
+    want = _ref_bpe(freqs, 3)
+    assert got == want, (got, want)
+    assert any("\\" in m[3] for m in got), "fixture must exercise a backslash merge"
+
+
 def test_heavy_hitters_differential_vs_python_counter(spark):
     """Randomized differential test: the two-phase Misra-Gries heavy-hitter
     plan must equal the exact Counter answer on skewed corpora sized so the
