@@ -69,6 +69,9 @@ DUMPED = [
     "q_events_robust_zscore",
     "q_events_trend",
     "q_graph_triangles",
+    # round 9: the dangling-redistribution PageRank twin + BM25 retrieval
+    "q_graph_pagerank_dangling",
+    "q_text_bm25",
     # q_dedup_keep_canonical is NOT dumped: connected-components builds its
     # plan by iterative lineage extension, so the explain output is ~10k
     # lines of repeated join blocks — noise, not evidence. Its scale shape

@@ -681,3 +681,153 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nb))
         .select("tok_a", "tok_b", "n_ab", pmi.alias("pmi"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (round 9): the Okapi/Lucene ranking function over the same
+# tokenizer every text operator shares. The reference's pipeline stops at
+# incidence vectors (ProcessData.java:454-472); BM25 is the retrieval stage a
+# corpus engine pairs with that index — and the relevance-ranking primitive a
+# training-data pipeline uses to mine topical subsets from a 100 TB corpus.
+# ---------------------------------------------------------------------------
+
+#: Fixed retrieval query (bounded, engine-constant — like the Porter goldens).
+BM25_QUERY_TERMS = ("spark", "hash", "window", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+#: The per-(doc, term) score kernel, ONE text shared verbatim by both engines
+#: (the q_scalar_math symmetry discipline): Lucene's idf = ln(1 + (N-df+.5)/
+#: (df+.5)), tf saturation with k1=1.2, length normalization with b=0.75
+#: against avgdl = total_tokens/N. Contributions quantize to micro-BIGINTs
+#: BEFORE the per-doc sum (the dsum discipline), so the sum is
+#: order-independent and bit-identical across engines.
+_BM25_MICRO_SQL = (
+    "CAST(ROUND("
+    "LN(1 + (n_docs - df + 0.5) / (df + 0.5))"
+    " * (tf * 2.2)"
+    " / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (tot / n_docs)))"
+    " * 1000000) AS BIGINT)"
+)
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+    WITH tok AS (
+        SELECT d.doc_id, u.token AS term
+        FROM documents d, UNNEST(list_transform(string_split_regex(lower(trim(d.text)), '\\s+'), x -> regexp_replace(x, '\\pP', '', 'g'))) AS u(token)
+        WHERE u.token <> ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tot FROM tok),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        WHERE term IN {BM25_QUERY_TERMS!r}
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    per AS (
+        SELECT tf.doc_id,
+               COUNT(*) AS n_terms,
+               SUM({_BM25_MICRO_SQL}) AS micro
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (term)
+        CROSS JOIN n CROSS JOIN tot
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_terms, CAST(micro AS DOUBLE) / 1000000 AS bm25
+    FROM per ORDER BY micro DESC, doc_id LIMIT {BM25_TOP_K}
+    """,
+    category="text",
+    description=(
+        "BM25 retrieval: top-20 documents for a fixed 4-term query "
+        "(k1=1.2, b=0.75, Lucene idf). Per-term contributions quantize to "
+        "micro-BIGINTs before the per-doc sum (dsum discipline) and the "
+        "top-k orders by the exact BIGINT, so ranking never depends on "
+        "float summation order."
+    ),
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_rank(t(spark, sf_dir, "documents"), BM25_QUERY_TERMS)
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms,
+    top_k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf) over the shared tokenizer.
+
+    Scale shape: ONE corpus tokenize + ONE doc-keyed shuffle total — the
+    per-doc length and every per-query-term tf are conditional counts in the
+    same aggregation (bounded term list, map-side partials), checkpointed at
+    doc size for the three downstream consumers. df re-aggregates tf (one
+    row per (doc,term) — the q_text_tfidf cascade), the ≤|Q|-row df table
+    and the two 1-row corpus stats broadcast (genuinely bounded — unlike a
+    vocabulary table), and the global top-k is TakeOrdered (distributed
+    heap, no single-partition window). No Python stage anywhere.
+    """
+    terms = list(query_terms)
+    # ONE corpus pass: doc length AND the per-query-term tf land in the same
+    # doc-keyed aggregation (conditional counts over the bounded term list,
+    # map-side partials) — a separate dl/tf/total pass each re-tokenizes the
+    # corpus, tripling the dominant 100 TB cost. The doc-sized result is
+    # checkpointed once for its three consumers (tf explode, df cascade,
+    # corpus token total).
+    per_doc = (
+        tokenize(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.count(F.when(F.col("token") == term, True)).alias(f"_tf{i}")
+                for i, term in enumerate(terms)
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
+    tf = per_doc.select(
+        "doc_id",
+        "dl",
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(term).alias("term"),
+                            F.col(f"_tf{i}").alias("tf"),
+                        )
+                        for i, term in enumerate(terms)
+                    ]
+                ),
+                lambda s: s["tf"] > 0,
+            )
+        ).alias("qt"),
+    ).select("doc_id", "dl", F.col("qt.term").alias("term"), F.col("qt.tf").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tot = per_doc.agg(F.sum("dl").cast("double").alias("tot"))
+    per = (
+        # NO forced hint on df_ (grouped-agg lint discipline): it is bounded
+        # at <= |query_terms| rows by construction, so AQE broadcasts it
+        # from observed size; only the 1-row corpus stats keep hints.
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.expr(_BM25_MICRO_SQL)).alias("micro"),
+        )
+    )
+    return (
+        per.orderBy(F.col("micro").desc(), "doc_id")
+        .limit(top_k)
+        .select(
+            "doc_id",
+            "n_terms",
+            (F.col("micro").cast("double") / 1000000).alias("bm25"),
+        )
+    )

@@ -143,3 +143,61 @@ def test_refjob_end_to_end(spark, tmp_path):
         line for f in glob.glob(f"{out}/kmeans/part-*") for line in open(f).read().splitlines()
     )
     assert job2 == ["1\tagre cat meet plai", "2\tmill poni", "3\tcaress ti"]
+
+
+# --- BM25 (round 9): scalar-reference golden + ranking properties ---------
+
+
+def _bm25_reference(corpus: dict[int, str], terms) -> dict[int, float]:
+    """Scalar BM25 with the engine's exact micro-BIGINT quantization."""
+    import math
+
+    toks = {d: txt.split() for d, txt in corpus.items()}
+    n_docs = float(len(corpus))
+    tot = float(sum(len(v) for v in toks.values()))
+    df = {q: sum(1 for v in toks.values() if q in v) for q in terms}
+    out = {}
+    for d, v in toks.items():
+        micro = 0
+        for q in terms:
+            tf = v.count(q)
+            if tf == 0 or df[q] == 0:
+                continue
+            idf = math.log(1 + (n_docs - df[q] + 0.5) / (df[q] + 0.5))
+            score = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * len(v) / (tot / n_docs)))
+            micro += round(score * 1000000)
+        if micro:
+            out[d] = micro / 1000000
+    return out
+
+
+def test_bm25_golden_matches_scalar_reference(spark):
+    corpus = {
+        1: "spark spark hash",
+        2: "spark table",
+        3: "table row scan",
+        4: "hash merge window merge merge spark",
+    }
+    docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["bm25"], r["n_terms"])
+        for r in text_ops.bm25_rank(docs, text_ops.BM25_QUERY_TERMS).collect()
+    }
+    want = _bm25_reference(corpus, text_ops.BM25_QUERY_TERMS)
+    assert set(got) == set(want) == {1, 2, 4}  # doc 3 matches no query term
+    for d, s in want.items():
+        assert got[d][0] == pytest.approx(s, abs=0), f"doc {d} exact micro-quantized score"
+    assert got[1][1] == 2 and got[2][1] == 1 and got[4][1] == 4
+
+
+def test_bm25_ranking_properties(spark):
+    # same length, more distinct query-term mass => higher score; top_k caps
+    corpus = {
+        1: "spark hash merge row",
+        2: "spark row row row",
+        3: "row row row row",
+        4: "spark hash merge window",
+    }
+    docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    rows = text_ops.bm25_rank(docs, text_ops.BM25_QUERY_TERMS, top_k=2).collect()
+    assert [r["doc_id"] for r in rows] == [4, 1]  # all-4-terms doc wins, k honored
