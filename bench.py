@@ -89,6 +89,10 @@ HEADLINE = [
     # query with a super-linear (m^1.5-bounded) intermediate, benched from
     # its first certified round so wedge-explosion regressions are visible.
     "q_graph_triangles",
+    # round-9 addition, tracked from birth: BM25 retrieval — the new
+    # corpus-pass query (one doc-keyed conditional-count shuffle + exact
+    # micro-BIGINT TakeOrdered top-k).
+    "q_text_bm25",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal
