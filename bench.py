@@ -89,10 +89,12 @@ HEADLINE = [
     # query with a super-linear (m^1.5-bounded) intermediate, benched from
     # its first certified round so wedge-explosion regressions are visible.
     "q_graph_triangles",
-    # round-9 addition, tracked from birth: BM25 retrieval — the new
-    # corpus-pass query (one doc-keyed conditional-count shuffle + exact
-    # micro-BIGINT TakeOrdered top-k).
+    # round-9 additions, tracked from birth: BM25 retrieval (one doc-keyed
+    # conditional-count shuffle + exact micro-BIGINT TakeOrdered top-k) and
+    # the embedding covariance matrix (the d²-wide per-vector explode is the
+    # heaviest new map stage; welch/ewma ride already-benched exchanges).
     "q_text_bm25",
+    "q_vec_covariance",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal

@@ -72,6 +72,9 @@ DUMPED = [
     # round 9: the dangling-redistribution PageRank twin + BM25 retrieval
     "q_graph_pagerank_dangling",
     "q_text_bm25",
+    "q_events_ab_welch",
+    "q_events_ewma",
+    "q_vec_covariance",
     # q_dedup_keep_canonical is NOT dumped: connected-components builds its
     # plan by iterative lineage extension, so the explain output is ~10k
     # lines of repeated join blocks — noise, not evidence. Its scale shape

@@ -1031,3 +1031,188 @@ def q_events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(delta_secs, 0.5D)").alias("median_secs"),
         F.expr("percentile(delta_secs, 0.9D)").alias("p90_secs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: two more classic series/experiment statistics over the same
+# hourly-rollup and per-user exchanges the rest of the family rides.
+# ---------------------------------------------------------------------------
+
+
+def _welch_oracle() -> str:
+    from .relational import dsum_sql
+
+    return f"""
+    WITH e AS (
+        SELECT event_type, user_id % 2 = 0 AS in_a, value FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) FILTER (WHERE in_a) AS DOUBLE) AS na,
+               CAST(COUNT(*) FILTER (WHERE NOT in_a) AS DOUBLE) AS nb,
+               {dsum_sql('CASE WHEN in_a THEN value END')} AS sa,
+               {dsum_sql('CASE WHEN NOT in_a THEN value END')} AS sb,
+               {dsum_sql('CASE WHEN in_a THEN value * value END', 4)} AS sa2,
+               {dsum_sql('CASE WHEN NOT in_a THEN value * value END', 4)} AS sb2
+        FROM e GROUP BY event_type
+    ),
+    v AS (
+        SELECT *,
+               CASE WHEN na > 1 THEN GREATEST((sa2 - sa * sa / na) / (na - 1), CAST(0 AS DOUBLE)) END AS va,
+               CASE WHEN nb > 1 THEN GREATEST((sb2 - sb * sb / nb) / (nb - 1), CAST(0 AS DOUBLE)) END AS vb
+        FROM m
+    )
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           sa / na AS mean_a, sb / nb AS mean_b,
+           (sa / na - sb / nb) / SQRT(va / na + vb / nb) AS t_stat,
+           (va / na + vb / nb) * (va / na + vb / nb)
+             / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)) AS df_welch
+    FROM v
+    """
+
+
+@query(
+    "q_events_ab_welch",
+    oracle=_welch_oracle(),
+    category="aggregation",
+    description=(
+        "Welch's unequal-variance t-test per event type between the two "
+        "user-parity cohorts (user_id % 2 — the deterministic A/B split an "
+        "experiment pipeline hashes users into): cohort sizes, means, the "
+        "t statistic, and the Welch-Satterthwaite degrees of freedom. The "
+        "chi-square query tests categorical independence; this is its "
+        "continuous-metric sibling. Both cohorts' count/sum/sum-of-squares "
+        "ride ONE event_type exchange as conditional aggregates (map-side "
+        "partials; no per-cohort re-shuffle), the moment sums are exact "
+        "fixed-point dsums, and the final statistic is one per-group double "
+        "expression — bit-identical across engines and partitionings. "
+        "Zero-variance or single-sample cohorts yield NULL via try_divide "
+        "(DuckDB's NULL-on-zero division), GREATEST clamps float-"
+        "cancellation negatives inside the guarded na>1/nb>1 branch only "
+        "(a bare GREATEST(NULL, 0) diverges between engines)."
+    ),
+)
+def q_events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import dsum
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    in_a = F.col("user_id") % 2 == 0
+    m = e.groupBy("event_type").agg(
+        F.count(F.when(in_a, True)).cast("double").alias("na"),
+        F.count(F.when(~in_a, True)).cast("double").alias("nb"),
+        dsum(F.when(in_a, F.col("value"))).alias("sa"),
+        dsum(F.when(~in_a, F.col("value"))).alias("sb"),
+        dsum(F.when(in_a, F.col("value") * F.col("value")), 4).alias("sa2"),
+        dsum(F.when(~in_a, F.col("value") * F.col("value")), 4).alias("sb2"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    sa, sb = F.col("sa"), F.col("sb")
+    va = F.when(
+        na > 1,
+        F.greatest(
+            (F.col("sa2") - sa * sa / na) / (na - F.lit(1.0)), F.lit(0.0)
+        ),
+    )
+    vb = F.when(
+        nb > 1,
+        F.greatest(
+            (F.col("sb2") - sb * sb / nb) / (nb - F.lit(1.0)), F.lit(0.0)
+        ),
+    )
+    v = m.withColumn("va", va).withColumn("vb", vb)
+    se2 = F.col("va") / na + F.col("vb") / nb
+    t_stat = F.try_divide(
+        F.try_divide(sa, na) - F.try_divide(sb, nb), F.sqrt(se2)
+    )
+    df_welch = F.try_divide(
+        se2 * se2,
+        (F.col("va") / na) * (F.col("va") / na) / (na - F.lit(1.0))
+        + (F.col("vb") / nb) * (F.col("vb") / nb) / (nb - F.lit(1.0)),
+    )
+    return v.select(
+        "event_type",
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.try_divide(sa, na).alias("mean_a"),
+        F.try_divide(sb, nb).alias("mean_b"),
+        t_stat.alias("t_stat"),
+        df_welch.alias("df_welch"),
+    )
+
+
+#: EWMA smoothing factor — fixed engine constant like the funnel's 24 h gap.
+EWMA_ALPHA = 0.25
+
+
+def _ewma_oracle() -> str:
+    from .relational import dsum_sql
+
+    return f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               {dsum_sql('value')} AS v
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    hv AS (SELECT * FROM hourly WHERE v IS NOT NULL),
+    s AS (
+        SELECT event_type, COUNT(*) AS n_hours, list(v ORDER BY h) AS vals
+        FROM hv GROUP BY event_type
+    )
+    SELECT event_type, n_hours,
+           vals[len(vals)] AS last_v,
+           list_reduce(CAST(vals AS DOUBLE[]),
+                       (a, b) -> 0.25 * b + 0.75 * a) AS ewma
+    FROM s
+    """
+
+
+@query(
+    "q_events_ewma",
+    oracle=_ewma_oracle(),
+    category="aggregation",
+    description=(
+        "Exponentially-weighted moving average (alpha=0.25) of each event "
+        "type's hourly value series — the smoothed current level an "
+        "alerting stack compares fresh points against (the recursive "
+        "sibling of the windowed z-score). The recurrence is inherently "
+        "sequential, so it folds per type over the hour-sorted value array "
+        "with identical seed-with-first / fold-left semantics in both "
+        "engines (Spark aggregate() over slice(2..), DuckDB list_reduce) — "
+        "the same double expression in the same order, bit-identical "
+        "without quantization. The array is |hours|-bounded per type "
+        "(calendar-bounded like the gap-fill/trend series, NOT SF-bounded: "
+        "100 TB of events still spans the same wall-clock hours), built on "
+        "the one hourly-rollup exchange the whole series family shares."
+    ),
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import dsum
+
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(dsum("value").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    s = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("h", "v"))), lambda x: x["v"]
+        ).alias("vals"),
+    )
+    arr = F.col("vals")
+    ewma = F.aggregate(
+        F.slice(arr, F.lit(2), F.size(arr) - 1),
+        F.element_at(arr, 1),
+        lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
+    )
+    return s.select(
+        "event_type",
+        "n_hours",
+        F.element_at(arr, -1).alias("last_v"),
+        ewma.alias("ewma"),
+    )

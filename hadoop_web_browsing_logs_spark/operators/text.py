@@ -823,7 +823,10 @@ def bm25_rank(
         )
     )
     return (
-        per.orderBy(F.col("micro").desc(), "doc_id")
+        # asc_nulls_last: DuckDB's ASC default puts NULLs last, Spark's puts
+        # them first — a NULL-doc_id document tying at the top-k boundary
+        # would otherwise displace a different row on each engine
+        per.orderBy(F.col("micro").desc(), F.col("doc_id").asc_nulls_last())
         .limit(top_k)
         .select(
             "doc_id",

@@ -319,3 +319,97 @@ def q_vec_kmeans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("wpurity") > 0.12)
         ).alias("ok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: covariance matrix of the embedding corpus — the d×d reduction
+# PCA / whitening / decorrelation preprocessing starts from.
+# ---------------------------------------------------------------------------
+
+
+def _covariance_oracle() -> str:
+    from .relational import dsum_sql
+
+    d1 = EMBEDDING_DIM + 1
+    return f"""
+    WITH v AS (SELECT * FROM {DUCK_VECTORS}),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+    p AS (
+        SELECT u.i AS i, w.j AS j,
+               CAST(embedding[u.i] AS DOUBLE) * CAST(embedding[w.j] AS DOUBLE) AS xy
+        FROM v, UNNEST(range(1, {d1})) AS u(i), UNNEST(range(u.i, {d1})) AS w(j)
+    ),
+    m AS (SELECT i, j, {dsum_sql('xy', 6)} AS sxy FROM p GROUP BY i, j),
+    mean AS (
+        SELECT u.i AS i, {dsum_sql('CAST(embedding[u.i] AS DOUBLE)', 6)} AS s
+        FROM v, UNNEST(range(1, {d1})) AS u(i) GROUP BY u.i
+    )
+    SELECT m.i, m.j, m.sxy / n.n - (ma.s / n.n) * (mb.s / n.n) AS cov
+    FROM m JOIN mean ma ON ma.i = m.i JOIN mean mb ON mb.i = m.j CROSS JOIN n
+    """
+
+
+@query(
+    "q_vec_covariance",
+    oracle=_covariance_oracle(),
+    category="vector",
+    description=(
+        "Population covariance matrix of the embedding corpus (upper "
+        "triangle, 1-based dims): the d×d reduction PCA, whitening, and "
+        "decorrelation preprocessing start from. Per vector the d(d+1)/2 "
+        "upper-triangle products are generated by a codegen'd nested "
+        "transform (no self-join of the corpus); map-side partial "
+        "aggregation collapses every partition to ≤d² rows before the ONE "
+        "(i,j)-keyed exchange, so the shuffle is dimension-bounded, not "
+        "corpus-bounded. Products are float→double (exact) BEFORE "
+        "multiplying and dsum-quantized at 1e-6 before summing — "
+        "bit-identical across engines and partitionings; non-finite "
+        "elements drop out of the sums identically in both engines "
+        "(dsum try_cast), the standing garbage-tolerance semantics."
+    ),
+)
+def q_vec_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import dsum
+
+    vs = load_vectors(spark, sf_dir)
+    n = vs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    pairs = vs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.transform(
+                        F.slice("embedding", i + 1, F.lit(EMBEDDING_DIM)),
+                        lambda y, k: F.struct(
+                            (i + 1).alias("i"),
+                            (i + k + 1).alias("j"),
+                            (x.cast("double") * y.cast("double")).alias("xy"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.xy")
+    m = pairs.groupBy("i", "j").agg(dsum("xy", 6).alias("sxy"))
+    mean = (
+        vs.select(F.posexplode("embedding").alias("i0", "x"))
+        .select((F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+        .groupBy("i")
+        .agg(dsum("x", 6).alias("s"))
+    )
+    ma = mean.select(F.col("i").alias("i"), F.col("s").alias("sa"))
+    mb = mean.select(F.col("i").alias("j"), F.col("s").alias("sb"))
+    nn = F.col("n")
+    return (
+        # mean is EMBEDDING_DIM rows (dimension-bounded, not SF-bounded) but
+        # is a grouped aggregate, so no forced hint (lint discipline) — AQE
+        # broadcasts it from observed size; only the 1-row count keeps one.
+        m.join(ma, "i")
+        .join(mb, "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (F.col("sxy") / nn - (F.col("sa") / nn) * (F.col("sb") / nn)).alias("cov"),
+        )
+    )

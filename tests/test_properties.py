@@ -448,3 +448,81 @@ def test_heavy_hitters_differential_vs_python_counter(spark):
         got = [(r.bucket, r.cnt) for r in rows]
         assert got == want, (trial, got, want)
         assert all(r.n_total == n for r in rows)
+
+
+def test_ewma_matches_python_fold(spark, tmp_path):
+    # independent scalar reference: write a tiny events table, run the
+    # registered query on it, re-fold the hourly dsums in plain Python
+    import duckdb as _duck
+
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value)
+        (1, "2024-01-01 00:10:00", 1, "click", 1.0),
+        (2, "2024-01-01 00:40:00", 2, "click", 3.0),   # hour 0 sum 4.0
+        (3, "2024-01-01 01:15:00", 1, "click", 8.0),   # hour 1 sum 8.0
+        (4, "2024-01-01 03:05:00", 2, "click", 2.0),   # hour 3 sum 2.0
+        (5, "2024-01-01 00:30:00", 3, "view", 5.0),    # one-hour series
+    ]
+    con = _duck.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM (VALUES {", ".join(
+              f"({i}, TIMESTAMP '{ts}', {u}, '{t}', {v})" for i, ts, u, t, v in rows
+          )}) AS x(event_id, ts, user_id, event_type, value)
+        ) TO '{tmp_path}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    got = {
+        r["event_type"]: r
+        for r in get_query("q_events_ewma").fn(spark, str(tmp_path)).collect()
+    }
+
+    def fold(vals):
+        acc = vals[0]
+        for x in vals[1:]:
+            acc = 0.25 * x + 0.75 * acc
+        return acc
+
+    assert got["click"]["n_hours"] == 3 and got["click"]["last_v"] == 2.0
+    assert got["click"]["ewma"] == fold([4.0, 8.0, 2.0])  # exact, same fold order
+    assert got["view"]["ewma"] == 5.0  # single-point series seeds itself
+
+
+def test_welch_matches_python_reference_and_symmetry(spark, tmp_path):
+    import math
+
+    import duckdb as _duck
+
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    # cohort A (even user_id): 1.0, 2.0, 6.0 ; cohort B (odd): 3.0, 5.0
+    vals = [(2, 1.0), (4, 2.0), (6, 6.0), (1, 3.0), (3, 5.0)]
+    con = _duck.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM (VALUES {", ".join(
+              f"({i}, TIMESTAMP '2024-01-01 00:00:00', {u}, 'click', {v})"
+              for i, (u, v) in enumerate(vals)
+          )}) AS x(event_id, ts, user_id, event_type, value)
+        ) TO '{tmp_path}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    row = get_query("q_events_ab_welch").fn(spark, str(tmp_path)).collect()[0]
+    a, b = [1.0, 2.0, 6.0], [3.0, 5.0]
+    ma, mb = sum(a) / 3, sum(b) / 2
+    va = sum((x - ma) ** 2 for x in a) / 2
+    vb = sum((x - mb) ** 2 for x in b) / 1
+    se2 = va / 3 + vb / 2
+    t_ref = (ma - mb) / math.sqrt(se2)
+    df_ref = se2**2 / ((va / 3) ** 2 / 2 + (vb / 2) ** 2 / 1)
+    assert row["n_a"] == 3 and row["n_b"] == 2
+    assert row["mean_a"] == ma and row["mean_b"] == mb
+    assert abs(row["t_stat"] - t_ref) < 1e-9  # moment form vs centered form
+    assert abs(row["df_welch"] - df_ref) < 1e-9
+    assert (row["t_stat"] < 0) == (ma < mb)  # sign follows the mean gap

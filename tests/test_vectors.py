@@ -109,3 +109,29 @@ def test_ivf_recall_reasonable(spark):
     assert len(gate) == 1 and gate[0].ok is True, (
         f"IVF recall failed the 1.4x-over-random-baseline margin (recall {mean_recall})"
     )
+
+
+def test_covariance_matches_numpy_within_quantization(spark):
+    # independent reference: numpy population covariance over the same
+    # contract-filtered vectors; agreement bounded by the 1e-6 dsum grid
+    # (n_contributions * 0.5 ulp of the grid per moment, plus the final
+    # division) — use a comfortably loose 1e-4 absolute tolerance
+    import numpy as np
+
+    from hadoop_web_browsing_logs_spark.operators.vectors import load_vectors
+
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in get_query("q_vec_covariance").fn(spark, SF_DIR).collect()
+    }
+    X = np.array(
+        [r["embedding"] for r in load_vectors(spark, SF_DIR).collect()],
+        dtype=np.float64,
+    )
+    ref = np.cov(X, rowvar=False, bias=True)  # population, like sxy/n - mi*mj
+    d = X.shape[1]
+    assert len(got) == d * (d + 1) // 2  # exactly the upper triangle
+    for (i, j), c in got.items():
+        assert abs(c - ref[i - 1, j - 1]) < 1e-4, (i, j)
+    for i in range(1, d + 1):
+        assert got[(i, i)] >= -1e-6  # variances non-negative up to the grid
