@@ -95,6 +95,9 @@ HEADLINE = [
     # heaviest new map stage; welch/ewma ride already-benched exchanges).
     "q_text_bm25",
     "q_vec_covariance",
+    # round-9 addition: label propagation — the second iterative graph op
+    # (2 exchanges/iteration), benched from birth like PageRank.
+    "q_graph_label_propagation",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal

@@ -75,6 +75,9 @@ DUMPED = [
     "q_events_ab_welch",
     "q_events_ewma",
     "q_vec_covariance",
+    "q_events_spearman",
+    "q_events_type_affinity",
+    "q_graph_label_propagation",
     # q_dedup_keep_canonical is NOT dumped: connected-components builds its
     # plan by iterative lineage extension, so the explain output is ~10k
     # lines of repeated join blocks — noise, not evidence. Its scale shape

@@ -1216,3 +1216,174 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(arr, -1).alias("last_v"),
         ewma.alias("ewma"),
     )
+
+
+def _spearman_oracle() -> str:
+    from .relational import dsum_sql
+
+    return f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               {dsum_sql('value')} AS v
+        FROM events GROUP BY 1, 2
+    ),
+    hv AS (SELECT * FROM hourly WHERE v IS NOT NULL),
+    p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.v AS va, b.v AS vb
+        FROM hv a JOIN hv b ON a.h = b.h AND a.event_type < b.event_type
+    ),
+    r AS (
+        SELECT type_a, type_b,
+               RANK() OVER (PARTITION BY type_a, type_b ORDER BY va)
+                 + (COUNT(*) OVER (PARTITION BY type_a, type_b, va) - 1) / 2.0 AS rx,
+               RANK() OVER (PARTITION BY type_a, type_b ORDER BY vb)
+                 + (COUNT(*) OVER (PARTITION BY type_a, type_b, vb) - 1) / 2.0 AS ry
+        FROM p
+    ),
+    m AS (
+        SELECT type_a, type_b, CAST(COUNT(*) AS DOUBLE) AS n,
+               {dsum_sql('rx', 1)} AS sx, {dsum_sql('ry', 1)} AS sy,
+               {dsum_sql('rx * ry', 2)} AS sxy,
+               {dsum_sql('rx * rx', 2)} AS sx2,
+               {dsum_sql('ry * ry', 2)} AS sy2
+        FROM r GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_hours,
+           (n * sxy - sx * sy)
+             / (SQRT(GREATEST(n * sx2 - sx * sx, CAST(0 AS DOUBLE)))
+                * SQRT(GREATEST(n * sy2 - sy * sy, CAST(0 AS DOUBLE)))) AS rho
+    FROM m
+    """
+
+
+@query(
+    "q_events_spearman",
+    oracle=_spearman_oracle(),
+    category="aggregation",
+    description=(
+        "Spearman rank correlation between event types' hourly value "
+        "series — the outlier-robust twin of the Pearson matrix "
+        "(q_events_correlation), computed as Pearson on fractional ranks. "
+        "Ties take the textbook average rank (RANK() min-rank + "
+        "(tie_count-1)/2, exact halves — dsum scale 1/2 keeps the rank "
+        "moments on an exact grid). Both rank windows and both tie-count "
+        "windows ride the ONE (type_a,type_b)-keyed exchange (same "
+        "partition keys, different sort — Spark re-sorts within the "
+        "exchange, never re-shuffles); the pair table is built on the "
+        "|types|x|hours| hourly rollup, never the raw facts; zero-variance "
+        "rank series (all-tied values) yield NULL via try_divide and "
+        "GREATEST clamps cancellation negatives — the exact discipline the "
+        "Pearson twin certified."
+    ),
+)
+def q_events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import dsum
+
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(dsum("value").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    a = hourly.select(F.col("event_type").alias("type_a"), "h", F.col("v").alias("va"))
+    b = hourly.select(F.col("event_type").alias("type_b"), "h", F.col("v").alias("vb"))
+    pairs = a.join(b, "h").filter(F.col("type_a") < F.col("type_b"))
+    pair = ["type_a", "type_b"]
+    rx = (
+        F.rank().over(W.partitionBy(*pair).orderBy("va"))
+        + (F.count(F.lit(1)).over(W.partitionBy(*pair, "va")) - 1) / 2.0
+    )
+    ry = (
+        F.rank().over(W.partitionBy(*pair).orderBy("vb"))
+        + (F.count(F.lit(1)).over(W.partitionBy(*pair, "vb")) - 1) / 2.0
+    )
+    r = pairs.select(*pair, rx.alias("rx"), ry.alias("ry"))
+    m = r.groupBy(*pair).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("rx", 1).alias("sx"),
+        dsum("ry", 1).alias("sy"),
+        dsum(F.col("rx") * F.col("ry"), 2).alias("sxy"),
+        dsum(F.col("rx") * F.col("rx"), 2).alias("sx2"),
+        dsum(F.col("ry") * F.col("ry"), 2).alias("sy2"),
+    )
+    rho = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.sqrt(F.greatest(F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"), F.lit(0.0)))
+        * F.sqrt(F.greatest(F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy"), F.lit(0.0))),
+    )
+    return m.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("bigint").alias("n_hours"),
+        rho.alias("rho"),
+    )
+
+
+@query(
+    "q_events_type_affinity",
+    oracle="""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    sizes AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+           CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+    category="aggregation",
+    description=(
+        "Event-type affinity matrix: Jaccard overlap between every pair of "
+        "event types' user bases — the co-occurrence / market-basket pass "
+        "behind 'users who do X also do Y'. Shape: ONE distinct reduction "
+        "to (user, type) — |users|x|types| bounded — then the pair join is "
+        "user-keyed on that reduced table (<=|types|^2 rows per user, never "
+        "a type-level cross join of the fact table) and the per-type sizes "
+        "re-aggregate the same reduction. All counts exact integers; the "
+        "single double division is the same expression text in both "
+        "engines."
+    ),
+)
+def q_events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    ut = e.select("user_id", "event_type").distinct().localCheckpoint(eager=False)
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        # sizes is |types|-bounded but a grouped aggregate — UNHINTED (lint
+        # discipline); AQE broadcasts it from observed size
+        inter.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+    )

@@ -1,4 +1,5 @@
-"""Graph analytics: weighted PageRank and triangle counting over edge DataFrames.
+"""Graph analytics: weighted PageRank, triangle counting, and label-propagation
+community detection over edge DataFrames.
 
 The reference repo has no graph operator (its two chained jobs are a text
 pipeline, ProcessData.java:650-678); this module is part of the engine's
@@ -513,3 +514,117 @@ def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_participation(_coorder_edges(spark, sf_dir)).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (round 9): synchronous weighted LPA — the community-
+# detection sibling of PageRank on the same iterative-join skeleton.
+# ---------------------------------------------------------------------------
+
+LPA_ITERATIONS = 3
+
+
+def label_propagation(edges: DataFrame, iterations: int = LPA_ITERATIONS) -> DataFrame:
+    """Synchronous weighted label propagation after a FIXED iteration count.
+
+    ``edges`` has columns (src, dst, w) and should be symmetrized for
+    undirected semantics (each edge delivers src's label to dst). Every node
+    starts labeled with itself; each iteration every node adopts the label
+    whose incident-edge weight sum is largest, ties broken by the SMALLEST
+    label — a total, deterministic rule, so the fixed-K result is a pure
+    function of the graph (hash-provable, like the PageRank gates).
+
+    Scale shape: per iteration, exactly TWO exchanges — the (dst,label)-keyed
+    weight sums (map-side partial combine reduces edge-sized input to
+    label-frontier size BEFORE the wire) and the dst-keyed argmax over those
+    sums. The label table itself enters the sort-merge join against the
+    src-partitioned checkpointed edge table with NO exchange or sort: it
+    leaves the argmax aggregation hash(dst)=hash(node) partitioned and
+    sorted, and the per-iteration ``_aqe_off`` checkpoint preserves both
+    (plan-pinned by the dump in docs/plans/).
+    Collapsing to one exchange by pre-repartitioning on dst would ship the
+    RAW edge-sized join output; at corpus scale the partial-agg route moves
+    strictly less data. All weight sums are exact BIGINTs — no float policy
+    needed anywhere; the argmax is min(struct(-weight, label)), identical to
+    the oracle's ROW_NUMBER(ORDER BY weight DESC, label).
+    """
+    spark = edges.sparkSession
+    with _aqe_off(spark):
+        e = (
+            edges.select("src", "dst", F.col("w").cast("bigint").alias("w"))
+            .repartition("src")
+            .sortWithinPartitions("src")
+            .localCheckpoint(eager=False)
+        )
+        labels = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    for i in range(iterations):
+        votes = (
+            e.join(labels, e.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.sum("w").alias("lw"))
+        )
+        best = votes.groupBy("dst").agg(
+            F.min(F.struct((-F.col("lw")).alias("nw"), F.col("label").alias("label"))).alias("b")
+        )
+        labels = best.select(F.col("dst").alias("node"), F.col("b.label").alias("label"))
+        if (i + 1) < iterations:
+            with _aqe_off(spark):
+                labels = labels.localCheckpoint(eager=False)
+    return labels
+
+
+def _lpa_oracle() -> str:
+    sql = """
+    WITH el AS (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst,
+               COUNT(*) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT src, dst, w FROM el
+              UNION ALL SELECT dst AS src, src AS dst, w FROM el),
+    l0 AS (SELECT node, node AS label FROM
+           (SELECT src AS node FROM edges UNION SELECT dst FROM edges))"""
+    for k in range(LPA_ITERATIONS):
+        sql += f""",
+    l{k + 1} AS (
+        SELECT dst AS node, label FROM (
+            SELECT dst, label,
+                   ROW_NUMBER() OVER (PARTITION BY dst
+                                      ORDER BY lw DESC, label) AS rn
+            FROM (SELECT e.dst, l.label, SUM(e.w) AS lw
+                  FROM edges e JOIN l{k} l ON e.src = l.node
+                  GROUP BY e.dst, l.label)
+        ) WHERE rn = 1
+    )"""
+    sql += f"""
+    SELECT node, label FROM l{LPA_ITERATIONS} ORDER BY node"""
+    return sql
+
+
+@query(
+    "q_graph_label_propagation",
+    oracle=_lpa_oracle(),
+    category="graph",
+    description=(
+        "Synchronous weighted label propagation (3 iterations) over the "
+        "undirected customer↔supplier purchase graph — community detection "
+        "on the same iterative-join skeleton as PageRank (checkpointed "
+        "src-partitioned edges, label table never wider than (node, "
+        "label)). Weight sums are exact BIGINTs and the argmax tie-breaks "
+        "to the smallest label, so the fixed-K assignment is fully "
+        "deterministic and hash-provable against a DuckDB oracle that "
+        "unrolls the same recurrence (ROW_NUMBER argmax per step)."
+    ),
+    tags=("graph", "iterative"),
+)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_propagation(_purchase_edges(spark, sf_dir)).orderBy("node")

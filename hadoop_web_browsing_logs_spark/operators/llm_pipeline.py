@@ -974,14 +974,24 @@ def bpe_apply_merge(word_dict: DataFrame, left: str, right: str) -> DataFrame:
     symbol sequence — a JVM-side aggregate() fold carrying (emitted, pending)
     state, so overlapping runs merge exactly like reference BPE trainers
     ('aaa' + (a,a) -> ['aa','a'])."""
-    # escape backslashes BEFORE quotes: a symbol containing `\` (or ending in
-    # one) would otherwise eat the closing quote and misparse the fold SQL
-    # (ADVICE r8) — real-world corpora contain backslash tokens
+    return word_dict.select(
+        F.expr(_merge_fold_sql(left, right)).alias("syms"), "freq"
+    )
+
+
+def _merge_fold_sql(left: str, right: str) -> str:
+    """The greedy leftmost-pair merge as a Spark SQL aggregate() fold over
+    a ``syms`` column — shared by the trainer (bpe_apply_merge) and the
+    encoder (bpe_encode) so both apply EXACTLY the same semantics."""
+
+    # escape backslashes BEFORE quotes: a symbol containing `\` (or ending
+    # in one) would otherwise eat the closing quote and misparse the fold
+    # SQL (ADVICE r8) — real-world corpora contain backslash tokens
     def esc(s: str) -> str:
         return s.replace("\\", "\\\\").replace("'", "\\'")
 
     l, r = esc(left), esc(right)
-    fold = (
+    return (
         "aggregate(syms,"
         " named_struct('acc', cast(array() as array<string>), 'pend', cast(null as string)),"
         " (s, x) -> CASE"
@@ -991,7 +1001,6 @@ def bpe_apply_merge(word_dict: DataFrame, left: str, right: str) -> DataFrame:
         "  ELSE named_struct('acc', concat(s.acc, array(s.pend)), 'pend', cast(x as string)) END,"
         " s -> CASE WHEN s.pend IS NULL THEN s.acc ELSE concat(s.acc, array(s.pend)) END)"
     )
-    return word_dict.select(F.expr(fold).alias("syms"), "freq")
 
 
 def bpe_train(word_dict: DataFrame, n_merges: int) -> list[tuple]:
@@ -1194,4 +1203,128 @@ def q_llm_quality_filter_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("pr", F.percent_rank().over(w))
         .filter(F.col("pr") <= QUALITY_KEEP_FRAC)
         .select("source", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE encoding (round 9): APPLY a fixed merge table to a corpus — the
+# production half of the tokenizer story (training produces the artifact;
+# every data pipeline then encodes with it).
+# ---------------------------------------------------------------------------
+
+#: The shipped tokenizer artifact the encode queries apply — the golden
+#: textbook merge table (rank order), a fixed engine constant exactly like a
+#: production tokenizer file.
+BPE_ENCODE_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "s"),
+    ("es", "t"),
+    ("est", "</w>"),
+    ("l", "o"),
+    ("lo", "w"),
+)
+
+
+def bpe_encode(words: DataFrame, merges=BPE_ENCODE_MERGES, checkpoint_every: int = 8) -> DataFrame:
+    """Encode distinct words with a learned BPE merge table.
+
+    ``words`` has a ``word`` string column (any other columns pass through);
+    returns it with ``syms`` — the BPE symbol sequence after applying every
+    merge in rank order, each a greedy leftmost fold (the SAME
+    ``_merge_fold_sql`` text the trainer folds with, so train→encode
+    round-trips are exact).
+
+    Scale shape: dictionary encoding — callers pass DISTINCT words (the
+    vocab-sized table, like stem_terms), apply the K folds JVM-side, and
+    join the encoded vocab back onto the corpus; the corpus itself never
+    runs the fold. Merge K is bounded by the artifact (10k-100k in
+    production); lineage/codegen depth is truncated every
+    ``checkpoint_every`` merges.
+    """
+    cur = words.withColumn(
+        "syms", F.expr(f"concat(split(word, ''), array('{BPE_END}'))")
+    )
+    passthrough = [c for c in words.columns]
+    for k, (l, r) in enumerate(merges):
+        cur = cur.select(
+            *passthrough, F.expr(_merge_fold_sql(l, r)).alias("syms")
+        )
+        if (k + 1) % checkpoint_every == 0 and (k + 1) < len(merges):
+            cur = cur.localCheckpoint(eager=False)
+    return cur
+
+
+@query(
+    "q_llm_bpe_encode",
+    category="llm",
+    description=(
+        "BPE-encode the corpus vocabulary with the fixed golden merge table "
+        "(rows-only; its oracled twin is q_llm_bpe_encode_gate, which "
+        "replays the encoder on the textbook corpus against hand-computed "
+        "golden sequences, and tests/test_udf_llm.py runs a word-for-word "
+        "differential against an independent Python BPE encoder at sf "
+        "scale). Dictionary encoding: ONE corpus scan builds the distinct "
+        "word dict, the K merge folds run vocab-sized and JVM-side, and "
+        "the output is the encoded lexicon (word, syms, n_syms) a token "
+        "budgeter joins back onto the corpus — the corpus never crosses "
+        "into the fold."
+    ),
+)
+def q_llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = (
+        bpe_word_dict(t(spark, sf_dir, "documents"))
+        .select(F.array_join(F.slice("syms", 1, F.size("syms") - 1), "").alias("word"), "freq")
+    )
+    enc = bpe_encode(words)
+    return enc.select(
+        "word",
+        "freq",
+        F.array_join("syms", " ").alias("encoding"),
+        F.size("syms").alias("n_syms"),
+    )
+
+
+#: Hand-computed golden encodings of the textbook corpus under
+#: BPE_ENCODE_MERGES (see q_llm_bpe_merges_gate for the corpus):
+#:   low:    l o w </w>      -> (l,o) -> (lo,w) -> [low, </w>]
+#:   lower:  l o w e r </w>  -> (l,o) -> (lo,w) -> [low, e, r, </w>]
+#:   newest: n e w e s t </w>-> (e,s) -> (es,t) -> (est,</w>) -> [n,e,w,est</w>]
+#:   widest: w i d e s t </w>-> same cascade        -> [w,i,d,est</w>]
+_BPE_ENCODE_GOLDENS = [
+    ("low", "low </w>"),
+    ("lower", "low e r </w>"),
+    ("newest", "n e w est</w>"),
+    ("widest", "w i d est</w>"),
+]
+
+
+@query(
+    "q_llm_bpe_encode_gate",
+    oracle="SELECT TRUE AS ok",
+    category="llm",
+    description=(
+        "Driver gate for the BPE encoder: encode the textbook corpus's "
+        "four words with the golden merge table and require the full "
+        "encoded lexicon to equal the hand-computed sequences (full-outer "
+        "join, per-side presence counts — any missing, extra, or differing "
+        "row flips ok). Together with q_llm_bpe_merges_gate this makes the "
+        "train -> ship-artifact -> encode loop driver-visible end to end."
+    ),
+)
+def q_llm_bpe_encode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = spark.createDataFrame(
+        [(w,) for w, _ in _BPE_ENCODE_GOLDENS], ["word"]
+    )
+    got = (
+        bpe_encode(words)
+        .select("word", F.array_join("syms", " ").alias("encoding"))
+        .withColumn("g", F.lit(1))
+    )
+    want = spark.createDataFrame(
+        _BPE_ENCODE_GOLDENS, "word string, encoding string"
+    ).withColumn("w", F.lit(1))
+    n = len(_BPE_ENCODE_GOLDENS)
+    return got.join(want, ["word", "encoding"], "full_outer").agg(
+        (
+            (F.count(F.lit(1)) == n) & (F.sum("g") == n) & (F.sum("w") == n)
+        ).alias("ok")
     )

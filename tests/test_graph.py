@@ -280,3 +280,46 @@ def test_triangles_random_graph_matches_brute_force(spark):
     expected = _brute_triangles(pairs)
     assert sum(expected.values()) > 30, "fixture must actually contain triangles"
     assert _tri(spark, pairs) == expected
+
+
+# ---------------------------------------------------------------------------
+# Label propagation: convergence + determinism properties
+# ---------------------------------------------------------------------------
+
+
+def _lpa(spark, edges, **kw):
+    from hadoop_web_browsing_logs_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    return {r.node: r.label for r in label_propagation(df, **kw).collect()}
+
+
+def _sym(pairs):
+    return [(a, b, w) for a, b, w in pairs] + [(b, a, w) for a, b, w in pairs]
+
+
+def test_lpa_disjoint_triangles_get_distinct_min_labels(spark):
+    # an odd cycle converges under synchronous LPA: by iteration 3 every
+    # member of each triangle carries the component's MIN label, and the
+    # two components never mix
+    edges = _sym([("a", "b", 1), ("b", "c", 1), ("a", "c", 1)]) + _sym(
+        [("x", "y", 1), ("y", "z", 1), ("x", "z", 1)]
+    )
+    got = _lpa(spark, edges)
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "x"
+
+
+def test_lpa_weight_beats_degree(spark):
+    # node m has two light edges to the 'a' triangle but one HEAVY edge to
+    # node h: the weighted vote must follow the weight, not the edge count
+    edges = _sym(
+        [("a", "b", 1), ("b", "c", 1), ("a", "c", 1), ("m", "a", 1), ("m", "b", 1), ("m", "h", 5)]
+    )
+    got = _lpa(spark, edges, iterations=1)
+    assert got["m"] == "h"  # 5 > 1+1
+
+
+def test_lpa_deterministic_across_runs(spark):
+    edges = _sym([("a", "b", 2), ("b", "c", 1), ("c", "d", 3), ("d", "a", 1)])
+    assert _lpa(spark, edges) == _lpa(spark, edges)

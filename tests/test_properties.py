@@ -526,3 +526,109 @@ def test_welch_matches_python_reference_and_symmetry(spark, tmp_path):
     assert abs(row["t_stat"] - t_ref) < 1e-9  # moment form vs centered form
     assert abs(row["df_welch"] - df_ref) < 1e-9
     assert (row["t_stat"] < 0) == (ma < mb)  # sign follows the mean gap
+
+
+def test_spearman_monotone_and_tied_reference(spark, tmp_path):
+    import duckdb as _duck
+
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    # hours 0..3: type a strictly increasing, type b a monotone transform of
+    # it (rho exactly 1), type c with tied values against a
+    rows = []
+    eid = 0
+    for hour, (va, vb, vc) in enumerate(
+        [(1.0, 10.0, 5.0), (2.0, 20.0, 5.0), (3.0, 30.0, 6.0), (4.0, 40.0, 2.0)]
+    ):
+        for typ, v in (("a", va), ("b", vb), ("c", vc)):
+            eid += 1
+            rows.append((eid, f"2024-01-01 0{hour}:00:00", 1, typ, v))
+    con = _duck.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM (VALUES {", ".join(
+              f"({i}, TIMESTAMP '{ts}', {u}, '{t}', {v})" for i, ts, u, t, v in rows
+          )}) AS x(event_id, ts, user_id, event_type, value)
+        ) TO '{tmp_path}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    got = {
+        (r["type_a"], r["type_b"]): r["rho"]
+        for r in get_query("q_events_spearman").fn(spark, str(tmp_path)).collect()
+    }
+    # perfect monotone agreement — up to the last-ulp of the moment kernel
+    assert abs(got[("a", "b")] - 1.0) < 1e-12
+
+    # hand reference for the tied pair: ranks of a = [1,2,3,4];
+    # ranks of c (5,5,6,2) = [2.5, 2.5, 4, 1]
+    def pearson(x, y):
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sx2, sy2 = sum(a * a for a in x), sum(b * b for b in y)
+        return (n * sxy - sx * sy) / (
+            (n * sx2 - sx * sx) ** 0.5 * (n * sy2 - sy * sy) ** 0.5
+        )
+
+    ref = pearson([1, 2, 3, 4], [2.5, 2.5, 4, 1])
+    assert abs(got[("a", "c")] - ref) < 1e-12
+
+
+def _ref_bpe_encode(word: str, merges) -> list:
+    """Independent pure-Python BPE encoder: apply each merge in rank order
+    as one greedy left-to-right pass — the reference bpe_encode must match
+    word-for-word."""
+    syms = list(word) + ["</w>"]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_differential_vs_python_reference(spark):
+    """Train on a random corpus, then ENCODE its vocab (plus unseen words)
+    with the learned table — the distributed encoder must agree with the
+    Python reference on every word, including overlapping runs and words
+    containing none of the merge pairs."""
+    import random
+
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import (
+        bpe_encode,
+        bpe_train,
+        bpe_word_dict,
+    )
+
+    rng = random.Random(9)
+    words = ["aaaa", "abab", "baba"] + [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 6))) for _ in range(10)
+    ]
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    learned = [(l, r) for _, l, r, _, _ in bpe_train(bpe_word_dict(docs), 5)]
+    probe = sorted(set(words)) + ["cacaca", "zzz"]  # unseen words too
+    df = spark.createDataFrame([(w,) for w in probe], ["word"])
+    got = {r["word"]: list(r["syms"]) for r in bpe_encode(df, learned).collect()}
+    for w in probe:
+        assert got[w] == _ref_bpe_encode(w, learned), (w, learned, got[w])
+
+
+def test_bpe_encode_gate_and_escaping(spark):
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import bpe_encode
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    rows = get_query("q_llm_bpe_encode_gate").fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 1 and rows[0].ok is True
+    # merge symbols containing backslashes and quotes flow through the same
+    # escaped fold text the trainer certified (ADVICE r8)
+    df = spark.createDataFrame([("a\\'b",)], ["word"])
+    got = bpe_encode(df, [("a", "\\"), ("a\\", "'")]).collect()[0]
+    assert list(got.syms) == ["a\\'", "b", "</w>"]
