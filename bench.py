@@ -98,6 +98,9 @@ HEADLINE = [
     # round-9 addition: label propagation — the second iterative graph op
     # (2 exchanges/iteration), benched from birth like PageRank.
     "q_graph_label_propagation",
+    # the covariance scale twin: benched next to its exact baseline so the
+    # Gram-partial speedup is tracked round-over-round
+    "q_vec_covariance_fast",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal

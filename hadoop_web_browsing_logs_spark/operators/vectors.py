@@ -413,3 +413,117 @@ def q_vec_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sxy") / nn - (F.col("sa") / nn) * (F.col("sb") / nn)).alias("cov"),
         )
     )
+
+
+#: Agreement tolerance for the fast-vs-exact covariance gate: the exact path
+#: quantizes each product on the 1e-6 dsum grid, so after the /n the two
+#: paths can differ by ~5e-7 per moment; 1e-5 is 20x that margin.
+COV_FAST_TOL = 1e-5
+
+
+def covariance_fast(vs: DataFrame) -> DataFrame:
+    """The 100 TB covariance path: per-Arrow-batch numpy Gram matrices.
+
+    The exact q_vec_covariance explodes d(d+1)/2 product rows per vector —
+    JVM-side and bit-exact, but the explode is ~d²/2 CPU per row. This twin
+    computes X'X per batch with one BLAS call inside ``mapInPandas`` and
+    ships only (d² upper triangle + d + 1) partial rows PER BATCH to one
+    tiny (i,j)-keyed sum — the classic distributed-Gram shape. The float
+    partial sums are batch-order dependent, so this is rows-only; its
+    calibrated gate proves agreement with the exact path within
+    COV_FAST_TOL on every cell. Non-finite elements are masked to 0.0 —
+    the same contribution the exact path's dsum skip gives their products.
+    """
+    d = EMBEDDING_DIM
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu0, iu1 = np.triu_indices(d)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            X = np.where(np.isfinite(X), X, 0.0)
+            G = X.T @ X
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(
+                        [iu0 + 1, np.zeros(d, dtype=np.int64), [0]]
+                    ),
+                    "j": np.concatenate(
+                        [iu1 + 1, np.arange(1, d + 1, dtype=np.int64), [0]]
+                    ),
+                    "v": np.concatenate(
+                        [G[iu0, iu1], X.sum(axis=0), [float(len(pdf))]]
+                    ),
+                }
+            )
+
+    part = vs.select("embedding").mapInPandas(gram, "i int, j int, v double")
+    # one tiny exchange: <= (d(d+1)/2 + d + 1) keys regardless of corpus size;
+    # checkpointed once for its three consumers (gram / mean / count slices)
+    agg = part.groupBy("i", "j").agg(F.sum("v").alias("v")).localCheckpoint(eager=False)
+    n = agg.filter((F.col("i") == 0) & (F.col("j") == 0)).select(F.col("v").alias("n"))
+    mean = agg.filter((F.col("i") == 0) & (F.col("j") > 0))
+    ma = mean.select(F.col("j").alias("i"), F.col("v").alias("sa"))
+    mb = mean.select(F.col("j").alias("j"), F.col("v").alias("sb"))
+    nn = F.col("n")
+    return (
+        agg.filter(F.col("i") > 0)
+        .join(ma, "i")
+        .join(mb, "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (F.col("v") / nn - (F.col("sa") / nn) * (F.col("sb") / nn)).alias("cov"),
+        )
+    )
+
+
+@query(
+    "q_vec_covariance_fast",
+    category="vector",
+    description=(
+        "Covariance matrix via per-batch numpy Gram partials (rows-only: "
+        "float partial sums are batch-order dependent; its calibrated gate "
+        "q_vec_covariance_fast_gate proves every cell agrees with the "
+        "bit-exact q_vec_covariance within 1e-5). The 100 TB scale path: "
+        "one BLAS X'X per Arrow batch, dimension-bounded partial rows, one "
+        "tiny keyed sum — no corpus-sized explode."
+    ),
+)
+def q_vec_covariance_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return covariance_fast(load_vectors(spark, sf_dir))
+
+
+@query(
+    "q_vec_covariance_fast_gate",
+    oracle="SELECT TRUE AS ok",
+    category="vector",
+    description=(
+        "Gate: the fast Gram-partial covariance equals the exact dsum-grid "
+        "covariance on EVERY upper-triangle cell within COV_FAST_TOL "
+        "(1e-5 — 20x the quantization-grid divergence bound), same cell "
+        "set, no NULLs. Calibrated-tagged: the tolerance is tuned for "
+        "finite-variance corpora; poison fixtures exercise both paths "
+        "through their own queries."
+    ),
+    tags=("calibrated",),
+)
+def q_vec_covariance_fast_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_vec_covariance(spark, sf_dir).withColumnRenamed("cov", "c_exact")
+    fast = q_vec_covariance_fast(spark, sf_dir).withColumnRenamed("cov", "c_fast")
+    d = EMBEDDING_DIM
+    n_cells = d * (d + 1) // 2
+    j = exact.join(fast, ["i", "j"], "full_outer")
+    return j.agg(
+        (
+            (F.count(F.lit(1)) == n_cells)
+            & (F.count("c_exact") == n_cells)
+            & (F.count("c_fast") == n_cells)
+            & (F.max(F.abs(F.col("c_exact") - F.col("c_fast"))) <= COV_FAST_TOL)
+        ).alias("ok")
+    )

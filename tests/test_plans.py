@@ -482,6 +482,9 @@ def test_python_stage_allowlist(spark):
         "q_agg_heavy_hitters",  # Misra-Gries sketch kernel (mapInPandas)
         "q_udtf_context_windows",  # PySpark-4 UDTF lateral-join demo (B14)
         "q_udf_cogrouped_map",  # cogrouped-map applyInPandas demo (B14)
+        # per-batch numpy Gram partials — the declared covariance scale path
+        # (rows-only + calibrated gate vs the bit-exact JVM twin)
+        "q_vec_covariance_fast", "q_vec_covariance_fast_gate",
     }
     offenders = {}
     for name, q in all_queries().items():
