@@ -628,3 +628,84 @@ def _lpa_oracle() -> str:
 )
 def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(_purchase_edges(spark, sf_dir)).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE reachability (round 9): Spark 4's WITH RECURSIVE surface,
+# exercised as hop-bounded BFS with exact path counts.
+# ---------------------------------------------------------------------------
+
+REACH_MAX_HOPS = 2
+REACH_SEED_MOD = 100
+
+#: The recursion body, ONE text shared by both engines (seeds/edges differ
+#: only in how each engine binds the inputs). Spark supports UNION ALL
+#: recursion only (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so termination
+#: comes from the hop bound, not frontier dedup — see the scale note below.
+_REACH_BODY = f"""
+    walk(node, hop) AS (
+        SELECT node, 0 AS hop FROM {{seeds}}
+        UNION ALL
+        SELECT e.dst AS node, w.hop + 1 AS hop
+        FROM walk w JOIN {{edges}} e ON e.src = w.node
+        WHERE w.hop < {REACH_MAX_HOPS}
+    )
+    SELECT node, CAST(MIN(hop) AS INT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_walks
+    FROM walk GROUP BY node
+"""
+
+
+def _reachability_oracle() -> str:
+    return f"""
+    WITH RECURSIVE el AS (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT src, dst FROM el UNION ALL SELECT dst, src FROM el),
+    seeds AS (
+        SELECT 'c' || CAST(MIN(o_custkey) AS VARCHAR) AS node
+        FROM orders WHERE o_custkey % {REACH_SEED_MOD} = 0
+    ),
+    {_REACH_BODY.format(seeds="seeds", edges="edges")}
+    """
+
+
+@query(
+    "q_graph_reachability",
+    oracle=_reachability_oracle(),
+    category="graph",
+    description=(
+        "Ego-network probe via Spark 4's WITH RECURSIVE: from ONE "
+        "deterministic seed customer (the smallest custkey divisible by "
+        f"{REACH_SEED_MOD}), every node within {REACH_MAX_HOPS} hops of "
+        "the undirected purchase graph, with its BFS distance AND its "
+        "exact <=K-hop walk count — all integer arithmetic, hash-identical "
+        "to DuckDB's recursive CTE running the SAME recursion body text. "
+        "Spark's recursive CTEs allow UNION ALL only (no frontier dedup), "
+        "so the walk multiplies by node degree each level and Spark "
+        "hard-stops at 1,000,000 recursion rows — a multi-seed 3-hop "
+        "variant hit that limit even at sf0.01 (measured), which is "
+        "exactly why this surface is for bounded-depth LOCAL neighborhood "
+        "queries; unbounded-depth reachability belongs to the "
+        "DISTINCT-frontier iterative shape (dedup.connected_components), "
+        "whose frontier is node-bounded. The walk table stays "
+        "(node, hop)-narrow; the outer MIN/COUNT is one hash aggregation."
+    ),
+    tags=("graph", "recursive"),
+)
+def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    el = _purchase_el(spark, sf_dir).select("src", "dst")
+    edges = el.union(el.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % REACH_SEED_MOD == 0)
+        .agg(
+            F.concat(F.lit("c"), F.min("o_custkey").cast("string")).alias("node")
+        )
+    )
+    # DataFrame parameter substitution ({seeds}/{edges} placeholders) binds
+    # the inputs without polluting the session catalog with temp views
+    return spark.sql(f"WITH RECURSIVE {_REACH_BODY}", seeds=seeds, edges=edges)
