@@ -883,3 +883,64 @@ def q_agg_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ok"),
     )
     return stitched
+
+
+@query(
+    "q_scalar_variant",
+    oracle="""
+    WITH c AS (
+        SELECT CASE
+                 WHEN props IS NULL THEN 'missing'
+                 WHEN NOT json_valid(props) THEN 'invalid'
+                 WHEN json_type(TRY_CAST(props AS JSON)) = 'NULL' THEN 'json_null'
+                 WHEN json_type(TRY_CAST(props AS JSON)) = 'OBJECT' THEN 'object'
+                 WHEN json_type(TRY_CAST(props AS JSON)) = 'ARRAY' THEN 'array'
+                 ELSE 'scalar'
+               END AS kind,
+               TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT kind, COUNT(*) AS n_rows, COUNT(k) AS n_k,
+           -- CAST: DuckDB's SUM(BIGINT) widens to HUGEINT; Spark's stays BIGINT
+           CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+    FROM c GROUP BY kind
+    """,
+    category="scalar",
+    description=(
+        "Spark 4 VARIANT surface over the hostile events.props JSON column: "
+        "try_parse_json + schema_of_variant classify every row into "
+        "missing/invalid/json_null/object/array/scalar, and "
+        "try_variant_get('$.k','bigint') extracts the typed field — NULL on "
+        "type mismatch, nested objects, and malformed input, probe-verified "
+        "identical to DuckDB's json_valid/json_type/json_extract_string "
+        "semantics on every poison class the adversarial fixture carries "
+        "(non-JSON, empty string, bare scalars, JSON null, nested k, "
+        "string-typed k). VARIANT is the shredding-friendly 100 TB path for "
+        "semi-structured columns: one parse, binary-encoded storage, typed "
+        "paths pushed down — vs re-parsing JSON text per expression. All "
+        "outputs exact integers."
+    ),
+)
+def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    vt = F.schema_of_variant(v)
+    kind = (
+        F.when(F.col("props").isNull(), "missing")
+        .when(vt.isNull(), "invalid")
+        .when(F.is_variant_null(v), "json_null")
+        .when(vt.startswith("OBJECT"), "object")
+        .when(vt.startswith("ARRAY"), "array")
+        .otherwise("scalar")
+    )
+    c = e.select(
+        kind.alias("kind"),
+        F.expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+    return c.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("k").alias("n_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
