@@ -833,3 +833,71 @@ def q_stream_interval_left_equiv_gate(spark: SparkSession, sf_dir: str) -> DataF
 )
 def q_stream_static_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_and_rollup(_batch_events(spark, sf_dir), spark)
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (round 9): Spark 4's arbitrary-stateful API — the
+# successor to applyInPandasWithState (typed value/list/map state, timers,
+# initial state, RocksDB-backed). ENV-GATED like the Kafka source: the
+# Python side of transformWithStateInPandas speaks protobuf to the state
+# server, and this image ships no `protobuf` package (and installs are
+# disallowed), so the operator raises with the exact dependency when the
+# gate fails; the processor logic, schemas, and query shape are real and
+# run unchanged on any cluster with protobuf + RocksDB available.
+# ---------------------------------------------------------------------------
+
+
+def transform_with_state_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401 — the exact probe
+
+        return True
+    except Exception:
+        return False
+
+
+def running_user_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-user cumulative event count via ``transformWithStateInPandas`` —
+    functionally the twin of :func:`running_user_counts`, rebuilt on the
+    Spark-4 StatefulProcessor API (named ValueState instead of one opaque
+    GroupState tuple; RocksDB provider required:
+    ``spark.sql.streaming.stateStore.providerClass =
+    ...state.RocksDBStateStoreProvider``).
+
+    tests/test_streaming.py::test_transform_with_state_running_counts pins
+    it equal to the batch ground truth when the dependency gate passes, and
+    is skipped (not silently green) where it cannot run.
+    """
+    if not transform_with_state_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the `protobuf` package "
+            "(pyspark's state-server protocol) — pip install protobuf, and "
+            "set spark.sql.streaming.stateStore.providerClass to the "
+            "RocksDBStateStoreProvider"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_so_far": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCount(),
+        outputStructType="user_id BIGINT, n_so_far BIGINT",
+        outputMode="Append",
+        timeMode="None",
+    )

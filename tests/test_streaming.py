@@ -495,3 +495,52 @@ def test_rate_source_soak_live_triggers(spark):
         assert prev is None or n >= prev, f"count shrank for {(win, key)}: {prev} -> {n}"
         last[(win, key)] = n
     assert any(n > 1 for n in last.values()), "no window ever accumulated"
+
+
+@pytest.mark.skipif(
+    not SW.transform_with_state_available(),
+    reason="transformWithStateInPandas needs the protobuf package (not on this image)",
+)
+def test_transform_with_state_running_counts(spark, two_batch_dir):
+    # the Spark-4 StatefulProcessor twin of the GroupState counter: state
+    # crosses the two micro-batches, final per-user counts match batch truth
+    d, half, n = two_batch_dir
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = SW.read_events_stream(spark, d)
+        counts = SW.running_user_counts_tws(stream)
+        q = counts.writeStream.outputMode("append").format("memory").queryName("tws_out").start()
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql(
+            "SELECT user_id, MAX(n_so_far) AS final FROM tws_out GROUP BY user_id"
+        ).collect()
+        per_user = {r.user_id: r.final for r in rows}
+        from hadoop_web_browsing_logs_spark.sources.readers import load_table
+
+        truth = {
+            r.user_id: r.n
+            for r in load_table(spark, SF_DIR, "events").groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+        }
+        dup_user = load_table(spark, SF_DIR, "events").orderBy("event_id").limit(1).collect()[0].user_id
+        truth[dup_user] += 1
+        assert per_user == truth
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_transform_with_state_gate_is_honest(spark):
+    # where the dependency gate fails, the operator must raise the exact
+    # dependency, never silently degrade
+    if SW.transform_with_state_available():
+        pytest.skip("protobuf present — the positive-path test covers this env")
+    stream_like = spark.createDataFrame([(1, 1)], ["event_id", "user_id"])
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        SW.running_user_counts_tws(stream_like)
