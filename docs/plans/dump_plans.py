@@ -81,6 +81,7 @@ DUMPED = [
     "q_graph_reachability",
     "q_scalar_variant",
     "q_vec_covariance_fast",
+    "q_llm_corpus_funnel",
     # q_dedup_keep_canonical is NOT dumped: connected-components builds its
     # plan by iterative lineage extension, so the explain output is ~10k
     # lines of repeated join blocks — noise, not evidence. Its scale shape

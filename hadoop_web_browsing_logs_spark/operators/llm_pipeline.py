@@ -1328,3 +1328,78 @@ def q_llm_bpe_encode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) == n) & (F.sum("g") == n) & (F.sum("w") == n)
         ).alias("ok")
     )
+
+
+@query(
+    "q_llm_corpus_funnel",
+    oracle=f"""
+    WITH d AS (
+        SELECT source,
+               md5(lower(trim(text))) AS fp,
+               len({_TOKS}) AS n_tok
+        FROM documents
+    ),
+    q AS (SELECT * FROM d WHERE n_tok BETWEEN 10 AND 5000),
+    u AS (SELECT source, fp, MIN(n_tok) AS n_tok FROM q GROUP BY source, fp),
+    raw AS (SELECT source, COUNT(*) AS n_raw FROM d GROUP BY source),
+    qc AS (SELECT source, COUNT(*) AS n_quality FROM q GROUP BY source),
+    uc AS (SELECT source, COUNT(*) AS n_unique,
+                  CAST(SUM(n_tok) AS BIGINT) AS tokens_final
+           FROM u GROUP BY source)
+    SELECT raw.source,
+           n_raw,
+           CAST(COALESCE(n_quality, 0) AS BIGINT) AS n_quality,
+           CAST(COALESCE(n_unique, 0) AS BIGINT) AS n_unique,
+           CAST(COALESCE(tokens_final, 0) AS BIGINT) AS tokens_final
+    FROM raw
+    LEFT JOIN qc ON raw.source IS NOT DISTINCT FROM qc.source
+    LEFT JOIN uc ON raw.source IS NOT DISTINCT FROM uc.source
+    """,
+    category="llm",
+    description=(
+        "Corpus funnel report: the per-source stage counts a training-data "
+        "pipeline publishes with every snapshot — raw documents, quality "
+        "survivors (10-5000 token rule; NULL-token docs fail the BETWEEN "
+        "identically on both engines), exact-dedup survivors (MD5 "
+        "fingerprint groups among quality passers), and the final token "
+        "budget over the deduped set. Composition of certified stages in "
+        "ONE lazy DAG: the doc-sized (source, fp, n_tok) projection is "
+        "computed once and feeds all three stage aggregations; every join "
+        "key is null-safe (IS NOT DISTINCT FROM / eqNullSafe) so a "
+        "NULL-source batch reconciles instead of silently dropping. All "
+        "outputs exact BIGINTs."
+    ),
+)
+def q_llm_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text_stats import fingerprint_md5
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
+    d = docs.select(
+        "source", fingerprint_md5("text").alias("fp"), F.size(toks).alias("n_tok")
+    ).localCheckpoint(eager=False)
+    q = d.filter((F.col("n_tok") >= 10) & (F.col("n_tok") <= 5000))
+    u = q.groupBy("source", "fp").agg(F.min("n_tok").alias("n_tok"))
+    raw = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    qc = q.groupBy("source").agg(F.count(F.lit(1)).alias("_nq")).withColumnRenamed(
+        "source", "_qs"
+    )
+    uc = (
+        u.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("_nu"),
+            F.sum("n_tok").cast("bigint").alias("_tf"),
+        )
+        .withColumnRenamed("source", "_us")
+    )
+    return (
+        raw.join(qc, F.col("source").eqNullSafe(F.col("_qs")), "left")
+        .join(uc, F.col("source").eqNullSafe(F.col("_us")), "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce(F.col("_nq"), F.lit(0)).cast("bigint").alias("n_quality"),
+            F.coalesce(F.col("_nu"), F.lit(0)).cast("bigint").alias("n_unique"),
+            F.coalesce(F.col("_tf"), F.lit(0)).cast("bigint").alias("tokens_final"),
+        )
+    )
