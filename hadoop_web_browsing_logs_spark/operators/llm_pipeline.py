@@ -1403,3 +1403,62 @@ def q_llm_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_tf"), F.lit(0)).cast("bigint").alias("tokens_final"),
         )
     )
+
+
+#: Multinomial sampling temperature for the source mix (LLaMA-style n^alpha).
+MIX_ALPHA = 0.5
+
+
+@query(
+    "q_llm_temperature_mix",
+    oracle=f"""
+    WITH sized AS (
+        SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (SELECT source, n_tokens, POWER(n_tokens, 0.5) AS w_raw FROM sized),
+    -- dsum discipline even over a |sources|-row table: the denominator is a
+    -- float sum, so it quantizes to micro-BIGINTs before summing — weight
+    -- ratios never depend on row order or partitioning
+    tot AS (SELECT CAST(SUM(CAST(ROUND(w_raw * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS denom FROM w)
+    SELECT source, n_tokens,
+           w_raw / tot.denom AS weight,
+           CAST(ROUND(w_raw / tot.denom * 1000000) AS BIGINT) AS ppm
+    FROM w CROSS JOIN tot
+    """,
+    category="llm",
+    description=(
+        "Temperature-weighted source mixing (alpha=0.5): per-source "
+        "sampling weights proportional to n_tokens^alpha — the multinomial "
+        "upsampling that keeps small high-quality sources from drowning "
+        "under web-scale ones. Per-source token totals are exact BIGINTs "
+        "from one corpus pass; the weight denominator quantizes on the "
+        "micro grid (dsum discipline) so the published weights — emitted "
+        "both as raw doubles and integer parts-per-million — are "
+        "bit-identical across engines and partitionings."
+    ),
+)
+def q_llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
+    sized = docs.groupBy("source").agg(
+        F.sum(F.size(toks)).cast("bigint").alias("n_tokens")
+    )
+    w = sized.withColumn("w_raw", F.pow("n_tokens", F.lit(0.5)))
+    tot = w.agg(
+        (
+            F.sum(F.round(F.col("w_raw") * 1000000).cast("bigint")).cast("double")
+            / 1000000
+        ).alias("denom")
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            (F.col("w_raw") / F.col("denom")).alias("weight"),
+            F.round(F.col("w_raw") / F.col("denom") * 1000000)
+            .cast("bigint")
+            .alias("ppm"),
+        )
+    )
