@@ -139,7 +139,13 @@ def adversarial_sf(tmp_path_factory):
         -- backslashes/quotes (the merge-fold SQL-literal escaping path)
         (93000, repeat('ab', 1500),   'en', 'webx', 3000),
         (93005, repeat('zq ', 20000), 'en', 'webx', 60000),
-        (93010, 'a\b a\b c''d c''d', 'xx', 'webx', 15)
+        (93010, 'a\b a\b c''d c''d', 'xx', 'webx', 15),
+        -- round 9b: a NULL-source doc that PASSES the 10-5000-token quality
+        -- rule — the funnel's NULL-source group then exists in BOTH stage
+        -- aggregates, so only a null-safe (eqNullSafe / IS NOT DISTINCT
+        -- FROM) source join reconciles it; a plain equi-join would silently
+        -- zero the group's downstream stages
+        (93015, 'one two three four five six seven eight nine ten eleven twelve', 'en', NULL, 62)
       ) AS t(doc_id, text, lang, source, n_chars)
     ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
     """)
