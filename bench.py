@@ -101,6 +101,13 @@ HEADLINE = [
     # the covariance scale twin: benched next to its exact baseline so the
     # Gram-partial speedup is tracked round-over-round
     "q_vec_covariance_fast",
+    # round-10 additions (VERDICT r9 items 4+5), tracked from first
+    # certified round: the dangling-redistribution PageRank (the variant
+    # with one extra per-iteration scalar exchange — SCALE.md records the
+    # plain-vs-dangling delta) and the hash-provable Lloyd k-means (3
+    # iterations × broadcast assignment fold + K·d-bounded centroid sums).
+    "q_graph_pagerank_dangling",
+    "q_vec_kmeans_lloyd",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal

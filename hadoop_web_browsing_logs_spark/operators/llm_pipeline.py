@@ -1451,14 +1451,18 @@ def q_llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("denom")
     )
+    # try_divide, not `/` (ADVICE r9): on a degenerate all-empty corpus every
+    # w_raw is 0 and the quantized denom is exactly 0 — ANSI Spark would throw
+    # DIVIDE_BY_ZERO where DuckDB's plain division yields NULL. try_divide is
+    # DuckDB's exact semantics and bit-identical for non-zero denominators
+    # (the repo-wide discipline; see cosine_similarity).
+    weight = F.try_divide(F.col("w_raw"), F.col("denom"))
     return (
         w.crossJoin(F.broadcast(tot))
         .select(
             "source",
             "n_tokens",
-            (F.col("w_raw") / F.col("denom")).alias("weight"),
-            F.round(F.col("w_raw") / F.col("denom") * 1000000)
-            .cast("bigint")
-            .alias("ppm"),
+            weight.alias("weight"),
+            F.round(weight * 1000000).cast("bigint").alias("ppm"),
         )
     )

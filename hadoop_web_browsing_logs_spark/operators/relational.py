@@ -1032,14 +1032,24 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- total (malformed JSON → NULL) but DuckDB's json_extract_string RAISES
     -- on it, and a non-numeric k crashed both engines' BIGINT cast — under
     -- the guard+try_cast, malformed JSON and wrong-typed values contribute
-    -- NULL (skipped by SUM/MAX) identically in both engines
+    -- NULL (skipped by SUM/MAX) identically in both engines.
+    -- Strict-integral regexp guard (round 10, probe-verified): Spark's
+    -- try_cast(string AS BIGINT) is NULL on ANY non-integral string
+    -- ('5.7', '5.0', '0.25', 'true') where DuckDB's TRY_CAST would round
+    -- ('5.7' -> 6) or accept ('5.0' -> 5); both trim and accept a sign.
+    WITH x AS (
+        SELECT event_type,
+               CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS ks
+        FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(TRY_CAST(CASE WHEN json_valid(props)
-                                  THEN json_extract_string(props, '$.k') END AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(MAX(TRY_CAST(CASE WHEN json_valid(props)
-                                  THEN json_extract_string(props, '$.k') END AS BIGINT)) AS BIGINT) AS max_k
-    FROM events
+           CAST(SUM(CASE WHEN regexp_matches(trim(ks), '^[+-]?[0-9]+$')
+                         THEN TRY_CAST(trim(ks) AS BIGINT) END) AS BIGINT) AS sum_k,
+           CAST(MAX(CASE WHEN regexp_matches(trim(ks), '^[+-]?[0-9]+$')
+                         THEN TRY_CAST(trim(ks) AS BIGINT) END) AS BIGINT) AS max_k
+    FROM x
     GROUP BY event_type
     """,
     category="scalar",

@@ -888,17 +888,39 @@ def q_agg_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_scalar_variant",
     oracle="""
-    WITH c AS (
+    WITH j AS (
+        SELECT props, TRY_CAST(props AS JSON) AS pj,
+               json_type(json_extract(TRY_CAST(props AS JSON), '$.k')) AS kt,
+               json_extract_string(TRY_CAST(props AS JSON), '$.k') AS ks
+        FROM events
+    ),
+    c AS (
         SELECT CASE
                  WHEN props IS NULL THEN 'missing'
                  WHEN NOT json_valid(props) THEN 'invalid'
-                 WHEN json_type(TRY_CAST(props AS JSON)) = 'NULL' THEN 'json_null'
-                 WHEN json_type(TRY_CAST(props AS JSON)) = 'OBJECT' THEN 'object'
-                 WHEN json_type(TRY_CAST(props AS JSON)) = 'ARRAY' THEN 'array'
+                 WHEN json_type(pj) = 'NULL' THEN 'json_null'
+                 WHEN json_type(pj) = 'OBJECT' THEN 'object'
+                 WHEN json_type(pj) = 'ARRAY' THEN 'array'
                  ELSE 'scalar'
                END AS kind,
-               TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k
-        FROM events
+               -- Replicate Spark's try_variant_get(..., 'bigint') CAST
+               -- semantics per JSON type (ADVICE r9, probe-verified):
+               -- doubles TRUNCATE toward zero (5.7 -> 5, where DuckDB's
+               -- string TRY_CAST would round to 6), booleans map to 1/0
+               -- (DuckDB: NULL), and strings parse only when strictly
+               -- integral (' 5 '/'+5' -> 5, but '5.7' AND '5.0' -> NULL
+               -- where DuckDB would accept); int64 overflow -> NULL both.
+               CASE kt
+                 WHEN 'UBIGINT' THEN TRY_CAST(ks AS BIGINT)
+                 WHEN 'BIGINT'  THEN TRY_CAST(ks AS BIGINT)
+                 WHEN 'DOUBLE'  THEN TRY_CAST(TRUNC(TRY_CAST(ks AS DOUBLE)) AS BIGINT)
+                 WHEN 'BOOLEAN' THEN CASE ks WHEN 'true' THEN 1 WHEN 'false' THEN 0 END
+                 WHEN 'VARCHAR' THEN CASE
+                     WHEN regexp_matches(trim(ks), '^[+-]?[0-9]+$')
+                     THEN TRY_CAST(trim(ks) AS BIGINT) END
+                 ELSE NULL
+               END AS k
+        FROM j
     )
     SELECT kind, COUNT(*) AS n_rows, COUNT(k) AS n_k,
            -- CAST: DuckDB's SUM(BIGINT) widens to HUGEINT; Spark's stays BIGINT
@@ -915,7 +937,10 @@ def q_agg_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "identical to DuckDB's json_valid/json_type/json_extract_string "
         "semantics on every poison class the adversarial fixture carries "
         "(non-JSON, empty string, bare scalars, JSON null, nested k, "
-        "string-typed k). VARIANT is the shredding-friendly 100 TB path for "
+        "string-typed k, and — round 10, ADVICE r9 — float/boolean/"
+        "decimal-string/int64-overflow k: the oracle replicates Spark's "
+        "variant CAST per json_type, truncating doubles and mapping "
+        "booleans to 1/0). VARIANT is the shredding-friendly 100 TB path for "
         "semi-structured columns: one parse, binary-encoded storage, typed "
         "paths pushed down — vs re-parsing JSON text per expression. All "
         "outputs exact integers."

@@ -527,3 +527,196 @@ def q_vec_covariance_fast_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.max(F.abs(F.col("c_exact") - F.col("c_fast"))) <= COV_FAST_TOL)
         ).alias("ok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10 (VERDICT r9 item 5): hash-provable Lloyd's k-means.
+#
+# q_vec_kmeans stays the full MLlib capability (seeded, rows-only + purity
+# gate); this twin makes the ITERATIVE RECURRENCE itself driver-hashable —
+# the same move that turned PageRank/LPA/BPE hash-provable. Fixed K (the
+# N_CENTERS seed points), fixed iteration count, squared-L2 assignment with
+# the deterministic (dist, center_id) struct-min tie-break, and centroid
+# updates whose per-dimension sums run through the fixed-point dsum kernel —
+# so every centroid coordinate is bit-identical across engines and
+# partitionings, and a DuckDB oracle can unroll the same recurrence as a
+# CTE chain. Empty clusters (and all-non-finite dimensions, which dsum
+# skips) COALESCE to the previous centroid per dimension on both engines.
+# ---------------------------------------------------------------------------
+
+LLOYD_ITERATIONS = 3
+
+
+def _l2sq(vec: F.Column | str, c: F.Column) -> F.Column:
+    """Sequential-accumulation squared L2 distance in DOUBLE — same fold
+    shape as functions.vector.dot (verified bit-identical with DuckDB's
+    ordered list_sum)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.aggregate(
+        F.zip_with(
+            v, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def kmeans_lloyd(
+    vs: DataFrame, centers: DataFrame, iterations: int = LLOYD_ITERATIONS
+) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means over (vec_id, embedding) rows.
+
+    ``centers`` must have (center_id INT, c ARRAY<DOUBLE>). Returns the
+    final (center_id, c, n_members) — n_members from the LAST assignment
+    (0 for a cluster that went empty; its centroid carries forward).
+
+    Scale shape (the PageRank iterative-join skeleton): per iteration the
+    corpus is scanned ONCE, assignment is a map-only broadcast of the
+    K-row center array (array_min struct fold — no exchange), and the only
+    shuffle is the (center_id, dim)-keyed centroid sum, which partial
+    aggregation collapses to <= K*d rows per partition before the exchange.
+    The K-row center table is lazily checkpointed per iteration: it is
+    consumed twice per step (assignment + carry-forward join), so an
+    untruncated plan would re-execute the corpus scan 2^k times.
+    """
+    from .relational import dsum
+
+    for _ in range(iterations):
+        c_arr = centers.agg(F.collect_list(F.struct("center_id", "c")).alias("_cs"))
+        best = F.array_min(
+            F.transform(
+                "_cs",
+                lambda c0: F.struct(
+                    _l2sq("embedding", c0["c"]).alias("dist"),
+                    c0["center_id"].alias("center_id"),
+                ),
+            )
+        )
+        assign = (
+            vs.crossJoin(F.broadcast(c_arr))
+            .withColumn("_best", best)
+            .select(F.col("_best.center_id").alias("center_id"), "embedding")
+        )
+        sums = (
+            assign.select("center_id", F.posexplode("embedding").alias("i0", "x"))
+            .select("center_id", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+            .groupBy("center_id", "i")
+            .agg(dsum("x", 6).alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        upd = sums.groupBy("center_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", (F.col("s") / F.col("n")).alias("m")))),
+                lambda s: s["m"],
+            ).alias("c_new"),
+            F.max("n").alias("n_new"),
+        )
+        centers = (
+            centers.select("center_id", F.col("c").alias("c_prev"))
+            .join(upd, "center_id", "left")
+            .select(
+                "center_id",
+                # per-dimension carry-forward: NULL mean (empty cluster, or
+                # a dimension whose every contribution was non-finite and
+                # dsum-skipped) keeps the previous coordinate
+                F.zip_with(
+                    F.coalesce("c_new", F.array_repeat(F.lit(None).cast("double"), F.size("c_prev"))),
+                    "c_prev",
+                    lambda m, p: F.coalesce(m, p),
+                ).alias("c"),
+                F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_members"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return centers
+
+
+def _lloyd_oracle() -> str:
+    from .relational import dsum_sql
+
+    d1 = EMBEDDING_DIM + 1
+    l2 = (
+        f"list_sum(list_transform(range(1, {d1}), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i])"
+        " * (CAST(e.embedding[i] AS DOUBLE) - c.c[i])))"
+    )
+    sql = f"""
+    WITH v AS (SELECT vec_id, embedding FROM {DUCK_VECTORS}),
+    c0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS center_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c,
+               CAST(0 AS BIGINT) AS n_members
+        FROM v WHERE vec_id < {N_CENTERS}
+    )"""
+    for k in range(1, LLOYD_ITERATIONS + 1):
+        sql += f""",
+    a{k} AS (
+        SELECT vec_id, center_id FROM (
+            SELECT e.vec_id, c.center_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {l2}, c.center_id) AS rn
+            FROM v e CROSS JOIN c{k - 1} c
+        ) WHERE rn = 1
+    ),
+    s{k} AS (
+        SELECT a.center_id, u.i,
+               {dsum_sql('CAST(e.embedding[u.i] AS DOUBLE)', 6)} AS s,
+               COUNT(*) AS n
+        FROM a{k} a JOIN v e USING (vec_id), UNNEST(range(1, {d1})) AS u(i)
+        GROUP BY a.center_id, u.i
+    ),
+    c{k} AS (
+        SELECT p.center_id,
+               list_transform(range(1, {d1}),
+                              i -> COALESCE(m.c[i], p.c[i])) AS c,
+               CAST(COALESCE(m.n, 0) AS BIGINT) AS n_members
+        FROM c{k - 1} p LEFT JOIN (
+            SELECT center_id, list(s / n ORDER BY i) AS c, MAX(n) AS n
+            FROM s{k} GROUP BY center_id
+        ) m USING (center_id)
+    )"""
+    sql += f"""
+    SELECT center_id, u.i AS dim,
+           CAST(ROUND(c[u.i] * 1000000) AS BIGINT) AS micro,
+           n_members
+    FROM c{LLOYD_ITERATIONS}, UNNEST(range(1, {d1})) AS u(i)
+    ORDER BY center_id, dim"""
+    return sql
+
+
+@query(
+    "q_vec_kmeans_lloyd",
+    oracle=_lloyd_oracle(),
+    category="vector",
+    description=(
+        "Hash-provable Lloyd's k-means (VERDICT r9 item 5, delivered as a "
+        "fully-oracled query rather than the suggested boolean gate): "
+        f"{LLOYD_ITERATIONS} fixed iterations from the {N_CENTERS} "
+        "deterministic seed points, squared-L2 assignment with the "
+        "(dist, center_id) struct-min tie-break (map-only broadcast fold, "
+        "no exchange), centroid updates from (center_id, dim)-keyed "
+        "fixed-point dsum(6) sums (the ONLY per-iteration shuffle, "
+        "partial-agg-bounded to K*d rows per partition), empty clusters "
+        "carried forward per dimension. Emits every final centroid "
+        "coordinate on the micro grid plus final member counts — the "
+        "DuckDB oracle unrolls the identical recurrence as a CTE chain, "
+        "so the hash proves the full iterative loop like PageRank/LPA/BPE."
+    ),
+    tags=("vector", "iterative"),
+)
+def q_vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vs = load_vectors(spark, sf_dir)
+    seeds = vs.filter(F.col("vec_id") < N_CENTERS).select(
+        F.col("vec_id").cast("int").alias("center_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+    final = kmeans_lloyd(vs, seeds)
+    return final.select(
+        "center_id",
+        F.posexplode("c").alias("i0", "m"),
+        "n_members",
+    ).select(
+        "center_id",
+        (F.col("i0") + 1).alias("dim"),
+        F.round(F.col("m") * 1000000).cast("bigint").alias("micro"),
+        "n_members",
+    )

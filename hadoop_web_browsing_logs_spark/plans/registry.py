@@ -40,83 +40,91 @@ _REGISTRY: dict[str, Query] = {}
 #: round-2 cohort; round 6 seated the stream gate + minhash re-seats + the
 #: round-3 cohort; round 7 the round-4 remainder; round 8 the
 #: never-certified stream/dedup/skew/LLM queries, the dsum-kernel cohort,
-#: and the entire round-5 cohort. Round 9 (VERDICT r8 item 1) is
-#: certification catch-up for the TWENTY oracled queries registered late in
-#: round 8 that have pytest-oracle greens but no driver row (graph,
-#: events-statistics, fuzzy-vocab, incremental-LSH, sketch/heavy-hitter,
-#: MV-refresh, UDTF/cogrouped, weighted-sample, quality-mix, BPE
-#: first-merge, snapshot-diff), plus: the two NEW round-9 queries
-#: (dangling-redistribution PageRank, the full-BPE-loop gate), the
-#: round-9-MODIFIED re-seat (q_stream_interval_left_equiv_gate's null-safe
-#: sentinel strip — ADVICE r8), q_udf_python_row (displaced since r5 —
-#: VERDICT item 1 explicitly queues it), and the three queries whose
-#: DuckDB oracles gained the round-8 punctuation strip with no driver row
-#: since (q_text_tfidf, q_text_inverted_index, q_ref_pipeline_unstemmed).
-#: The remaining 23 seats take the round-6 cohort head (oldest-green-first;
-#: its 11-row tail rolls to round 10). After r9, every oracled query's
-#: last driver-green is r6+ with no r6 row older than the window can reach.
-#: Rows-only queries stay out of the window by design (the driver's
+#: and the entire round-5 cohort; round 9 the twenty late-round-8
+#: registrations + the round-6 cohort head (CORRECTNESS_r09: 50/50 green).
+#:
+#: Round 10 (VERDICT r9 items 1/5, ADVICE r9): slots 1-13 are the THIRTEEN
+#: oracled queries registered after the round-9 window was seated — they
+#: were pytest-oracle-only with NO driver row at all (the r9 registry
+#: comment overstated this; ADVICE r9 low #4): BM25, the events-statistics
+#: quartet (Welch/EWMA/Spearman/affinity), exact covariance + the fast-twin
+#: gate, label propagation, WITH RECURSIVE reachability, VARIANT, corpus
+#: funnel, temperature mix, and the BPE-encode gate. Slots 14-24 are the
+#: round-6 cohort tail (last green r6 — the oldest rows in the system).
+#: Then the NEW round-10 query (q_vec_kmeans_lloyd — the hash-provable
+#: Lloyd recurrence, VERDICT item 5) and the round-10-MODIFIED re-seat
+#: (q_scalar_json — its oracle gained the strict-integral try_cast guard
+#: for the typed-k poison classes). The remaining 24 seats take the
+#: round-7 cohort head oldest-green-first (23 of its 45, alphabetical;
+#: the 21-row tail rolls to r11) plus q_dedup_embedding_bucketed (last
+#: green r8) so the bucketed embedding path earns the second driver-green
+#: row VERDICT item 8 requires before the quadratic q_dedup_embedding
+#: baseline can be demoted to a pytest-only differential twin.
+#: NOTE: q_scalar_variant and q_llm_temperature_mix were ALSO modified
+#: this round (oracle typed-cast alignment; try_divide) — both sit in the
+#: never-certified head, so their first driver row certifies the fixed
+#: code. Rows-only queries stay out of the window by design (the driver's
 #: rows-only check is weak; their oracled _gate twins are seated instead
 #: and pytest replays them each run).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never driver-certified: the 20 late-round-8 registrations ---
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_events_correlation",
-    "q_events_chisq",
-    "q_events_winsorize",
-    "q_events_path_mining",
-    "q_events_robust_zscore",
-    "q_events_trend",
-    "q_events_conversion_latency",
-    "q_dedup_fuzzy_vocab",
-    "q_dedup_incremental_lsh",
-    "q_agg_sketch_reaggregate",
-    "q_agg_heavy_hitters",
-    "q_incremental_agg_refresh",
-    "q_llm_weighted_sample",
-    "q_llm_quality_filter_mix",
-    "q_llm_bpe_first_merge",
-    "q_snapshot_diff",
-    "q_udtf_context_windows",
-    "q_udf_cogrouped_map",
-    # --- NEW round-9 queries ---
-    "q_graph_pagerank_dangling",
-    "q_llm_bpe_merges_gate",
-    # --- round-9-MODIFIED re-seat (ADVICE r8 null-safe sentinel strip) ---
-    "q_stream_interval_left_equiv_gate",
-    # --- displaced since round 5; queued by VERDICT r8 item 1 ---
-    "q_udf_python_row",
-    # --- oracle-only round-8 text fixes (Spark sides unchanged): the
-    # punctuation strip landed in the DuckDB twins without a driver row ---
-    "q_text_tfidf",
-    "q_text_inverted_index",
-    "q_ref_pipeline_unstemmed",
-    # --- round-6 cohort head (oldest-green-first, 23 of 34; the 11-row
-    # tail — multimodal/profile/scalar2/set/window rows — rolls to r10) ---
-    "q_agg_percentile",
-    "q_agg_stringagg",
-    "q_asof_join",
-    "q_dedup_components",
-    "q_dedup_jaccard_pairs",
-    "q_dedup_keep_canonical",
-    "q_dedup_minhash_gate",
-    "q_dedup_minhash_lsh_gate",
-    "q_dedup_minhash_lsh_portable",
-    "q_dedup_substring",
-    "q_distinct",
-    "q_events_funnel",
-    "q_filter_project",
-    "q_join_anti",
-    "q_join_bloom_prefilter",
-    "q_join_full",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_theta",
-    "q_llm_chunk",
-    "q_llm_quality_rules",
-    "q_llm_repetition_rules",
-    "q_llm_scrub",
+    # --- never driver-certified: the 13 post-seat round-9 registrations ---
+    "q_text_bm25",
+    "q_events_ab_welch",
+    "q_events_ewma",
+    "q_events_spearman",
+    "q_events_type_affinity",
+    "q_vec_covariance",
+    "q_graph_label_propagation",
+    "q_graph_reachability",
+    "q_scalar_variant",
+    "q_llm_corpus_funnel",
+    "q_llm_temperature_mix",
+    "q_llm_bpe_encode_gate",
+    "q_vec_covariance_fast_gate",
+    # --- round-6 cohort tail (last driver-green r6, oldest in system) ---
+    "q_multimodal_frame_sample",
+    "q_profile_documents",
+    "q_quality_expectations",
+    "q_scalar_array2",
+    "q_scalar_string2",
+    "q_set_ops",
+    "q_topk_per_group",
+    "q_unpivot",
+    "q_window_frames",
+    "q_window_lag_lead",
+    "q_window_ntile",
+    # --- NEW round-10 query (VERDICT r9 item 5) ---
+    "q_vec_kmeans_lloyd",
+    # --- round-10-MODIFIED re-seat: strict-integral oracle guard ---
+    "q_scalar_json",
+    # --- round-7 cohort head (oldest-green-first, 23 of 45 alphabetical;
+    # the 21-row tail — sim/stream/text/window rows — rolls to r11) ---
+    "q1_pricing_summary",
+    "q_agg_approx_distinct_gate",
+    "q_agg_approx_percentile_gate",
+    "q_agg_histogram",
+    "q_dedup_embedding",
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
+    "q_events_anomaly_zscore",
+    "q_events_attribution",
+    "q_events_gapfill",
+    "q_events_retention",
+    "q_events_rollup_multires",
+    "q_join_inner",
+    "q_join_nullsafe",
+    "q_llm_decontaminate",
+    "q_llm_mix_stratified",
+    "q_llm_split",
+    "q_llm_split_leakage_safe",
+    "q_multimodal_features",
+    "q_scalar_map",
+    "q_scalar_string",
+    "q_sim_cosine_topk",
+    # --- second consecutive driver-green for the bucketed embedding path
+    # (VERDICT r9 item 8 demotion prerequisite; last green r8) ---
+    "q_dedup_embedding_bucketed",
 )
 
 

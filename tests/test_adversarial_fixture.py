@@ -139,13 +139,39 @@ def adversarial_sf(tmp_path_factory):
         -- backslashes/quotes (the merge-fold SQL-literal escaping path)
         (93000, repeat('ab', 1500),   'en', 'webx', 3000),
         (93005, repeat('zq ', 20000), 'en', 'webx', 60000),
-        (93010, 'a\b a\b c''d c''d', 'xx', 'webx', 15),
+        -- REAL backslashes (ADVICE r9: the prior '\b' sat in a non-raw
+        -- Python f-string, so a BACKSPACE control char reached the data,
+        -- not a backslash — the merge-fold backslash-escaping path was
+        -- never exercised here; '\\b' in this Python source puts a literal
+        -- backslash into the SQL text, and DuckDB string literals do not
+        -- process backslash escapes)
+        (93010, 'a\\b a\\b c''d c''d', 'xx', 'webx', 15),
+        -- keep the accidental-but-useful class too: an explicit BACKSPACE
+        -- control character inside words (chr(8))
+        (93011, 'a' || chr(8) || 'e a' || chr(8) || 'e zz', 'xx', 'webx', 9),
         -- round 9b: a NULL-source doc that PASSES the 10-5000-token quality
         -- rule — the funnel's NULL-source group then exists in BOTH stage
         -- aggregates, so only a null-safe (eqNullSafe / IS NOT DISTINCT
         -- FROM) source join reconciles it; a plain equi-join would silently
         -- zero the group's downstream stages
-        (93015, 'one two three four five six seven eight nine ten eleven twelve', 'en', NULL, 62)
+        (93015, 'one two three four five six seven eight nine ten eleven twelve', 'en', NULL, 62),
+        -- round 10 (VERDICT r9 item 6): BM25 + temperature-mix classes.
+        -- A doc that is ONLY query terms at saturating tf (tiny dl, the
+        -- tf/(tf+k1*norm) kernel near its asymptote)
+        (93020, 'spark spark spark spark hash merge spark window', 'en', 'webx', 48),
+        -- an all-stopword doc: empty after the stopword filter, zero
+        -- query-term overlap for BM25 (no per-doc row) but still counted
+        -- in N and avgdl on both engines
+        (93025, 'the and of to in is it that', 'en', 'webx', 28),
+        -- a source whose ONLY doc tokenizes to zero tokens: n_tokens = 0,
+        -- so the temperature-mix weight is exactly 0 (POWER(0, .5)) and
+        -- every funnel stage after raw zeroes out — 0 must survive the
+        -- micro-quantized denominator, distinctly from NULL
+        (93030, '   ', 'en', 'src_zero_tok', 3),
+        -- a source whose ONLY doc has NULL text: SUM(size) is NULL on both
+        -- engines, so w_raw/weight/ppm are NULL end to end (the engines
+        -- must agree that NULL-tokens is not zero-tokens)
+        (93035, NULL, 'en', 'src_null_text', 0)
       ) AS t(doc_id, text, lang, source, n_chars)
     ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
     """)
@@ -181,7 +207,32 @@ def adversarial_sf(tmp_path_factory):
         -- a user with both would get different SCD2 change sequences per
         -- engine (Spark windows sort NULLS FIRST, DuckDB NULLS LAST) unless
         -- null event times are excluded, which both sides now do
-        (920007, TIMESTAMP '2024-03-04 01:00:00', 7103, 'click', 1.0, NULL)
+        (920007, TIMESTAMP '2024-03-04 01:00:00', 7103, 'click', 1.0, NULL),
+        -- round 10 (ADVICE r9): float/boolean/decimal-string/overflow/
+        -- exponent-typed k — pins the typed-cast choice on BOTH JSON paths:
+        -- q_scalar_variant's oracle replicates Spark's variant CAST
+        -- (truncate doubles, bool->1/0, integral-only strings) and
+        -- q_scalar_json's oracle replicates try_cast(string) (NULL on any
+        -- non-integral text where DuckDB's TRY_CAST would round or accept)
+        (930001, TIMESTAMP '2024-03-05 00:00:00', 7301, 'view', 1.0, '{{"k": 5.7}}'),
+        (930002, TIMESTAMP '2024-03-05 00:01:00', 7301, 'view', 1.0, '{{"k": -5.7}}'),
+        (930003, TIMESTAMP '2024-03-05 00:02:00', 7301, 'view', 1.0, '{{"k": 5.0}}'),
+        (930004, TIMESTAMP '2024-03-05 00:03:00', 7301, 'view', 1.0, '{{"k": true}}'),
+        (930005, TIMESTAMP '2024-03-05 00:04:00', 7301, 'view', 1.0, '{{"k": false}}'),
+        (930006, TIMESTAMP '2024-03-05 00:05:00', 7301, 'view', 1.0, '{{"k": "5.7"}}'),
+        (930007, TIMESTAMP '2024-03-05 00:06:00', 7301, 'view', 1.0, '{{"k": 99999999999999999999999}}'),
+        (930008, TIMESTAMP '2024-03-05 00:07:00', 7301, 'view', 1.0, '{{"k": 2.5e-1}}'),
+        -- round 10 (VERDICT r9 item 6): a type whose hourly series is
+        -- CONSTANT across 3 distinct hours, paired against a varying one
+        -- sharing those hours — Spearman's rank variance is 0, so rho's
+        -- denominator is exactly 0: Spark's try_divide NULL must match
+        -- DuckDB's divide-by-zero NULL (not a crash, not 0)
+        (930010, TIMESTAMP '2024-03-06 10:00:00', 7302, 'flat_evt', 7.5, NULL),
+        (930011, TIMESTAMP '2024-03-06 11:00:00', 7302, 'flat_evt', 7.5, NULL),
+        (930012, TIMESTAMP '2024-03-06 12:00:00', 7302, 'flat_evt', 7.5, NULL),
+        (930013, TIMESTAMP '2024-03-06 10:30:00', 7303, 'vary_evt', 1.0, NULL),
+        (930014, TIMESTAMP '2024-03-06 11:30:00', 7303, 'vary_evt', 2.0, NULL),
+        (930015, TIMESTAMP '2024-03-06 12:30:00', 7303, 'vary_evt', 3.0, NULL)
       ) AS t(event_id, ts, user_id, event_type, value, props)
     ) TO '{dst}/events.parquet' (FORMAT PARQUET)
     """)

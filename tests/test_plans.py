@@ -69,6 +69,30 @@ def test_cache_reuse_in_plan(spark):
         df.unpersist()
 
 
+def test_coverage_totals_match_registry():
+    """COVERAGE.md's totals line must equal the live registry (VERDICT r9
+    item 2: the paragraph had silently drifted to 148/138 while the
+    registry held 180/168 — this pin makes the drift a suite failure)."""
+    import re
+
+    from hadoop_web_browsing_logs_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    n_oracled = sum(1 for q in qs.values() if q.oracle is not None)
+    text = open("COVERAGE.md", encoding="utf-8").read()
+    m = re.search(
+        r"Totals: \*\*(\d+) registered queries\*\* \((\d+) DuckDB-oracled, "
+        r"(\d+) rows-only\)",
+        text,
+    )
+    assert m, "COVERAGE.md totals line missing or reformatted"
+    assert (int(m[1]), int(m[2]), int(m[3])) == (
+        len(qs),
+        n_oracled,
+        len(qs) - n_oracled,
+    ), f"COVERAGE.md says {m.groups()}, registry has {len(qs)}/{n_oracled}"
+
+
 def test_driver_priority_window():
     """The driver's correctness gate samples the first 50 registered queries;
     DRIVER_PRIORITY pins that window (COVERAGE.md 'Driver 50-slot allocation')."""
@@ -80,34 +104,32 @@ def test_driver_priority_window():
     assert names[:50] == list(DRIVER_PRIORITY)
     # every priority name actually resolves to a registered query
     assert set(DRIVER_PRIORITY) <= set(names)
-    # round-9 allocation (registry.py comment, VERDICT r8 item 1): slots
-    # 1-20 = the never-certified late-round-8 registrations, then the two
-    # NEW round-9 queries, the round-9-modified gate re-seat, the
-    # displaced-since-r5 q_udf_python_row, the three oracle-only text
-    # re-seats, and the round-6 cohort head
+    # round-10 allocation (registry.py comment, VERDICT r9 items 1/5/8):
+    # slots 1-13 = the never-driver-certified post-seat round-9
+    # registrations, then the round-6 cohort tail, the NEW hash-provable
+    # Lloyd query, the round-10-modified q_scalar_json re-seat, the
+    # round-7 cohort head, and the bucketed-embedding second-green seat
     window = set(DRIVER_PRIORITY)
-    assert DRIVER_PRIORITY[0] == "q_graph_pagerank"
-    assert DRIVER_PRIORITY[1] == "q_graph_triangles"
+    assert DRIVER_PRIORITY[0] == "q_text_bm25"
+    assert DRIVER_PRIORITY[24] == "q_vec_kmeans_lloyd"
     for core in (
-                 # never-certified late-round-8 families
-                 "q_events_correlation", "q_events_chisq",
-                 "q_events_winsorize", "q_events_path_mining",
-                 "q_events_robust_zscore", "q_events_trend",
-                 "q_events_conversion_latency", "q_dedup_fuzzy_vocab",
-                 "q_dedup_incremental_lsh", "q_agg_sketch_reaggregate",
-                 "q_agg_heavy_hitters", "q_incremental_agg_refresh",
-                 "q_llm_weighted_sample", "q_llm_quality_filter_mix",
-                 "q_llm_bpe_first_merge", "q_snapshot_diff",
-                 "q_udtf_context_windows", "q_udf_cogrouped_map",
-                 # NEW round-9 queries
-                 "q_graph_pagerank_dangling", "q_llm_bpe_merges_gate",
-                 # round-9-modified re-seat (ADVICE r8)
-                 "q_stream_interval_left_equiv_gate",
-                 # displaced since round 5
-                 "q_udf_python_row",
-                 # oracle-only round-8 text fixes
-                 "q_text_tfidf", "q_text_inverted_index",
-                 "q_ref_pipeline_unstemmed"):
+                 # never-certified post-seat round-9 registrations
+                 "q_events_ab_welch", "q_events_ewma", "q_events_spearman",
+                 "q_events_type_affinity", "q_vec_covariance",
+                 "q_graph_label_propagation", "q_graph_reachability",
+                 "q_scalar_variant", "q_llm_corpus_funnel",
+                 "q_llm_temperature_mix", "q_llm_bpe_encode_gate",
+                 "q_vec_covariance_fast_gate",
+                 # round-6 cohort tail (oldest driver rows in the system)
+                 "q_multimodal_frame_sample", "q_profile_documents",
+                 "q_quality_expectations", "q_scalar_array2",
+                 "q_scalar_string2", "q_set_ops", "q_topk_per_group",
+                 "q_unpivot", "q_window_frames", "q_window_lag_lead",
+                 "q_window_ntile",
+                 # round-10-modified oracle re-seat
+                 "q_scalar_json",
+                 # VERDICT r9 item 8 demotion prerequisite
+                 "q_dedup_embedding_bucketed"):
         assert core in window, core
     # every window entry is oracled — rows-only queries would waste a slot
     qs = all_queries()
