@@ -82,6 +82,11 @@ DUMPED = [
     "q_scalar_variant",
     "q_vec_covariance_fast",
     "q_llm_corpus_funnel",
+    # round 10: the hash-provable Lloyd recurrence (broadcast assignment
+    # fold + one (center_id, dim)-keyed exchange per iteration; lazy
+    # checkpoints truncate the lineage so the dump shows the LAST
+    # iteration's shape, like PageRank)
+    "q_vec_kmeans_lloyd",
     # q_dedup_keep_canonical is NOT dumped: connected-components builds its
     # plan by iterative lineage extension, so the explain output is ~10k
     # lines of repeated join blocks — noise, not evidence. Its scale shape

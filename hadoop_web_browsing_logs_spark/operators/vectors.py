@@ -581,7 +581,7 @@ def kmeans_lloyd(
     """
     from .relational import dsum
 
-    for _ in range(iterations):
+    for it in range(iterations):
         c_arr = centers.agg(F.collect_list(F.struct("center_id", "c")).alias("_cs"))
         best = F.array_min(
             F.transform(
@@ -625,8 +625,13 @@ def kmeans_lloyd(
                 ).alias("c"),
                 F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_members"),
             )
-            .localCheckpoint(eager=False)
         )
+        # truncate lineage between iterations (the center table is consumed
+        # twice per step); the LAST iteration stays un-checkpointed so the
+        # caller's plan shows the real per-iteration shape and the final
+        # K-row table is not pointlessly materialized twice
+        if (it + 1) < iterations:
+            centers = centers.localCheckpoint(eager=False)
     return centers
 
 

@@ -43,6 +43,20 @@ r8). First sweep: green — no new divergences. Self-loop / zero-weight /
 negative-weight edges can't flow through COUNT(*)-weighted fixture
 builders, so those live as direct pagerank() API tests in test_graph.py.
 
+Round 10 (VERDICT r9 item 6 + ADVICE r9): typed-k JSON values (float /
+boolean / decimal-string / int64-overflow / exponent) pin the divergent
+cast semantics the round-10 probe found — Spark's variant-get truncates
+doubles and maps booleans to 1/0, Spark's try_cast(string) accepts only
+strictly-integral text, DuckDB's TRY_CAST rounds — now replicated
+per-json_type in the q_scalar_variant/q_scalar_json oracles. The backslash
+BPE row carries REAL backslashes (the round-9 row held a backspace control
+char from an unescaped f-string; that class is kept as an explicit chr(8)
+row). New classes: a query-term-only BM25 doc (tf saturation), an
+all-stopword doc, a zero-token source and a NULL-text source (temperature
+mix / funnel must distinguish weight 0 from weight NULL), and a constant
+hourly series paired with a varying one (Spearman's zero-variance ranks →
+rho NULL on both engines).
+
 This test pins all the fixes: it poisons a copy of the sf0.001 fixture with
 those rows and replays EVERY registered oracle differentially — an engine
 crash or an engine/oracle divergence on degenerate data fails with the

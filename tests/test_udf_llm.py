@@ -284,3 +284,62 @@ def test_quality_filter_mix_properties(spark):
         assert m[True] > m[False]
     finally:
         kept.unpersist()
+
+
+def test_temperature_mix_degenerate_corpora(spark, tmp_path):
+    """Round 10 (ADVICE r9): corpus shapes the shared fixture cannot
+    express. A single-source corpus must yield weight exactly 1 (ppm
+    1000000); an ALL-empty corpus makes the quantized denominator exactly
+    0, where the engine's try_divide must yield NULL like DuckDB's plain
+    division — not an ANSI DIVIDE_BY_ZERO crash. Both corpora are replayed
+    differentially against the registered oracle."""
+    import duckdb as _duck
+
+    corpora = {
+        "single": [
+            (1, "alpha beta gamma", "en", "only_src", 16),
+            (2, "delta epsilon", "en", "only_src", 13),
+        ],
+        "all_empty": [
+            (1, "   ", "en", "s1", 3),
+            (2, "", "en", "s2", 0),
+        ],
+    }
+    for name, rows in corpora.items():
+        d = tmp_path / name
+        d.mkdir()
+        con = _duck.connect()
+        vals = ", ".join(
+            f"({i}, '{t}', '{lg}', '{s}', {n})" for i, t, lg, s, n in rows
+        )
+        con.execute(
+            f"""COPY (SELECT * FROM (VALUES {vals})
+                      AS x(doc_id, text, lang, source, n_chars))
+                TO '{d}/documents.parquet' (FORMAT PARQUET)"""
+        )
+        q = get_query("q_llm_temperature_mix")
+        got = {r["source"]: r for r in q.fn(spark, str(d)).collect()}
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        want = {
+            r[0]: r for r in con.execute(q.oracle).fetchall()
+        }  # source, n_tokens, weight, ppm
+        con.close()
+        assert set(got) == set(want)
+        for src in got:
+            assert got[src]["n_tokens"] == want[src][1], src
+            assert got[src]["weight"] == want[src][2], src
+            assert got[src]["ppm"] == want[src][3], src
+        if name == "single":
+            # the micro-quantized denominator differs from w_raw by <1e-6
+            # relative, so the lone source's weight is 1 up to the grid
+            assert abs(got["only_src"]["weight"] - 1.0) < 1e-6
+            assert got["only_src"]["ppm"] == 1000000
+        else:
+            # zero-token sources: w_raw = 0, denom = 0 -> NULL on BOTH
+            for src in ("s1", "s2"):
+                assert got[src]["n_tokens"] == 0
+                assert got[src]["weight"] is None
+                assert got[src]["ppm"] is None
