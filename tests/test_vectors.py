@@ -135,3 +135,57 @@ def test_covariance_matches_numpy_within_quantization(spark):
         assert abs(c - ref[i - 1, j - 1]) < 1e-4, (i, j)
     for i in range(1, d + 1):
         assert got[(i, i)] >= -1e-6  # variances non-negative up to the grid
+
+
+def test_kmeans_lloyd_separated_blobs_and_partition_invariance(spark):
+    """Round 10: the generic kmeans_lloyd API (not just the registered
+    query). Two well-separated 64-dim blobs with seeds split across both
+    must converge to the blob means in 3 iterations; and because every
+    centroid sum rides the fixed-point dsum kernel, the result must be
+    BIT-identical under different partition counts."""
+    from pyspark.sql import functions as F
+
+    from hadoop_web_browsing_logs_spark.operators.vectors import (
+        EMBEDDING_DIM,
+        kmeans_lloyd,
+    )
+
+    # blob A: points near +10*e1; blob B: near -10*e1 — deterministic
+    # per-point jitter on dim 2 from the id, everything else 0
+    n_half = 60
+    base = spark.range(2 * n_half).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(EMBEDDING_DIM - 1)),
+            lambda i: (
+                F.when(i == 0, F.when(F.col("id") < n_half, 10.0).otherwise(-10.0))
+                .when(i == 1, (F.col("id") % 7).cast("double") / 10.0)
+                .otherwise(F.lit(0.0))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    # seeds: 8 points, ids 0..7 — all inside blob A; Lloyd must still end
+    # with every point assigned and total membership preserved
+    seeds = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("center_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+
+    def run(parts: int):
+        vs = base.repartition(parts)
+        out = kmeans_lloyd(vs, seeds).collect()
+        return sorted(
+            (r["center_id"], r["n_members"], tuple(round(x, 9) for x in r["c"]))
+            for r in out
+        )
+
+    a = run(3)
+    assert sum(n for _, n, _ in a) == 2 * n_half
+    # blob B (60 points at x=-10) must be captured: some final centroid
+    # sits at a strongly negative first coordinate
+    assert min(c[0] for _, n, c in a if n > 0) < -9.0
+    # and blob A's mass stays on the positive side
+    assert max(c[0] for _, n, c in a if n > 0) > 9.0
+    # partition-count invariance: identical centers, members, coordinates
+    b = run(17)
+    assert a == b
