@@ -1043,10 +1043,14 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN json_extract_string(props, '$.k') END AS ks
         FROM events
     )
+    -- TRY_CAST on the final sum (round 10, fuzz-found): DuckDB's
+    -- SUM(BIGINT) widens to HUGEINT, so several int64-edge values in one
+    -- group sum exactly; the Spark side sums in DECIMAL(38,0) for the same
+    -- exactness and both sides NULL on int64 overflow of the final value
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CASE WHEN regexp_matches(trim(ks), '^[+-]?[0-9]+$')
-                         THEN TRY_CAST(trim(ks) AS BIGINT) END) AS BIGINT) AS sum_k,
+           TRY_CAST(SUM(CASE WHEN regexp_matches(trim(ks), '^[+-]?[0-9]+$')
+                             THEN TRY_CAST(trim(ks) AS BIGINT) END) AS BIGINT) AS sum_k,
            CAST(MAX(CASE WHEN regexp_matches(trim(ks), '^[+-]?[0-9]+$')
                          THEN TRY_CAST(trim(ks) AS BIGINT) END) AS BIGINT) AS max_k
     FROM x
@@ -1058,9 +1062,13 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").try_cast("bigint")
+    # DECIMAL(38,0) accumulator (round 10, fuzz-found): ANSI SUM(BIGINT)
+    # throws ARITHMETIC_OVERFLOW when several int64-edge values share a
+    # group, while DuckDB widens to HUGEINT — sum exactly, NULL only if the
+    # FINAL value exceeds int64 (mirrored by the oracle's TRY_CAST)
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(k).alias("sum_k"),
+        F.sum(k.cast("decimal(38,0)")).try_cast("bigint").alias("sum_k"),
         F.max(k).alias("max_k"),
     )
 

@@ -923,8 +923,10 @@ def q_agg_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM j
     )
     SELECT kind, COUNT(*) AS n_rows, COUNT(k) AS n_k,
-           -- CAST: DuckDB's SUM(BIGINT) widens to HUGEINT; Spark's stays BIGINT
-           CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+           -- TRY_CAST (round 10, fuzz-found): DuckDB's SUM(BIGINT) widens
+           -- to HUGEINT; the Spark side sums in DECIMAL(38,0) for the same
+           -- exactness and both NULL on int64 overflow of the final value
+           TRY_CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
     FROM c GROUP BY kind
     """,
     category="scalar",
@@ -962,10 +964,12 @@ def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         kind.alias("kind"),
         F.expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')").alias("k"),
     )
+    # DECIMAL(38,0) accumulator (round 10, fuzz-found): ANSI SUM(BIGINT)
+    # throws on int64-edge groups where DuckDB widens to HUGEINT
     return c.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("k").alias("n_k"),
-        F.sum("k").alias("sum_k"),
+        F.sum(F.col("k").cast("decimal(38,0)")).try_cast("bigint").alias("sum_k"),
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )

@@ -236,6 +236,12 @@ def adversarial_sf(tmp_path_factory):
         (930006, TIMESTAMP '2024-03-05 00:05:00', 7301, 'view', 1.0, '{{"k": "5.7"}}'),
         (930007, TIMESTAMP '2024-03-05 00:06:00', 7301, 'view', 1.0, '{{"k": 99999999999999999999999}}'),
         (930008, TIMESTAMP '2024-03-05 00:07:00', 7301, 'view', 1.0, '{{"k": 2.5e-1}}'),
+        -- round 10b (fuzz-found): TWO int64-edge k values in ONE group —
+        -- ANSI SUM(BIGINT) threw ARITHMETIC_OVERFLOW where DuckDB widens
+        -- to HUGEINT; both engines now sum exactly (DECIMAL(38,0) /
+        -- HUGEINT) and NULL only the final int64-overflowing value
+        (930020, TIMESTAMP '2024-03-05 01:00:00', 7304, 'edge_evt', 1.0, '{{"k": 9223372036854775807}}'),
+        (930021, TIMESTAMP '2024-03-05 01:01:00', 7304, 'edge_evt', 1.0, '{{"k": 9223372036854775807}}'),
         -- round 10 (VERDICT r9 item 6): a type whose hourly series is
         -- CONSTANT across 3 distinct hours, paired against a varying one
         -- sharing those hours — Spearman's rank variance is 0, so rho's

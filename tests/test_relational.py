@@ -150,3 +150,91 @@ def test_snapshot_diff_classification(spark):
         4: "added",
         5: "unchanged",
     }
+
+
+def test_scalar_json_variant_fuzz_typed_casts(spark, tmp_path):
+    """Round 10: seeded fuzz over the JSON typed-cast space. The round-10
+    probe found the q_scalar_variant/q_scalar_json oracles diverging from
+    Spark on float/boolean/decimal-string k; both oracles now replicate
+    Spark per json_type. This test generates 400 random props values —
+    ints (including int64-edge), floats (plain + exponent), booleans,
+    numeric-looking strings, nested objects/arrays, JSON null, missing k,
+    malformed text — as ONE batch and replays both queries differentially
+    against their registered oracles over that corpus."""
+    import random
+
+    import duckdb as _duck
+
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    from .conftest import canonical_rows, duck_fetch_typed
+
+    rng = random.Random(20261015)
+
+    def rand_props(i: int) -> str | None:
+        kind = rng.randrange(14)
+        if kind == 0:
+            return None
+        if kind == 1:
+            return "not json {"
+        if kind == 2:
+            return "null"
+        if kind == 3:
+            return f'{{"x": {rng.randrange(100)}}}'  # missing k
+        if kind == 4:
+            return f'{{"k": {rng.randrange(-10**6, 10**6)}}}'
+        if kind == 5:  # int64 edges + overflow
+            v = rng.choice([2**63 - 1, -(2**63), 2**63, 10**23, -(10**20)])
+            return f'{{"k": {v}}}'
+        if kind == 6:
+            return f'{{"k": {rng.uniform(-1e4, 1e4):.4f}}}'
+        if kind == 7:
+            return f'{{"k": {rng.uniform(-1, 1):.3e}}}'
+        if kind == 8:
+            return f'{{"k": {rng.randrange(100)}.0}}'
+        if kind == 9:
+            return f'{{"k": {rng.choice(["true", "false"])}}}'
+        if kind == 10:
+            s = rng.choice(
+                [str(rng.randrange(1000)), f"{rng.randrange(100)}.5",
+                 f"{rng.randrange(100)}.0", "+7", " 42 ", "abc", ""]
+            )
+            return f'{{"k": "{s}"}}'
+        if kind == 11:
+            return f'{{"k": {{"nested": {rng.randrange(10)}}}}}'
+        if kind == 12:
+            return f'{{"k": [{rng.randrange(10)}, {rng.randrange(10)}]}}'
+        return f'{{"k": null}}'
+
+    rows = [
+        (i, "2024-01-01 00:00:00", i % 7, f"t{i % 3}", 1.0, rand_props(i))
+        for i in range(400)
+    ]
+    con = _duck.connect()
+    vals = ", ".join(
+        f"({i}, TIMESTAMP '{ts}', {u}, '{t}', {v}, "
+        + ("NULL" if p is None else "'" + p.replace("'", "''") + "'")
+        + ")"
+        for i, ts, u, t, v, p in rows
+    )
+    con.execute(
+        f"""COPY (SELECT * FROM (VALUES {vals})
+                  AS x(event_id, ts, user_id, event_type, value, props))
+            TO '{tmp_path}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    for name in ("q_scalar_variant", "q_scalar_json"):
+        q = get_query(name)
+        sdf = q.fn(spark, str(tmp_path))
+        s_cols = [c.lower() for c in sdf.columns]
+        s_rows = [tuple(r) for r in sdf.collect()]
+        d_cols, d_rows = duck_fetch_typed(con.execute(q.oracle))
+        d_cols = [c.lower() for c in d_cols]
+        assert sorted(s_cols) == sorted(d_cols), name
+        assert canonical_rows(s_cols, s_rows) == canonical_rows(d_cols, d_rows), (
+            f"{name}: engine/oracle diverge on fuzzed JSON corpus"
+        )
+    con.close()
