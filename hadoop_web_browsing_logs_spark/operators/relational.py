@@ -1037,10 +1037,17 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- try_cast(string AS BIGINT) is NULL on ANY non-integral string
     -- ('5.7', '5.0', '0.25', 'true') where DuckDB's TRY_CAST would round
     -- ('5.7' -> 6) or accept ('5.0' -> 5); both trim and accept a sign.
+    -- Full <=0x20 trim (round 11, ADVICE r10, probe-verified): Spark's
+    -- try_cast trims ALL ASCII whitespace/control chars <= 0x20
+    -- (try_cast of tab+'5' = 5), while DuckDB trim() strips only spaces —
+    -- regexp-strip the whole [0x00-0x20] band on both ends. NBSP ( )
+    -- is deliberately NOT trimmed by either engine.
     WITH x AS (
         SELECT event_type,
-               CASE WHEN json_valid(props)
-                    THEN json_extract_string(props, '$.k') END AS ks
+               regexp_replace(
+                   CASE WHEN json_valid(props)
+                        THEN json_extract_string(props, '$.k') END,
+                   '^[\\x00- ]+|[\\x00- ]+$', '', 'g') AS kst
         FROM events
     )
     -- TRY_CAST on the final sum (round 10, fuzz-found): DuckDB's
@@ -1049,10 +1056,10 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- exactness and both sides NULL on int64 overflow of the final value
     SELECT event_type,
            COUNT(*) AS n_events,
-           TRY_CAST(SUM(CASE WHEN regexp_matches(trim(ks), '^[+-]?[0-9]+$')
-                             THEN TRY_CAST(trim(ks) AS BIGINT) END) AS BIGINT) AS sum_k,
-           CAST(MAX(CASE WHEN regexp_matches(trim(ks), '^[+-]?[0-9]+$')
-                         THEN TRY_CAST(trim(ks) AS BIGINT) END) AS BIGINT) AS max_k
+           TRY_CAST(SUM(CASE WHEN regexp_matches(kst, '^[+-]?[0-9]+$')
+                             THEN TRY_CAST(kst AS BIGINT) END) AS BIGINT) AS sum_k,
+           CAST(MAX(CASE WHEN regexp_matches(kst, '^[+-]?[0-9]+$')
+                         THEN TRY_CAST(kst AS BIGINT) END) AS BIGINT) AS max_k
     FROM x
     GROUP BY event_type
     """,

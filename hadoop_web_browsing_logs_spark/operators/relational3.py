@@ -915,9 +915,16 @@ def q_agg_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  WHEN 'BIGINT'  THEN TRY_CAST(ks AS BIGINT)
                  WHEN 'DOUBLE'  THEN TRY_CAST(TRUNC(TRY_CAST(ks AS DOUBLE)) AS BIGINT)
                  WHEN 'BOOLEAN' THEN CASE ks WHEN 'true' THEN 1 WHEN 'false' THEN 0 END
+                 -- Full <=0x20 trim (round 11, ADVICE r10, probe-verified):
+                 -- Spark's variant string-cast trims the same [0x00-0x20]
+                 -- band as try_cast (try_variant_get on "<TAB>5" -> 5, NOT
+                 -- NULL), so the VARCHAR branch strips it too; NBSP stays.
                  WHEN 'VARCHAR' THEN CASE
-                     WHEN regexp_matches(trim(ks), '^[+-]?[0-9]+$')
-                     THEN TRY_CAST(trim(ks) AS BIGINT) END
+                     WHEN regexp_matches(regexp_replace(ks,
+                              '^[\\x00- ]+|[\\x00- ]+$', '', 'g'),
+                          '^[+-]?[0-9]+$')
+                     THEN TRY_CAST(regexp_replace(ks,
+                              '^[\\x00- ]+|[\\x00- ]+$', '', 'g') AS BIGINT) END
                  ELSE NULL
                END AS k
         FROM j

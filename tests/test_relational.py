@@ -195,9 +195,16 @@ def test_scalar_json_variant_fuzz_typed_casts(spark, tmp_path):
         if kind == 9:
             return f'{{"k": {rng.choice(["true", "false"])}}}'
         if kind == 10:
+            # \\t / \\n / \\u000b etc. are JSON ESCAPES in the props text —
+            # both engines decode them to real control chars; round 11
+            # (ADVICE r10) pins Spark's full [\x00-\x20] try_cast trim
+            # (DuckDB trim() strips spaces only; oracle regexp-strips)
             s = rng.choice(
                 [str(rng.randrange(1000)), f"{rng.randrange(100)}.5",
-                 f"{rng.randrange(100)}.0", "+7", " 42 ", "abc", ""]
+                 f"{rng.randrange(100)}.0", "+7", " 42 ", "abc", "",
+                 f"\\t{rng.randrange(100)}", f"\\n {rng.randrange(100)} \\r",
+                 f"\\u000b+{rng.randrange(100)}", f"\\u00a0{rng.randrange(10)}",
+                 f"{rng.randrange(10)}\\t{rng.randrange(10)}", "\\t\\n"]
             )
             return f'{{"k": "{s}"}}'
         if kind == 11:
