@@ -108,6 +108,11 @@ HEADLINE = [
     # iterations × broadcast assignment fold + K·d-bounded centroid sums).
     "q_graph_pagerank_dangling",
     "q_vec_kmeans_lloyd",
+    # round-11 addition (VERDICT r10 item 5), tracked from birth: the
+    # DISTINCT-frontier multi-seed BFS — K node-keyed exchanges where the
+    # recursive-CTE variant overflows; benched so frontier-growth
+    # regressions are visible round-over-round.
+    "q_graph_bfs_frontier",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal
@@ -182,6 +187,33 @@ def main() -> None:
     detail = dict(line)
     detail["queries_min"] = per_query_min
     detail["samples"] = {n: [round(x, 3) for x in ts] for n, ts in samples.items()}
+    # Trend block (VERDICT r10 item 8): per-query median history across the
+    # committed BENCH_r*.json driver snapshots (same-SF rows only), plus
+    # this run — so a regression surfaces from BENCH_DETAIL alone instead
+    # of hand-diffing ten snapshot files. Missing rounds (query not yet
+    # registered / not sampled) are simply absent from that query's map.
+    trend: dict[str, dict[str, float]] = {}
+    try:
+        import glob as _glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        for path in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json"))):
+            m = _re.search(r"BENCH_r(\d+)\.json$", path)
+            if not m:
+                continue
+            with open(path) as fh:
+                snap = json.load(fh)
+            parsed = snap.get("parsed") or {}
+            if not parsed or str(snap.get("sf")) != str(line["sf"]):
+                continue
+            for qn, sec in (parsed.get("queries") or {}).items():
+                trend.setdefault(qn, {})[f"r{int(m[1])}"] = sec
+        for qn, sec in per_query.items():
+            trend.setdefault(qn, {})["now"] = sec
+        detail["trend"] = trend
+    except (OSError, ValueError):
+        pass  # trend is diagnostic sugar; never fail the bench for it
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)

@@ -680,11 +680,16 @@ def simhash_pairs(docs: DataFrame, sigs: DataFrame | None = None) -> DataFrame:
     description=(
         "Embedding-cosine near-dup: per sampled vector, its nearest "
         "neighbor + near-dup verdict at sim ≥ 0.8. This is the documented "
-        "SAMPLED ALL-PAIRS EXACT BASELINE; its registered bucketed scale "
-        "path at 100 TB is the ANN family over the same embeddings — "
-        "q_sim_lsh_ann / q_sim_ivf_ann in operators/similarity.py "
-        "(hyperplane-signature / coarse-quantizer bucket joins; see "
-        "SCALE.md, 'Dedup & similarity')."
+        "SAMPLED ALL-PAIRS EXACT BASELINE — DEMOTED from the driver window "
+        "in round 11 (VERDICT r10 item 1, after q_dedup_embedding_bucketed "
+        "earned consecutive driver greens r8+r10): it lives on as the "
+        "pytest-only exact differential twin of the bucketed path, "
+        "replayed by the full oracle audit every run, and must not be "
+        "re-seated (the window pin test enforces that no all-pairs plan "
+        "ever re-enters the window). Its registered bucketed scale path "
+        "at 100 TB is q_dedup_embedding_bucketed plus the ANN family over "
+        "the same embeddings — q_sim_lsh_ann / q_sim_ivf_ann in "
+        "operators/similarity.py (see SCALE.md, 'Dedup & similarity')."
     ),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1301,3 +1306,158 @@ def q_dedup_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fuzzy_vocab_pairs(vocab)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (round 11): SemDeDup-style cluster-then-prune — k-means
+# buckets the corpus semantically, pairwise cosine runs ONLY within a
+# cluster, and each duplicate group keeps its smallest-id survivor
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication" — the published recipe for pruning
+# web-scale training corpora by embedding semantics rather than text
+# overlap). Everything is deterministic (rank-based Lloyd seeds, struct-min
+# assignment, id-ordered survivor rule), so unlike the recall-gated ANN
+# family this composition is fully HASH-PROVED: the DuckDB oracle unrolls
+# the same Lloyd recurrence (the shared lloyd_cte_chain), the same final
+# assignment, and the same within-cluster prune.
+# ---------------------------------------------------------------------------
+
+#: Cosine threshold for "semantic duplicate" within a cluster. Calibrated
+#: to the synthetic near-isotropic fixture (measured: all-pairs cosine p99
+#: ~0.29, max ~0.48-0.60 across SFs — the 0.8 the text-embedding queries
+#: use would never fire here, leaving the dup branch untested): 0.35 sits
+#: at ~p99.9, so a real-but-small duplicate set exists at every SF. With a
+#: production text encoder (where true near-dups score ~0.95+) pass
+#: tau=0.95 to semantic_dedup directly.
+SEMDEDUP_TAU = 0.35
+
+
+def semantic_dedup(vs: DataFrame, k: int, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup over (vec_id, embedding) rows: cluster with
+    :func:`~.vectors.lloyd_kmeans` (k centers, fixed iterations), assign
+    each vector to its final nearest center, then within each cluster mark
+    ``is_dup`` for any vector that has a SMALLER-id cluster-mate with
+    cosine >= ``tau`` (``dup_of`` = the smallest such id — the group's
+    canonical survivor; survivors themselves carry ``is_dup = false``).
+
+    Scale shape: the candidate pair space is CLUSTER-bounded — the
+    within-cluster self-join shuffles on center_id and never materializes
+    corpus-quadratic pairs; at production scale k grows with the corpus
+    (SemDeDup uses n/k ≈ constant cluster sizes), keeping per-cluster work
+    flat while the assignment stays a map-only broadcast fold. Output is
+    all-integer/boolean (ids + verdicts, no float columns), so the hash
+    gate is grid-free.
+    """
+    from ..functions.vector import cosine_similarity
+    from .vectors import _l2sq, lloyd_kmeans
+
+    centers = lloyd_kmeans(vs, k)
+    c_arr = centers.agg(F.collect_list(F.struct("center_id", "c")).alias("_cs"))
+    best = F.array_min(
+        F.transform(
+            "_cs",
+            lambda c0: F.struct(
+                _l2sq("embedding", c0["c"]).alias("dist"),
+                c0["center_id"].alias("center_id"),
+            ),
+        )
+    )
+    assign = (
+        vs.crossJoin(F.broadcast(c_arr))
+        .withColumn("_best", best)
+        .select(
+            "vec_id", "embedding", F.col("_best.center_id").alias("center_id")
+        )
+        # consumed twice (each side of the within-cluster self-join) — one
+        # corpus scan + one assignment fold, not two
+        .localCheckpoint(eager=False)
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    dup_of = (
+        a.join(
+            b,
+            (F.col("a.center_id") == F.col("b.center_id"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("u"),
+            sim.alias("sim"),
+        )
+        # NaN guard: both engines order NaN above every real, but the >=
+        # comparison is the one spot the engines could be read differently —
+        # make the rule explicit: a NaN similarity is NOT a duplicate
+        .filter((F.col("sim") >= tau) & ~F.isnan("sim"))
+        .groupBy("vec_id")
+        .agg(F.min("u").alias("dup_of"))
+    )
+    return (
+        assign.select("vec_id", "center_id")
+        .join(dup_of, "vec_id", "left")
+        .select(
+            "vec_id",
+            "center_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )
+
+
+def _semdedup_oracle() -> str:
+    from ..functions.vector import duck_cosine_similarity
+    from .vectors import LLOYD_ITERATIONS, N_CENTERS, duck_lloyd_l2, lloyd_cte_chain
+
+    l2 = duck_lloyd_l2()
+    cos = duck_cosine_similarity("a.embedding", "b.embedding")
+    return f"""
+    WITH {lloyd_cte_chain()},
+    assign AS (
+        SELECT vec_id, embedding, center_id FROM (
+            SELECT e.vec_id, e.embedding, c.center_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {l2}, c.center_id) AS rn
+            FROM v e CROSS JOIN c{LLOYD_ITERATIONS} c
+        ) WHERE rn = 1
+    ),
+    dup AS (
+        SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+        FROM assign a JOIN assign b
+          ON a.center_id = b.center_id AND b.vec_id < a.vec_id
+        WHERE {cos} >= {SEMDEDUP_TAU!r} AND NOT isnan({cos})
+        GROUP BY a.vec_id
+    )
+    SELECT s.vec_id, s.center_id,
+           d.dup_of IS NOT NULL AS is_dup, d.dup_of
+    FROM assign s LEFT JOIN dup d ON s.vec_id = d.vec_id
+    ORDER BY s.vec_id
+    """
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=_semdedup_oracle(),
+    category="dedup",
+    description=(
+        "SemDeDup-style semantic dedup (round 11): Lloyd k-means "
+        "(the public lloyd_kmeans, rank-seeded, 3 iterations, k=8) buckets "
+        "the embedding corpus, pairwise cosine runs ONLY within a cluster, "
+        "and each duplicate group keeps its smallest-id "
+        "survivor (tau=0.35, ~p99.9 of the synthetic fixture's cosine "
+        "distribution — calibrated so the dup branch actually fires; real "
+        "encoders would use ~0.95). The composition is deterministic "
+        "end-to-end, so "
+        "the DuckDB oracle replays the entire pipeline — the shared "
+        "unrolled Lloyd CTE chain, the same struct-min assignment "
+        "tie-break, the same id-ordered prune — and the hash proves "
+        "cluster-bounded SemDeDup == its serial restatement. Scale: pair "
+        "space is cluster-bounded (grow k with the corpus for flat "
+        "per-cluster work); no float column reaches the output."
+    ),
+    tags=("dedup", "iterative"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .vectors import N_CENTERS
+
+    vs = load_vectors(spark, sf_dir)
+    return semantic_dedup(vs, N_CENTERS).orderBy("vec_id")

@@ -695,17 +695,30 @@ def lloyd_kmeans(
     return kmeans_lloyd(vs, seeds, iterations)
 
 
-def _lloyd_oracle() -> str:
-    from .relational import dsum_sql
-
+def duck_lloyd_l2() -> str:
+    """The oracle-side squared-L2 between row ``e`` and center ``c`` —
+    range-indexed so the accumulation order matches :func:`_l2sq`."""
     d1 = EMBEDDING_DIM + 1
-    l2 = (
+    return (
         f"list_sum(list_transform(range(1, {d1}), "
         "i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i])"
         " * (CAST(e.embedding[i] AS DOUBLE) - c.c[i])))"
     )
+
+
+def lloyd_cte_chain() -> str:
+    """The Lloyd recurrence as a DuckDB CTE body — ``v``, ``c0`` (rank-based
+    k-smallest-id seeds), then a{k}/s{k}/c{k} per iteration, ending at
+    ``c{LLOYD_ITERATIONS}`` (the final centers). No ``WITH`` prefix, no
+    final SELECT: shared by the q_vec_kmeans_lloyd oracle and the
+    q_dedup_semantic oracle, which compose different tails onto the same
+    unrolled recurrence."""
+    from .relational import dsum_sql
+
+    d1 = EMBEDDING_DIM + 1
+    l2 = duck_lloyd_l2()
     sql = f"""
-    WITH v AS (SELECT vec_id, embedding FROM {DUCK_VECTORS}),
+    v AS (SELECT vec_id, embedding FROM {DUCK_VECTORS}),
     c0 AS (
         -- k-smallest-id deterministic seeding, center_id = 0-based rank
         -- (matches lloyd_kmeans; on the fixture where vec_ids 0..k-1 all
@@ -742,13 +755,18 @@ def _lloyd_oracle() -> str:
             FROM s{k} GROUP BY center_id
         ) m USING (center_id)
     )"""
-    sql += f"""
+    return sql
+
+
+def _lloyd_oracle() -> str:
+    d1 = EMBEDDING_DIM + 1
+    return f"""
+    WITH {lloyd_cte_chain()}
     SELECT center_id, u.i AS dim,
            CAST(ROUND(c[u.i] * 1000000) AS BIGINT) AS micro,
            n_members
     FROM c{LLOYD_ITERATIONS}, UNNEST(range(1, {d1})) AS u(i)
     ORDER BY center_id, dim"""
-    return sql
 
 
 @query(

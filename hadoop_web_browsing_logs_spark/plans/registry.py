@@ -43,88 +43,88 @@ _REGISTRY: dict[str, Query] = {}
 #: and the entire round-5 cohort; round 9 the twenty late-round-8
 #: registrations + the round-6 cohort head (CORRECTNESS_r09: 50/50 green).
 #:
-#: Round 10 (VERDICT r9 items 1/5, ADVICE r9): slots 1-13 are the THIRTEEN
-#: oracled queries registered after the round-9 window was seated — they
-#: were pytest-oracle-only with NO driver row at all (the r9 registry
-#: comment overstated this; ADVICE r9 low #4): BM25, the events-statistics
-#: quartet (Welch/EWMA/Spearman/affinity), exact covariance + the fast-twin
-#: gate, label propagation, WITH RECURSIVE reachability, VARIANT, corpus
-#: funnel, temperature mix, and the BPE-encode gate. Slots 14-24 are the
-#: round-6 cohort tail (last green r6 — the oldest rows in the system).
-#: Then the NEW round-10 query (q_vec_kmeans_lloyd — the hash-provable
-#: Lloyd recurrence, VERDICT item 5) and the round-10-MODIFIED re-seat
-#: (q_scalar_json — its oracle gained the strict-integral try_cast guard
-#: for the typed-k poison classes). The remaining 24 seats take the
-#: round-7 cohort head oldest-green-first (23 of its 45, alphabetical;
-#: the 21-row tail rolls to r11) plus q_dedup_embedding_bucketed (last
-#: green r8) so the bucketed embedding path earns the second driver-green
-#: row VERDICT item 8 requires before the quadratic q_dedup_embedding
-#: baseline can be demoted to a pytest-only differential twin.
-#: NOTE: q_scalar_variant and q_llm_temperature_mix were ALSO modified
-#: this round (oracle typed-cast alignment; try_divide) — both sit in the
-#: never-certified head, so their first driver row certifies the fixed
-#: code. Rows-only queries stay out of the window by design (the driver's
-#: rows-only check is weak; their oracled _gate twins are seated instead
-#: and pytest replays them each run).
+#: Round 11 (VERDICT r10 items 1/2/5, ADVICE r10): slots 1-21 seat the
+#: round-7 cohort TAIL (last driver-green r7 — after round 10 re-seated
+#: the cohort head, these are the oldest rows in the system; certifying
+#: them completes two full rotations at post-refactor HEAD: no oracled
+#: query's last green predates round 8). Slots 22-24 are the
+#: round-11-MODIFIED re-seats: q_vec_kmeans_lloyd (now built on the
+#: public lloyd_kmeans wrapper with rank-based k-smallest-id seeding +
+#: the ragged-safe per-row member count) and q_scalar_json /
+#: q_scalar_variant (their oracles now strip the full [0x00-0x20]
+#: control-char band before the strict-integral guard, matching Spark's
+#: try_cast/variant trim — ADVICE r10 medium). Slot 25 is the NEW
+#: q_graph_bfs_frontier (VERDICT r10 item 5: the DISTINCT-frontier BFS
+#: escape hatch for the documented WITH RECURSIVE 1M-row cliff). The
+#: remaining 25 seats take the round-8 cohort head oldest-green-first
+#: (25 of its 48, alphabetical: q_agg_bool_bit … q_scalar_array; the
+#: 23-row tail rolls to r12).
+#: DEMOTION (VERDICT r10 item 1): q_dedup_embedding — the labeled
+#: quadratic all-pairs exact baseline — left the window for good now
+#: that its bucketed twin holds consecutive driver greens (r8+r10); it
+#: stays registered as the pytest-only differential twin of
+#: q_dedup_embedding_bucketed, replayed by the full oracle audit every
+#: run, and must NOT be re-seated (the driver window should never carry
+#: an all-pairs plan). Rows-only queries stay out of the window by
+#: design (the driver's rows-only check is weak; their oracled _gate
+#: twins are seated instead and pytest replays them each run).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never driver-certified: the 13 post-seat round-9 registrations ---
-    "q_text_bm25",
-    "q_events_ab_welch",
-    "q_events_ewma",
-    "q_events_spearman",
-    "q_events_type_affinity",
-    "q_vec_covariance",
-    "q_graph_label_propagation",
-    "q_graph_reachability",
-    "q_scalar_variant",
-    "q_llm_corpus_funnel",
-    "q_llm_temperature_mix",
-    "q_llm_bpe_encode_gate",
-    "q_vec_covariance_fast_gate",
-    # --- round-6 cohort tail (last driver-green r6, oldest in system) ---
-    "q_multimodal_frame_sample",
-    "q_profile_documents",
-    "q_quality_expectations",
-    "q_scalar_array2",
-    "q_scalar_string2",
-    "q_set_ops",
-    "q_topk_per_group",
-    "q_unpivot",
-    "q_window_frames",
-    "q_window_lag_lead",
-    "q_window_ntile",
-    # --- NEW round-10 query (VERDICT r9 item 5) ---
+    # --- round-7 cohort tail (last driver-green r7, oldest in system) ---
+    "q_sim_ivf_ann_gate",
+    "q_sim_ivf_candidates",
+    "q_sim_lsh_ann_gate",
+    "q_sim_lsh_candidates_portable",
+    "q_sim_range_search",
+    "q_stream_equiv_gate",
+    "q_stream_session_batch",
+    "q_stream_session_equiv_gate",
+    "q_stream_sliding_batch",
+    "q_stream_static_join_batch",
+    "q_stream_tumbling_batch",
+    "q_text_collocations",
+    "q_text_quality",
+    "q_topk_global",
+    "q_udf_grouped_map",
+    "q_vec_cluster_groups",
+    "q_vec_kmeans_gate",
+    "q_vec_nearest_center",
+    "q_window_ntile_distributed",
+    "q_window_rank",
+    "q_window_rank_salted",
+    # --- round-11-MODIFIED re-seats ---
     "q_vec_kmeans_lloyd",
-    # --- round-10-MODIFIED re-seat: strict-integral oracle guard ---
     "q_scalar_json",
-    # --- round-7 cohort head (oldest-green-first, 23 of 45 alphabetical;
-    # the 21-row tail — sim/stream/text/window rows — rolls to r11) ---
-    "q1_pricing_summary",
-    "q_agg_approx_distinct_gate",
-    "q_agg_approx_percentile_gate",
-    "q_agg_histogram",
-    "q_dedup_embedding",
-    "q_dedup_exact",
-    "q_dedup_simhash",
-    "q_dedup_simhash_pairs",
-    "q_events_anomaly_zscore",
-    "q_events_attribution",
-    "q_events_gapfill",
-    "q_events_retention",
-    "q_events_rollup_multires",
-    "q_join_inner",
-    "q_join_nullsafe",
-    "q_llm_decontaminate",
-    "q_llm_mix_stratified",
-    "q_llm_split",
-    "q_llm_split_leakage_safe",
-    "q_multimodal_features",
-    "q_scalar_map",
-    "q_scalar_string",
-    "q_sim_cosine_topk",
-    # --- second consecutive driver-green for the bucketed embedding path
-    # (VERDICT r9 item 8 demotion prerequisite; last green r8) ---
-    "q_dedup_embedding_bucketed",
+    "q_scalar_variant",
+    # --- NEW round-11 query (VERDICT r10 item 5) ---
+    "q_graph_bfs_frontier",
+    # --- round-8 cohort head (oldest-green-first, 25 of 48 alphabetical;
+    # the 23-row tail — q_scalar_date … q_window_range_frame — rolls to
+    # r12) ---
+    "q_agg_bool_bit",
+    "q_agg_conditional",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_rollup",
+    "q_agg_salted_hotkey",
+    "q_agg_stats",
+    "q_agg_variance",
+    "q_cte_pipeline",
+    "q_events_scd2",
+    "q_exists_priority",
+    "q_join_multiway",
+    "q_join_range",
+    "q_join_right",
+    "q_join_sixway",
+    "q_llm_bigram_logprob",
+    "q_llm_domain_cap",
+    "q_llm_pack_sequences",
+    "q_llm_shard_manifest",
+    "q_llm_token_budget",
+    "q_llm_unigram_logprob",
+    "q_merge_upsert",
+    "q_pivot",
+    "q_profile_columns",
+    "q_scalar_array",
 )
 
 

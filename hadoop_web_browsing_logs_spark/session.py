@@ -92,16 +92,36 @@ def get_spark(
     return spark
 
 
+#: Callbacks that drop module-level DataFrame memos (e.g. the graph
+#: operators' shared purchase-edge-list checkpoint). Registered at operator
+#: module import; release_caches MUST run them, because a memoized
+#: DataFrame whose localCheckpoint blocks were just unpersisted is a live
+#: plan over dead blocks — the next consumer would die with
+#: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (round 11: the full pytest session hit
+#: exactly this when the release_caches pin test ran between two
+#: registry-wide plan lints).
+_MEMO_INVALIDATORS: list = []
+
+
+def register_memo_invalidator(fn) -> None:
+    """Register a zero-arg callable that clears a module-level DataFrame
+    memo. Called by :func:`release_caches` before blocks are dropped."""
+    _MEMO_INVALIDATORS.append(fn)
+
+
 def release_caches(spark: SparkSession) -> int:
     """Drop every persisted/cached block the engine has accumulated: cached
     DataFrames (CacheManager) and the RDD blocks pinned by lazy
     ``localCheckpoint`` frames (similarity/global-rank paths — see
-    operators/similarity.py module docstring). Returns the number of
+    operators/similarity.py module docstring), plus every registered
+    module-level memo that references such blocks. Returns the number of
     persistent RDDs released.
 
     Query factories deliberately do NOT unpersist their own checkpoints (the
     consuming action happens in the caller); a long-lived session embedding
     this engine should call this between logical requests."""
+    for invalidate in _MEMO_INVALIDATORS:
+        invalidate()
     spark.catalog.clearCache()
     # JavaSparkContext exposes the persistent-RDD map as a java.util.Map,
     # which py4j presents dict-like

@@ -140,3 +140,44 @@ def test_incremental_lsh_equals_full_pipeline_restricted(spark):
     assert inc == full and full
     for r in inc_rows:
         assert r.doc_b % 4 == 1  # the b side is always the new batch
+
+
+def test_semantic_dedup_cluster_bounded_survivors(spark):
+    """Round 11: SemDeDup semantics on constructed geometry — two tight
+    clusters; within each, near-identical vectors collapse onto the
+    smallest-id survivor; cross-cluster near-identity is deliberately NOT
+    a duplicate (the cluster bound is the scale contract, and SemDeDup
+    accepts that quantization miss by design)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_web_browsing_logs_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        # cluster A around +e1 (ids 0,2,3): 2 and 3 are ~copies of 0
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.998, 0.0, 0.01, 0.0]),
+        # cluster B around +e2 (ids 1,4,5): 4 ~copies 1; 5 is orthogonal
+        # enough (cos ~0.7 vs tau 0.95) to stay unique within B
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.01, 0.999, 0.0, 0.0]),
+        (5, [0.0, 0.7, 0.714, 0.0]),
+    ]
+    vs = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # k=2 seeds are ids 0 (cluster A) and 1 (cluster B)
+    got = {r.vec_id: (r.center_id, r.is_dup, r.dup_of)
+           for r in semantic_dedup(vs, k=2, tau=0.95).collect()}
+    assert len(got) == 6
+    # survivors: the smallest id of each dup group, and the lone vector
+    assert got[0] == (0, False, None)
+    assert got[1] == (1, False, None)
+    assert got[5][1:] == (False, None)
+    # dups collapse onto the group's smallest id
+    assert got[2] == (0, True, 0)
+    assert got[3] == (0, True, 0)
+    assert got[4] == (1, True, 1)
+    # the two clusters never mixed
+    assert got[2][0] == got[3][0] == got[0][0]
+    assert got[4][0] == got[5][0] == got[1][0]

@@ -323,3 +323,62 @@ def test_lpa_weight_beats_degree(spark):
 def test_lpa_deterministic_across_runs(spark):
     edges = _sym([("a", "b", 2), ("b", "c", 1), ("c", "d", 3), ("d", "a", 1)])
     assert _lpa(spark, edges) == _lpa(spark, edges)
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT-frontier BFS (round 11): semantics + node-bounded properties
+# ---------------------------------------------------------------------------
+
+
+def _bfs(spark, edges, seeds, max_hops=3):
+    from hadoop_web_browsing_logs_spark.operators.graph import bfs_frontier
+
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    s = spark.createDataFrame([(n,) for n in seeds], ["node"])
+    return {r.node: r.dist for r in bfs_frontier(e, s, max_hops).collect()}
+
+
+def test_bfs_frontier_min_distance_on_diamond(spark):
+    # a->b->d and a->c->d plus a->d direct: d is reachable at hops 1 AND 2,
+    # the frontier dedup must keep the MINIMUM (first-reach) distance
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d"), ("d", "e")]
+    got = _bfs(spark, edges, ["a"])
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 1, "e": 2}
+
+
+def test_bfs_frontier_multi_seed_and_hop_bound(spark):
+    # chain a->b->c->d->e with seeds {a, d}: every node takes the nearest
+    # seed's distance; the 2-hop bound cuts nothing here but e is 1 from d
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    got = _bfs(spark, edges, ["a", "d"], max_hops=2)
+    assert got == {"a": 0, "d": 0, "b": 1, "e": 1, "c": 2}
+    # hop bound actually bounds: from a alone, d/e fall outside 2 hops
+    got2 = _bfs(spark, edges, ["a"], max_hops=2)
+    assert got2 == {"a": 0, "b": 1, "c": 2}
+
+
+def test_bfs_frontier_isolated_seed_and_cycle(spark):
+    # a seed with no edges stays at dist 0; a cycle terminates because the
+    # visited anti-join empties the frontier (no infinite rediscovery)
+    edges = [("x", "y"), ("y", "z"), ("z", "x")]
+    got = _bfs(spark, edges, ["x", "lonely"], max_hops=3)
+    assert got == {"x": 0, "lonely": 0, "y": 1, "z": 2}
+
+
+def test_purchase_el_memo_survives_release_caches(spark):
+    """Round 11 regression: release_caches unpersists every checkpoint
+    block, so the shared purchase-edge-list memo must be invalidated with
+    them — a memoized plan over dead blocks crashed the next consumer with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (caught by the full-suite lint
+    ordering). Sequence: materialize via the memo, release, consume again."""
+    from hadoop_web_browsing_logs_spark.operators.graph import _EL_MEMO, _purchase_el
+    from hadoop_web_browsing_logs_spark.session import release_caches
+
+    from .conftest import SF_DIR
+
+    n1 = _purchase_el(spark, SF_DIR).count()
+    assert _EL_MEMO  # memoized
+    release_caches(spark)
+    assert not _EL_MEMO  # invalidated with the blocks
+    n2 = _purchase_el(spark, SF_DIR).count()  # rebuilds, must not crash
+    assert n1 == n2

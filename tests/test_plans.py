@@ -104,33 +104,31 @@ def test_driver_priority_window():
     assert names[:50] == list(DRIVER_PRIORITY)
     # every priority name actually resolves to a registered query
     assert set(DRIVER_PRIORITY) <= set(names)
-    # round-10 allocation (registry.py comment, VERDICT r9 items 1/5/8):
-    # slots 1-13 = the never-driver-certified post-seat round-9
-    # registrations, then the round-6 cohort tail, the NEW hash-provable
-    # Lloyd query, the round-10-modified q_scalar_json re-seat, the
-    # round-7 cohort head, and the bucketed-embedding second-green seat
+    # round-11 allocation (registry.py comment, VERDICT r10 items 1/2/5):
+    # slots 1-21 = the round-7 cohort tail (closing two full rotations),
+    # then the three round-11-modified re-seats (Lloyd wrapper + the two
+    # control-char-trim oracle fixes), the NEW DISTINCT-frontier BFS, and
+    # the round-8 cohort head
     window = set(DRIVER_PRIORITY)
-    assert DRIVER_PRIORITY[0] == "q_text_bm25"
-    assert DRIVER_PRIORITY[24] == "q_vec_kmeans_lloyd"
+    assert DRIVER_PRIORITY[0] == "q_sim_ivf_ann_gate"
+    assert DRIVER_PRIORITY[21] == "q_vec_kmeans_lloyd"
+    assert DRIVER_PRIORITY[24] == "q_graph_bfs_frontier"
     for core in (
-                 # never-certified post-seat round-9 registrations
-                 "q_events_ab_welch", "q_events_ewma", "q_events_spearman",
-                 "q_events_type_affinity", "q_vec_covariance",
-                 "q_graph_label_propagation", "q_graph_reachability",
-                 "q_scalar_variant", "q_llm_corpus_funnel",
-                 "q_llm_temperature_mix", "q_llm_bpe_encode_gate",
-                 "q_vec_covariance_fast_gate",
-                 # round-6 cohort tail (oldest driver rows in the system)
-                 "q_multimodal_frame_sample", "q_profile_documents",
-                 "q_quality_expectations", "q_scalar_array2",
-                 "q_scalar_string2", "q_set_ops", "q_topk_per_group",
-                 "q_unpivot", "q_window_frames", "q_window_lag_lead",
-                 "q_window_ntile",
-                 # round-10-modified oracle re-seat
-                 "q_scalar_json",
-                 # VERDICT r9 item 8 demotion prerequisite
-                 "q_dedup_embedding_bucketed"):
+                 # round-7 cohort tail (oldest driver rows in the system)
+                 "q_sim_range_search", "q_stream_equiv_gate",
+                 "q_stream_session_equiv_gate", "q_text_collocations",
+                 "q_text_quality", "q_topk_global", "q_udf_grouped_map",
+                 "q_vec_cluster_groups", "q_vec_kmeans_gate",
+                 "q_vec_nearest_center", "q_window_ntile_distributed",
+                 "q_window_rank", "q_window_rank_salted",
+                 # round-11-modified oracle/engine re-seats
+                 "q_scalar_json", "q_scalar_variant",
+                 # round-8 cohort head
+                 "q_agg_bool_bit", "q_scalar_array"):
         assert core in window, core
+    # the demoted quadratic all-pairs baseline must NEVER be re-seated
+    # (VERDICT r10 item 1); its bucketed twin carries the driver proof
+    assert "q_dedup_embedding" not in window
     # every window entry is oracled — rows-only queries would waste a slot
     qs = all_queries()
     assert all(qs[n].oracle is not None for n in DRIVER_PRIORITY)
