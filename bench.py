@@ -108,11 +108,14 @@ HEADLINE = [
     # iterations × broadcast assignment fold + K·d-bounded centroid sums).
     "q_graph_pagerank_dangling",
     "q_vec_kmeans_lloyd",
-    # round-11 addition (VERDICT r10 item 5), tracked from birth: the
-    # DISTINCT-frontier multi-seed BFS — K node-keyed exchanges where the
-    # recursive-CTE variant overflows; benched so frontier-growth
-    # regressions are visible round-over-round.
+    # round-11 additions, tracked from birth: the DISTINCT-frontier
+    # multi-seed BFS — K node-keyed exchanges where the recursive-CTE
+    # variant overflows — and the SemDeDup semantic dedup (Lloyd clustering
+    # + cluster-bounded cosine prune, the heaviest new composition of the
+    # round); benched so frontier-growth / pair-space regressions are
+    # visible round-over-round.
     "q_graph_bfs_frontier",
+    "q_dedup_semantic",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal

@@ -632,3 +632,89 @@ def test_bpe_encode_gate_and_escaping(spark):
     df = spark.createDataFrame([("a\\'b",)], ["word"])
     got = bpe_encode(df, [("a", "\\"), ("a\\", "'")]).collect()[0]
     assert list(got.syms) == ["a\\'", "b", "</w>"]
+
+
+def test_bfs_frontier_matches_pure_python_bfs(spark):
+    """Round 11 property: bfs_frontier on seeded random digraphs
+    (self-loops and parallel edges allowed) equals a reference pure-Python
+    level-order BFS — min hop from any seed, bounded depth."""
+    import random
+
+    from hadoop_web_browsing_logs_spark.operators.graph import bfs_frontier
+
+    rng = random.Random(20261115)
+    for trial in range(6):
+        n_nodes = rng.randint(4, 12)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(rng.randint(1, 28))
+        ]
+        seeds = set(rng.sample(range(n_nodes), rng.randint(1, 3)))
+        max_hops = rng.randint(1, 3)
+
+        e = spark.createDataFrame(
+            [(f"n{a}", f"n{b}") for a, b in edges], ["src", "dst"]
+        )
+        sdf = spark.createDataFrame([(f"n{x}",) for x in seeds], ["node"])
+        got = {r.node: r.dist for r in bfs_frontier(e, sdf, max_hops).collect()}
+
+        adj: dict[str, set[str]] = {}
+        for a, b in edges:
+            adj.setdefault(f"n{a}", set()).add(f"n{b}")
+        want = {f"n{x}": 0 for x in seeds}
+        frontier = set(want)
+        for hop in range(1, max_hops + 1):
+            nxt: set[str] = set()
+            for nd in frontier:
+                nxt |= adj.get(nd, set())
+            nxt -= want.keys()
+            for nd in nxt:
+                want[nd] = hop
+            frontier = nxt
+        assert got == want, (trial, edges, seeds, max_hops)
+
+
+def test_semantic_dedup_invariants_random_vectors(spark):
+    """Round 11 property: on seeded random vectors, semantic_dedup emits
+    exactly one row per input id; is_dup <=> dup_of present; dup_of is a
+    smaller id in the SAME cluster; and the kept set is the greedy-by-id
+    independent set (a kept row has no smaller-id similar cluster-mate —
+    verified against NumPy cosine on the driver)."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hadoop_web_browsing_logs_spark.operators.dedup import semantic_dedup
+
+    rng = random.Random(20261116)
+    for trial in range(3):
+        n, d = rng.randint(12, 24), 6
+        # half-random, half near-copies so the dup branch fires
+        X = [[rng.uniform(-1, 1) for _ in range(d)] for _ in range(n)]
+        for i in range(0, n, 3):
+            j = rng.randrange(n)
+            X[i] = [x + rng.uniform(-1e-3, 1e-3) for x in X[j]]
+        tau = 0.9
+        vs = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(n)],
+            ["vec_id", "embedding"],
+        ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        rows = semantic_dedup(vs, k=3, tau=tau).collect()
+        assert sorted(r.vec_id for r in rows) == list(range(n))
+        cluster = {r.vec_id: r.center_id for r in rows}
+        A = np.array(X)
+        norms = np.linalg.norm(A, axis=1)
+        sims = (A @ A.T) / np.outer(norms, norms)
+        for r in rows:
+            assert r.is_dup == (r.dup_of is not None)
+            if r.dup_of is not None:
+                assert r.dup_of < r.vec_id
+                assert cluster[r.dup_of] == r.center_id
+                assert sims[r.vec_id, r.dup_of] >= tau - 1e-9
+            else:
+                mates = [
+                    u for u in range(r.vec_id)
+                    if cluster[u] == r.center_id and sims[r.vec_id, u] >= tau + 1e-9
+                ]
+                assert not mates, (trial, r.vec_id, mates)
