@@ -1332,7 +1332,12 @@ def q_dedup_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TAU = 0.35
 
 
-def semantic_dedup(vs: DataFrame, k: int, tau: float = SEMDEDUP_TAU) -> DataFrame:
+def semantic_dedup(
+    vs: DataFrame,
+    k: int,
+    tau: float = SEMDEDUP_TAU,
+    centers: DataFrame | None = None,
+) -> DataFrame:
     """SemDeDup over (vec_id, embedding) rows: cluster with
     :func:`~.vectors.lloyd_kmeans` (k centers, fixed iterations), assign
     each vector to its final nearest center, then within each cluster mark
@@ -1355,7 +1360,11 @@ def semantic_dedup(vs: DataFrame, k: int, tau: float = SEMDEDUP_TAU) -> DataFram
     """
     from .vectors import _l2sq, lloyd_kmeans
 
-    centers = lloyd_kmeans(vs, k)
+    # pass precomputed centers to share the Lloyd materialization with
+    # other consumers (the registered query reuses fixture_lloyd_centers,
+    # the same K-row table q_vec_kmeans_lloyd emits)
+    if centers is None:
+        centers = lloyd_kmeans(vs, k)
     c_arr = centers.agg(F.collect_list(F.struct("center_id", "c")).alias("_cs"))
     best = F.array_min(
         F.transform(
@@ -1475,7 +1484,9 @@ def _semdedup_oracle() -> str:
     tags=("dedup", "iterative"),
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .vectors import N_CENTERS
+    from .vectors import N_CENTERS, fixture_lloyd_centers
 
     vs = load_vectors(spark, sf_dir)
-    return semantic_dedup(vs, N_CENTERS).orderBy("vec_id")
+    return semantic_dedup(
+        vs, N_CENTERS, centers=fixture_lloyd_centers(spark, sf_dir)
+    ).orderBy("vec_id")
