@@ -1337,6 +1337,7 @@ def semantic_dedup(
     k: int,
     tau: float = SEMDEDUP_TAU,
     centers: DataFrame | None = None,
+    keep: str = "min_id",
 ) -> DataFrame:
     """SemDeDup over (vec_id, embedding) rows: cluster with
     :func:`~.vectors.lloyd_kmeans` (k centers, fixed iterations), assign
@@ -1349,6 +1350,15 @@ def semantic_dedup(
     which in a transitive chain (w~u, u~v, w!~v) may itself be a
     duplicate — it is a pruning witness, not necessarily the group's
     surviving representative.
+
+    ``keep`` picks the greedy priority order: ``"min_id"`` (default) keeps
+    smallest ids; ``"centroid_far"`` is the published SemDeDup rule — keep
+    the example FARTHEST from its cluster centroid within each duplicate
+    set (Abbas et al. 2023 §2: the far example is the least redundant with
+    the cluster's bulk). Implemented as a per-cluster row_number over
+    (centroid squared-L2 DESC, vec_id), then the same greedy prune on that
+    rank — deterministic, since the distance is the bit-stable fold and
+    ties fall to ids.
 
     Scale shape: the candidate pair space is CLUSTER-bounded — the
     within-cluster self-join shuffles on center_id and never materializes
@@ -1396,7 +1406,23 @@ def semantic_dedup(
         # corpus scan + one assignment fold, not two
         .localCheckpoint(eager=False)
     )
-    a, b = assign.alias("a"), assign.alias("b")
+    if keep == "min_id":
+        # priority IS the id: reuse the checkpointed assignment directly
+        pri = assign.withColumn("pri", F.col("vec_id"))
+    elif keep == "centroid_far":
+        cw = centers.select("center_id", F.col("c").alias("_c"))
+        w = W.partitionBy("center_id").orderBy(F.col("dc").desc(), "vec_id")
+        pri = (
+            assign.join(F.broadcast(cw), "center_id")
+            .withColumn("dc", _l2sq("embedding", F.col("_c")))
+            .withColumn("pri", F.row_number().over(w))
+            .select("vec_id", "embedding", "center_id", "nrm", "pri")
+            # consumed twice (each side of the self-join), like assign
+            .localCheckpoint(eager=False)
+        )
+    else:
+        raise ValueError(f"keep must be 'min_id' or 'centroid_far', got {keep!r}")
+    a, b = pri.alias("a"), pri.alias("b")
     sim = F.try_divide(
         dot(F.col("a.embedding"), F.col("b.embedding")),
         F.col("a.nrm") * F.col("b.nrm"),
@@ -1405,11 +1431,12 @@ def semantic_dedup(
         a.join(
             b,
             (F.col("a.center_id") == F.col("b.center_id"))
-            & (F.col("b.vec_id") < F.col("a.vec_id")),
+            & (F.col("b.pri") < F.col("a.pri")),
         )
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("u"),
+            F.col("b.pri").alias("upri"),
             sim.alias("sim"),
         )
         # NaN guard: both engines order NaN above every real, but the >=
@@ -1417,7 +1444,9 @@ def semantic_dedup(
         # make the rule explicit: a NaN similarity is NOT a duplicate
         .filter((F.col("sim") >= tau) & ~F.isnan("sim"))
         .groupBy("vec_id")
-        .agg(F.min("u").alias("dup_of"))
+        # the highest-priority similar mate (row_number makes upri unique
+        # per cluster; in min_id mode upri == u, so this is MIN(u))
+        .agg(F.min_by("u", "upri").alias("dup_of"))
     )
     return (
         assign.select("vec_id", "center_id")
@@ -1489,4 +1518,82 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs = load_vectors(spark, sf_dir)
     return semantic_dedup(
         vs, N_CENTERS, centers=fixture_lloyd_centers(spark, sf_dir)
+    ).orderBy("vec_id")
+
+def _semdedup_keepfar_oracle() -> str:
+    from ..functions.vector import duck_cosine_similarity
+    from .vectors import (
+        EMBEDDING_DIM,
+        LLOYD_ITERATIONS,
+        duck_lloyd_l2,
+        lloyd_cte_chain,
+    )
+
+    l2 = duck_lloyd_l2()
+    d1 = EMBEDDING_DIM + 1
+    # squared-L2 from row s to its ASSIGNED centroid c — same fold shape
+    dcentroid = (
+        f"list_sum(list_transform(range(1, {d1}), "
+        "i -> (CAST(s.embedding[i] AS DOUBLE) - c.c[i])"
+        " * (CAST(s.embedding[i] AS DOUBLE) - c.c[i])))"
+    )
+    cos = duck_cosine_similarity("a.embedding", "b.embedding")
+    return f"""
+    WITH {lloyd_cte_chain()},
+    assign AS (
+        SELECT vec_id, embedding, center_id FROM (
+            SELECT e.vec_id, e.embedding, c.center_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {l2}, c.center_id) AS rn
+            FROM v e CROSS JOIN c{LLOYD_ITERATIONS} c
+        ) WHERE rn = 1
+    ),
+    pri AS (
+        SELECT s.vec_id, s.embedding, s.center_id,
+               ROW_NUMBER() OVER (PARTITION BY s.center_id
+                                  ORDER BY {dcentroid} DESC, s.vec_id) AS pri
+        FROM assign s JOIN c{LLOYD_ITERATIONS} c USING (center_id)
+    ),
+    dup AS (
+        SELECT a.vec_id, arg_min(b.vec_id, b.pri) AS dup_of
+        FROM pri a JOIN pri b
+          ON a.center_id = b.center_id AND b.pri < a.pri
+        WHERE {cos} >= {SEMDEDUP_TAU!r} AND NOT isnan({cos})
+        GROUP BY a.vec_id
+    )
+    SELECT s.vec_id, s.center_id,
+           d.dup_of IS NOT NULL AS is_dup, d.dup_of
+    FROM assign s LEFT JOIN dup d ON s.vec_id = d.vec_id
+    ORDER BY s.vec_id
+    """
+
+
+@query(
+    "q_dedup_semantic_keepfar",
+    oracle=_semdedup_keepfar_oracle(),
+    category="dedup",
+    description=(
+        "SemDeDup with the PAPER's keep rule (Abbas et al. 2023 \u00a72: "
+        "within each duplicate set keep the example farthest from the "
+        "cluster centroid — the least redundant with the cluster's bulk), "
+        "vs q_dedup_semantic's greedy-by-id variant: the priority order is "
+        "a per-cluster row_number over (centroid squared-L2 DESC, vec_id) "
+        "and the same cluster-bounded greedy prune runs on that rank. "
+        "Deterministic because the centroid distance is the bit-stable "
+        "sequential fold (identical doubles in both engines) and exact "
+        "ties fall to ids; dup_of = arg_min over the unique rank. The "
+        "DuckDB oracle unrolls Lloyd + assignment + rank + prune, so the "
+        "hash proves the full composition including the priority order."
+    ),
+    tags=("dedup", "iterative"),
+)
+def q_dedup_semantic_keepfar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .vectors import N_CENTERS, fixture_lloyd_centers
+
+    vs = load_vectors(spark, sf_dir)
+    return semantic_dedup(
+        vs,
+        N_CENTERS,
+        centers=fixture_lloyd_centers(spark, sf_dir),
+        keep="centroid_far",
     ).orderBy("vec_id")

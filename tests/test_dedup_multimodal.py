@@ -181,3 +181,38 @@ def test_semantic_dedup_cluster_bounded_survivors(spark):
     # the two clusters never mixed
     assert got[2][0] == got[3][0] == got[0][0]
     assert got[4][0] == got[5][0] == got[1][0]
+
+
+def test_semantic_dedup_keepfar_prefers_centroid_far_survivor(spark):
+    """Round 11: the paper keep rule — among near-identical cluster-mates,
+    the one FARTHEST from the cluster centroid survives, regardless of id
+    order (the min_id rule would keep the smallest id instead)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_web_browsing_logs_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        # cluster A around +e1: ids 0, 2, 3 are near-copies; 3 sits a bit
+        # farther from the centroid (larger magnitude), so under
+        # centroid_far it must be the survivor even though 0 is the seed
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0, 0.0]),
+        (3, [1.4, 0.0, 0.0, 0.0]),
+        # cluster B anchor (seed), far from A
+        (1, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    vs = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    far = {r.vec_id: (r.is_dup, r.dup_of)
+           for r in semantic_dedup(vs, k=2, tau=0.95, keep="centroid_far").collect()}
+    # 3 is farthest from A's centroid -> survivor; 0 and 2 collapse onto it
+    assert far[3] == (False, None)
+    assert far[0] == (True, 3)
+    assert far[2] == (True, 3)
+    assert far[1] == (False, None)
+    # contrast: min_id keeps 0
+    mid = {r.vec_id: (r.is_dup, r.dup_of)
+           for r in semantic_dedup(vs, k=2, tau=0.95, keep="min_id").collect()}
+    assert mid[0] == (False, None)
+    assert mid[3] == (True, 0)
