@@ -702,6 +702,10 @@ def test_semantic_dedup_invariants_random_vectors(spark):
         ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
         rows = semantic_dedup(vs, k=3, tau=tau).collect()
         assert sorted(r.vec_id for r in rows) == list(range(n))
+        # partition invariance: integer outputs + deterministic folds mean
+        # the verdict set must not depend on the input layout
+        alt = semantic_dedup(vs.repartition(7), k=3, tau=tau).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, alt))
         cluster = {r.vec_id: r.center_id for r in rows}
         A = np.array(X)
         norms = np.linalg.norm(A, axis=1)
