@@ -382,3 +382,28 @@ def test_purchase_el_memo_survives_release_caches(spark):
     assert not _EL_MEMO  # invalidated with the blocks
     n2 = _purchase_el(spark, SF_DIR).count()  # rebuilds, must not crash
     assert n1 == n2
+
+
+def test_purchase_el_memo_removes_second_consumer_scan(spark):
+    """Round 11 plan pin: after any graph query materializes the shared
+    edge list, a SECOND consumer's executed plan must read the checkpointed
+    table (LogicalRDD), not re-scan lineitem/orders parquet — the
+    structural form of the measured -44% graph-family bench win."""
+    from hadoop_web_browsing_logs_spark.operators.graph import _EL_MEMO, _purchase_el
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+    from hadoop_web_browsing_logs_spark.session import release_caches
+
+    from .conftest import SF_DIR
+
+    release_caches(spark)  # start cold: no memo entry
+    assert not _EL_MEMO
+    _purchase_el(spark, SF_DIR).count()  # first consumer materializes
+    plan = (
+        get_query("q_graph_pagerank_dangling")
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "lineitem" not in plan, "second consumer re-scans lineitem parquet"
+    assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan, plan[:400]
