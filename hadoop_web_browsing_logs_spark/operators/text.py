@@ -41,6 +41,7 @@ from ..functions.text_stats import (
     ws_tokens,
 )
 from ..plans.registry import query
+from .relational import dsum_sql
 from ._util import one_group, t
 
 _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -832,5 +833,80 @@ def bm25_rank(
             "doc_id",
             "n_terms",
             (F.col("micro").cast("double") / 1000000).alias("bm25"),
+        )
+    )
+
+
+@query(
+    "q_text_novelty",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    tri AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        FROM d, UNNEST(range(1, GREATEST(len(toks) - 1, 1))) AS u(i)
+        WHERE len(toks) >= 3
+    ),
+    -- tri is distinct per (doc, shingle), so COUNT(*) IS the doc frequency
+    f AS (SELECT sh, COUNT(*) AS df FROM tri GROUP BY sh)
+    SELECT t.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS n_unique,
+           SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) / COUNT(*) AS unique_pct,
+           {dsum_sql('ln(f.df)', 6)} / COUNT(*) AS mean_log_df
+    FROM tri t JOIN f USING (sh)
+    GROUP BY t.doc_id
+    """,
+    category="text",
+    description=(
+        "Corpus n-gram novelty scoring (round 11) — the data-selection "
+        "metric behind D4-style redundancy pruning: per document, over its "
+        "DISTINCT word-trigram shingles, the count, how many are unique to "
+        "it corpus-wide (df = 1), the unique fraction, and the mean log "
+        "doc-frequency (low = novel content, high = boilerplate shared "
+        "across the corpus). One tokenize pass, one shingle-keyed exchange "
+        "for the df table, one doc-keyed aggregate — shingles ride the "
+        "shuffles as short strings, never the document text. ln() values "
+        "ride the 1e-6 fixed-point dsum kernel (the tfidf policy) so the "
+        "mean is order-independent and hash-stable; unique_pct is a single "
+        "int/int division, bit-identical in both engines."
+    ),
+)
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import dsum
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(ws_tokens("text"), lambda x: x != "")
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i),
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                ),
+            )
+        ).alias("sh"),
+    ).distinct()
+    df = tri.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    n = F.count(F.lit(1))
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        tri.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(
+            n.alias("n_shingles"),
+            uniq.alias("n_unique"),
+            (uniq / n).alias("unique_pct"),
+            (dsum(F.log("df"), 6) / n).alias("mean_log_df"),
         )
     )
