@@ -856,7 +856,10 @@ def bm25_rank(
     f AS (SELECT sh, COUNT(*) AS df FROM tri GROUP BY sh)
     SELECT t.doc_id,
            COUNT(*) AS n_shingles,
-           SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS n_unique,
+           -- CAST: DuckDB widens SUM(INTEGER) to HUGEINT (surfaces as
+           -- DECIMAL through the typed fetch) where Spark SUM(int) is
+           -- BIGINT — values equal, types hash-differ (round-11 sweep)
+           CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
            SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) / COUNT(*) AS unique_pct,
            {dsum_sql('ln(f.df)', 6)} / COUNT(*) AS mean_log_df
     FROM tri t JOIN f USING (sh)
