@@ -116,6 +116,10 @@ HEADLINE = [
     # visible round-over-round.
     "q_graph_bfs_frontier",
     "q_dedup_semantic",
+    # round-11 late addition, tracked from birth: corpus trigram novelty
+    # (distinct-shingle df table + per-doc micro-nat aggregate — the one
+    # new query with a corpus-sized string-keyed exchange).
+    "q_text_novelty",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal
