@@ -128,6 +128,64 @@ HEADLINE = [
 BASELINE_SET = HEADLINE[:21]
 
 
+def _load_trend(sf: str, per_query: dict[str, float]) -> dict[str, dict[str, float]]:
+    """Per-query median history: every committed same-SF ``BENCH_r*.json``
+    driver snapshot, plus this run under the ``"now"`` key."""
+    import glob as _glob
+    import re as _re
+
+    trend: dict[str, dict[str, float]] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        m = _re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                snap = json.load(fh)
+            parsed = snap.get("parsed") or {}
+            if not parsed or str(snap.get("sf")) != sf:
+                continue
+            queries = parsed.get("queries") or {}
+            items = queries.items() if hasattr(queries, "items") else []
+        except Exception:
+            continue  # one malformed snapshot must not sink the history
+        for qn, sec in items:
+            if isinstance(sec, (int, float)):
+                trend.setdefault(qn, {})[f"r{int(m[1])}"] = sec
+    for qn, sec in per_query.items():
+        trend.setdefault(qn, {})["now"] = sec
+    return trend
+
+
+def _detect_regressions(
+    trend: dict[str, dict[str, float]],
+    min_now_sec: float = 0.5,
+    ratio_gate: float = 1.5,
+) -> dict[str, dict[str, float]]:
+    """Queries whose current median is > ``ratio_gate`` × their LAST
+    committed same-SF round median and now cost > ``min_now_sec`` (small
+    queries swing whole multiples inside the ±20% ambient band — SCALE.md
+    noise-band rules). Returns {query: {last_committed, round, now, ratio}};
+    a non-empty result also lands in BENCH_DETAIL.json as the nonzero
+    ``regression_count`` sentinel."""
+    out: dict[str, dict[str, float]] = {}
+    for qn, hist in trend.items():
+        rounds = sorted((k for k in hist if k != "now"), key=lambda k: int(k[1:]))
+        now = hist.get("now")
+        if not rounds or now is None or now <= min_now_sec:
+            continue
+        last = hist[rounds[-1]]
+        if last > 0 and now > ratio_gate * last:
+            out[qn] = {
+                "last_committed": last,
+                "round": int(rounds[-1][1:]),
+                "now": now,
+                "ratio": round(now / last, 2),
+            }
+    return out
+
+
 def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
@@ -199,28 +257,27 @@ def main() -> None:
     # this run — so a regression surfaces from BENCH_DETAIL alone instead
     # of hand-diffing ten snapshot files. Missing rounds (query not yet
     # registered / not sampled) are simply absent from that query's map.
-    trend: dict[str, dict[str, float]] = {}
     try:
-        import glob as _glob
-        import re as _re
-
-        here = os.path.dirname(os.path.abspath(__file__))
-        for path in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json"))):
-            m = _re.search(r"BENCH_r(\d+)\.json$", path)
-            if not m:
-                continue
-            with open(path) as fh:
-                snap = json.load(fh)
-            parsed = snap.get("parsed") or {}
-            if not parsed or str(snap.get("sf")) != str(line["sf"]):
-                continue
-            for qn, sec in (parsed.get("queries") or {}).items():
-                trend.setdefault(qn, {})[f"r{int(m[1])}"] = sec
-        for qn, sec in per_query.items():
-            trend.setdefault(qn, {})["now"] = sec
+        trend = _load_trend(str(line["sf"]), per_query)
         detail["trend"] = trend
-    except (OSError, ValueError):
-        pass  # trend is diagnostic sugar; never fail the bench for it
+        # Loud regression gate (VERDICT r11 item 3): the trend block alone
+        # still needed a human diff. Flag every query now >0.5 s that runs
+        # >1.5x its LAST COMMITTED same-SF round median — 1.5x sits outside
+        # the ±15-20% ambient band two same-day sf0.1 runs showed
+        # (SCALE.md), so a flag is a code-or-plan change, not noise.
+        regressions = _detect_regressions(trend)
+        detail["regressions"] = regressions
+        detail["regression_count"] = len(regressions)
+        for qn, r in sorted(regressions.items()):
+            print(
+                f"REGRESSION {qn}: {r['last_committed']}s (r{r['round']}) -> "
+                f"{r['now']}s ({r['ratio']}x; gate 1.5x, noise band ±20%)",
+                file=sys.stderr,
+            )
+    except Exception:
+        pass  # trend/regression is diagnostic sugar; never fail the bench
+        # for it (ADVICE r11: the old OSError/ValueError catch let a
+        # malformed snapshot's AttributeError abort the run post-sampling)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)

@@ -1331,43 +1331,47 @@ def q_dedup_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tau=0.95 to semantic_dedup directly.
 SEMDEDUP_TAU = 0.35
 
+#: Hot-cluster guard (VERDICT r11 item 1): the pair stage's sub-bucket cap.
+#: Without it the within-cluster self-join keys on center_id alone, so one
+#: boilerplate-heavy cluster (the exact input semantic dedup exists for)
+#: makes a single shuffle partition quadratic regardless of k. Clusters
+#: larger than this are split into ceil(size/cap) deterministic id-salted
+#: sub-buckets and pairs are generated only within a (center_id, salt)
+#: bucket. The salt is an ID hash, NOT a geometric split: a hot cluster of
+#: near-identical vectors sits on the same side of every hyperplane and in
+#: the same sub-centroid cell, so any geometry-based split fails exactly
+#: when the guard is needed — id-hash balance is geometry-independent.
+#: Chosen so the guard is DORMANT at sf0.001/0.01 (clusters ~62: salt ≡ 0,
+#: bit-identical to the unguarded semantics) and ACTIVE at sf0.1 (clusters
+#: ~250 → 2 sub-buckets), where tests/test_oracle_audit_full.py replays
+#: the mirrored DuckDB oracle, hash-proving the guard on real data.
+SEMDEDUP_MAX_CLUSTER = 128
+_SEMDEDUP_SALT_MULT = 2654435761  # Knuth's multiplicative constant (odd)
+_SEMDEDUP_SALT_MOD = 2147483648  # 2^31: keeps (id % mod) * mult inside BIGINT
+#: Take the hash's HIGH bits: the low bits of an odd multiplicative hash
+#: mod 2^31 preserve id parity (salt would equal vec_id % 2 for s=2).
+_SEMDEDUP_SALT_SHIFT = 15
 
-def semantic_dedup(
-    vs: DataFrame,
-    k: int,
-    tau: float = SEMDEDUP_TAU,
-    centers: DataFrame | None = None,
-    keep: str = "min_id",
+
+def _semdedup_salt(n_sub: Column) -> Column:
+    """Deterministic engine-portable sub-bucket id in [0, n_sub): the high
+    16 bits of a Knuth multiplicative hash of vec_id, mod the cluster's
+    sub-bucket count. Pure BIGINT arithmetic — DuckDB replays it as
+    ``(((vec_id % 2^31) * 2654435761) % 2^31 >> 15) % n_sub`` bit-for-bit
+    (parity probed in tests; contiguous id ranges split near-uniformly)."""
+    h = (
+        F.pmod(F.col("vec_id"), F.lit(_SEMDEDUP_SALT_MOD)) * F.lit(_SEMDEDUP_SALT_MULT)
+    ) % F.lit(_SEMDEDUP_SALT_MOD)
+    return F.pmod(F.shiftright(h, _SEMDEDUP_SALT_SHIFT), n_sub)
+
+
+def _build_semdedup_assign(
+    vs: DataFrame, k: int, centers: DataFrame | None
 ) -> DataFrame:
-    """SemDeDup over (vec_id, embedding) rows: cluster with
-    :func:`~.vectors.lloyd_kmeans` (k centers, fixed iterations), assign
-    each vector to its final nearest center, then within each cluster mark
-    ``is_dup`` for any vector that has a SMALLER-id cluster-mate with
-    cosine >= ``tau`` (``dup_of`` = the smallest such id). The kept set
-    (``is_dup = false``) is the greedy-by-id maximal independent set of
-    the within-cluster similarity graph: a row survives iff no smaller-id
-    similar mate exists. Note ``dup_of`` names the smallest SIMILAR mate,
-    which in a transitive chain (w~u, u~v, w!~v) may itself be a
-    duplicate — it is a pruning witness, not necessarily the group's
-    surviving representative.
-
-    ``keep`` picks the greedy priority order: ``"min_id"`` (default) keeps
-    smallest ids; ``"centroid_far"`` is the published SemDeDup rule — keep
-    the example FARTHEST from its cluster centroid within each duplicate
-    set (Abbas et al. 2023 §2: the far example is the least redundant with
-    the cluster's bulk). Implemented as a per-cluster row_number over
-    (centroid squared-L2 DESC, vec_id), then the same greedy prune on that
-    rank — deterministic, since the distance is the bit-stable fold and
-    ties fall to ids.
-
-    Scale shape: the candidate pair space is CLUSTER-bounded — the
-    within-cluster self-join shuffles on center_id and never materializes
-    corpus-quadratic pairs; at production scale k grows with the corpus
-    (SemDeDup uses n/k ≈ constant cluster sizes), keeping per-cluster work
-    flat while the assignment stays a map-only broadcast fold. Output is
-    all-integer/boolean (ids + verdicts, no float columns), so the hash
-    gate is grid-free.
-    """
+    """The SemDeDup assignment fold: nearest final Lloyd center per vector
+    plus the row's hoisted norm, checkpointed once because every variant
+    consumes it at least twice (both sides of the pair self-join)."""
+    from ..functions.vector import norm
     from .vectors import _l2sq, lloyd_kmeans
 
     # pass precomputed centers to share the Lloyd materialization with
@@ -1385,9 +1389,7 @@ def semantic_dedup(
             ),
         )
     )
-    from ..functions.vector import dot, norm
-
-    assign = (
+    return (
         vs.crossJoin(F.broadcast(c_arr))
         .withColumn("_best", best)
         .select(
@@ -1402,21 +1404,135 @@ def semantic_dedup(
             # the oracle, which spells norms inline, still hash-matches.
             norm("embedding").alias("nrm"),
         )
-        # consumed twice (each side of the within-cluster self-join) — one
-        # corpus scan + one assignment fold, not two
+        # consumed by both sides of the within-cluster self-join, the
+        # sub-bucket sizing agg, and the output projection — one corpus
+        # scan + one assignment fold, not four
         .localCheckpoint(eager=False)
     )
+
+
+#: Session-scoped memo of the FIXTURE SemDeDup assignment (VERDICT r11
+#: item 4), keyed by (applicationId, sf_dir): q_dedup_semantic and
+#: q_dedup_semantic_keepfar run the identical assignment fold over the
+#: identical fixture corpus and centers — the checkpointed (vec_id,
+#: embedding, center_id, nrm) table materializes once per session, like
+#: vectors._LLOYD_MEMO one level up. The generic semantic_dedup API stays
+#: memo-free (callers own their inputs). Cleared by session.release_caches
+#: via the invalidator registry; evicted entries are best-effort
+#: unpersisted (ADVICE r11: dropping the reference alone leaks the
+#: localCheckpoint blocks until release_caches).
+_SEMDEDUP_ASSIGN_MEMO: dict[tuple[str, str], DataFrame] = {}
+_SEMDEDUP_ASSIGN_MEMO_MAX = 4
+
+from ..session import register_memo_invalidator as _reg_inv  # noqa: E402
+from ..session import unpersist_checkpoint as _unpersist  # noqa: E402
+
+_reg_inv(_SEMDEDUP_ASSIGN_MEMO.clear)
+
+
+def fixture_semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered SemDeDup queries' shared assignment table: memoized
+    checkpoint if a variant already built it this session, else computed
+    from the fixture corpus and the shared Lloyd centers and published."""
+    from .vectors import N_CENTERS, fixture_lloyd_centers
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SEMDEDUP_ASSIGN_MEMO.get(key)
+    if cached is not None:
+        return cached
+    assign = _build_semdedup_assign(
+        load_vectors(spark, sf_dir), N_CENTERS, fixture_lloyd_centers(spark, sf_dir)
+    )
+    while len(_SEMDEDUP_ASSIGN_MEMO) >= _SEMDEDUP_ASSIGN_MEMO_MAX:
+        _unpersist(_SEMDEDUP_ASSIGN_MEMO.pop(next(iter(_SEMDEDUP_ASSIGN_MEMO))))
+    _SEMDEDUP_ASSIGN_MEMO[key] = assign
+    return assign
+
+
+def semantic_dedup(
+    vs: DataFrame,
+    k: int,
+    tau: float = SEMDEDUP_TAU,
+    centers: DataFrame | None = None,
+    keep: str = "min_id",
+    max_cluster: int = SEMDEDUP_MAX_CLUSTER,
+    assign: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup over (vec_id, embedding) rows: cluster with
+    :func:`~.vectors.lloyd_kmeans` (k centers, fixed iterations), assign
+    each vector to its final nearest center, then within each cluster mark
+    ``is_dup`` for any vector that has a higher-priority cluster-mate with
+    cosine >= ``tau`` (``dup_of`` = the highest-priority such mate). The
+    kept set (``is_dup = false``) is an independent set of the visible
+    within-cluster similarity graph — NOT necessarily maximal: a row
+    survives iff no higher-priority similar mate exists, even when that
+    mate was itself pruned, so in a transitive chain (w~u, u~v, w!~v) w is
+    pruned although {v, w} is independent. ``dup_of`` is likewise a
+    pruning witness, not necessarily the group's surviving representative.
+
+    ``keep`` picks the greedy priority order: ``"min_id"`` (default) keeps
+    smallest ids; ``"centroid_far"`` is the published SemDeDup rule — keep
+    the example FARTHEST from its cluster centroid within each duplicate
+    set (Abbas et al. 2023 §2: the far example is the least redundant with
+    the cluster's bulk). Implemented as a per-bucket row_number over
+    (centroid squared-L2 DESC, vec_id), then the same greedy prune on that
+    rank — deterministic, since the distance is the bit-stable fold and
+    ties fall to ids.
+
+    Scale shape: the candidate pair space is BUCKET-bounded. The pair
+    self-join keys on (center_id, salt) where salt sub-splits any cluster
+    larger than ``max_cluster`` into ceil(size/max_cluster) deterministic
+    id-hash sub-buckets (see SEMDEDUP_MAX_CLUSTER — a geometric split
+    cannot bound a cluster of near-identical vectors), so no shuffle
+    partition is ever quadratic in a skewed cluster: expected pair work is
+    <= n * max_cluster even when 90% of the corpus lands in one cluster.
+    Clusters at or under the cap get salt 0 everywhere — bit-identical to
+    unguarded SemDeDup. Recall contract for an OVERSIZED cluster: a dup
+    pair is visible iff both rows share a sub-bucket (~1/s for an isolated
+    pair), but a duplicate GROUP of size g collapses to at most s
+    survivors (hash balance spreads the group over every bucket), so
+    residual duplication after the prune is bounded by s/g — the same
+    quantization-miss class SemDeDup already accepts at cluster
+    boundaries, extended one level down. The cluster-size agg is a k-row
+    partial-agg broadcast; the assignment stays a map-only broadcast fold;
+    in centroid_far mode the rank window partitions by (center_id, salt),
+    so the priority sort is bucket-bounded too, not a hot-key straggler.
+    Output is all-integer/boolean (ids + verdicts, no float columns), so
+    the hash gate is grid-free.
+    """
+    from ..functions.vector import dot
+    from .vectors import _l2sq, lloyd_kmeans
+
+    if assign is None:
+        if centers is None:
+            centers = lloyd_kmeans(vs, k)
+        assign = _build_semdedup_assign(vs, k, centers)
+    # hot-cluster guard: per-cluster sub-bucket count (k-row broadcast),
+    # ceil(size / max_cluster) in pure integer arithmetic both engines
+    # compute identically
+    n_sub = assign.groupBy("center_id").agg(
+        F.expr(f"(count(*) + {max_cluster - 1}) div {max_cluster}").alias("_nsub")
+    )
+    sized = (
+        assign.join(F.broadcast(n_sub), "center_id")
+        .withColumn("salt", _semdedup_salt(F.col("_nsub")))
+        .select("vec_id", "embedding", "center_id", "nrm", "salt")
+    )
     if keep == "min_id":
-        # priority IS the id: reuse the checkpointed assignment directly
-        pri = assign.withColumn("pri", F.col("vec_id"))
+        # priority IS the id: derive both join sides straight off the
+        # checkpointed assignment (the size agg + broadcast join re-run
+        # per side, but they are map-side work over the checkpoint)
+        pri = sized.withColumn("pri", F.col("vec_id"))
     elif keep == "centroid_far":
+        if centers is None:
+            raise ValueError("keep='centroid_far' requires centers when assign is precomputed")
         cw = centers.select("center_id", F.col("c").alias("_c"))
-        w = W.partitionBy("center_id").orderBy(F.col("dc").desc(), "vec_id")
+        w = W.partitionBy("center_id", "salt").orderBy(F.col("dc").desc(), "vec_id")
         pri = (
-            assign.join(F.broadcast(cw), "center_id")
+            sized.join(F.broadcast(cw), "center_id")
             .withColumn("dc", _l2sq("embedding", F.col("_c")))
             .withColumn("pri", F.row_number().over(w))
-            .select("vec_id", "embedding", "center_id", "nrm", "pri")
+            .select("vec_id", "embedding", "center_id", "nrm", "salt", "pri")
             # consumed twice (each side of the self-join), like assign
             .localCheckpoint(eager=False)
         )
@@ -1431,6 +1547,10 @@ def semantic_dedup(
         a.join(
             b,
             (F.col("a.center_id") == F.col("b.center_id"))
+            # the guard: the shuffle keys on (center_id, salt), so a hot
+            # cluster's pair space spreads over its s sub-buckets instead
+            # of landing m^2 pairs on one partition
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("b.pri") < F.col("a.pri")),
         )
         .select(
@@ -1445,7 +1565,8 @@ def semantic_dedup(
         .filter((F.col("sim") >= tau) & ~F.isnan("sim"))
         .groupBy("vec_id")
         # the highest-priority similar mate (row_number makes upri unique
-        # per cluster; in min_id mode upri == u, so this is MIN(u))
+        # per bucket and comparisons never cross buckets; in min_id mode
+        # upri == u, so this is MIN(u))
         .agg(F.min_by("u", "upri").alias("dup_of"))
     )
     return (
@@ -1458,6 +1579,28 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+def _semdedup_guard_ctes() -> str:
+    """The hot-cluster guard's DuckDB mirror, shared by both SemDeDup
+    oracles: per-cluster sub-bucket counts (integer ceil-div, exactly the
+    Spark side's ``div`` expression) and the salted assignment — the same
+    Knuth-hash high bits, the same BIGINT arithmetic, so the visible pair
+    set matches the engine bit-for-bit at every skew."""
+    salt = (
+        f"((((s.vec_id % {_SEMDEDUP_SALT_MOD}) * {_SEMDEDUP_SALT_MULT})"
+        f" % {_SEMDEDUP_SALT_MOD}) >> {_SEMDEDUP_SALT_SHIFT}) % z.n_sub"
+    )
+    return f"""
+    szs AS (
+        SELECT center_id,
+               (COUNT(*) + {SEMDEDUP_MAX_CLUSTER - 1}) // {SEMDEDUP_MAX_CLUSTER} AS n_sub
+        FROM assign GROUP BY center_id
+    ),
+    sal AS (
+        SELECT s.*, {salt} AS salt
+        FROM assign s JOIN szs z USING (center_id)
+    )"""
 
 
 def _semdedup_oracle() -> str:
@@ -1476,10 +1619,12 @@ def _semdedup_oracle() -> str:
             FROM v e CROSS JOIN c{LLOYD_ITERATIONS} c
         ) WHERE rn = 1
     ),
+    {_semdedup_guard_ctes()},
     dup AS (
         SELECT a.vec_id, MIN(b.vec_id) AS dup_of
-        FROM assign a JOIN assign b
-          ON a.center_id = b.center_id AND b.vec_id < a.vec_id
+        FROM sal a JOIN sal b
+          ON a.center_id = b.center_id AND a.salt = b.salt
+         AND b.vec_id < a.vec_id
         WHERE {cos} >= {SEMDEDUP_TAU!r} AND NOT isnan({cos})
         GROUP BY a.vec_id
     )
@@ -1505,10 +1650,14 @@ def _semdedup_oracle() -> str:
         "end-to-end, so "
         "the DuckDB oracle replays the entire pipeline — the shared "
         "unrolled Lloyd CTE chain, the same struct-min assignment "
-        "tie-break, the same id-ordered prune — and the hash proves "
-        "cluster-bounded SemDeDup == its serial restatement. Scale: pair "
-        "space is cluster-bounded (grow k with the corpus for flat "
-        "per-cluster work); no float column reaches the output."
+        "tie-break, the same id-ordered prune, and (round 12) the same "
+        "hot-cluster guard: clusters over SEMDEDUP_MAX_CLUSTER rows are "
+        "sub-split by a portable Knuth id-hash so no shuffle partition is "
+        "quadratic in a skewed cluster (dormant at sf0.001/0.01 where "
+        "clusters are under the cap; ACTIVE at sf0.1, where the full "
+        "oracle audit hash-proves the mirrored salt). Scale: pair space "
+        "is bucket-bounded <= n * cap at ANY skew; no float column "
+        "reaches the output."
     ),
     tags=("dedup", "iterative"),
 )
@@ -1517,7 +1666,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vs = load_vectors(spark, sf_dir)
     return semantic_dedup(
-        vs, N_CENTERS, centers=fixture_lloyd_centers(spark, sf_dir)
+        vs,
+        N_CENTERS,
+        centers=fixture_lloyd_centers(spark, sf_dir),
+        assign=fixture_semdedup_assign(spark, sf_dir),
     ).orderBy("vec_id")
 
 def _semdedup_keepfar_oracle() -> str:
@@ -1548,16 +1700,18 @@ def _semdedup_keepfar_oracle() -> str:
             FROM v e CROSS JOIN c{LLOYD_ITERATIONS} c
         ) WHERE rn = 1
     ),
+    {_semdedup_guard_ctes()},
     pri AS (
-        SELECT s.vec_id, s.embedding, s.center_id,
-               ROW_NUMBER() OVER (PARTITION BY s.center_id
+        SELECT s.vec_id, s.embedding, s.center_id, s.salt,
+               ROW_NUMBER() OVER (PARTITION BY s.center_id, s.salt
                                   ORDER BY {dcentroid} DESC, s.vec_id) AS pri
-        FROM assign s JOIN c{LLOYD_ITERATIONS} c USING (center_id)
+        FROM sal s JOIN c{LLOYD_ITERATIONS} c USING (center_id)
     ),
     dup AS (
         SELECT a.vec_id, arg_min(b.vec_id, b.pri) AS dup_of
         FROM pri a JOIN pri b
-          ON a.center_id = b.center_id AND b.pri < a.pri
+          ON a.center_id = b.center_id AND a.salt = b.salt
+         AND b.pri < a.pri
         WHERE {cos} >= {SEMDEDUP_TAU!r} AND NOT isnan({cos})
         GROUP BY a.vec_id
     )
@@ -1582,8 +1736,13 @@ def _semdedup_keepfar_oracle() -> str:
         "Deterministic because the centroid distance is the bit-stable "
         "sequential fold (identical doubles in both engines) and exact "
         "ties fall to ids; dup_of = arg_min over the unique rank. The "
-        "DuckDB oracle unrolls Lloyd + assignment + rank + prune, so the "
-        "hash proves the full composition including the priority order."
+        "DuckDB oracle unrolls Lloyd + assignment + rank + prune — plus "
+        "(round 12) the same id-salted hot-cluster guard as "
+        "q_dedup_semantic, with the rank window partitioned by (center, "
+        "salt) so the priority sort is bucket-bounded too — so the hash "
+        "proves the full composition including the priority order. Shares "
+        "the checkpointed assignment fold with q_dedup_semantic via the "
+        "session memo (VERDICT r11 item 4)."
     ),
     tags=("dedup", "iterative"),
 )
@@ -1596,4 +1755,5 @@ def q_dedup_semantic_keepfar(spark: SparkSession, sf_dir: str) -> DataFrame:
         N_CENTERS,
         centers=fixture_lloyd_centers(spark, sf_dir),
         keep="centroid_far",
+        assign=fixture_semdedup_assign(spark, sf_dir),
     ).orderBy("vec_id")

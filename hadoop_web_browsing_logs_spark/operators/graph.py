@@ -242,6 +242,7 @@ _EL_MEMO_MAX = 4
 # dead blocks would crash its next consumer, so the memo clears with them
 # (round 11 — the full-suite lint caught exactly this interaction)
 from ..session import register_memo_invalidator as _reg_inv  # noqa: E402
+from ..session import unpersist_checkpoint as _unpersist  # noqa: E402
 
 _reg_inv(_EL_MEMO.clear)
 
@@ -270,7 +271,10 @@ def _purchase_el(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     while len(_EL_MEMO) >= _EL_MEMO_MAX:
-        _EL_MEMO.pop(next(iter(_EL_MEMO)))
+        # best-effort free of the evicted entry's checkpoint blocks
+        # (ADVICE r11: dropping the reference alone leaks them until
+        # release_caches)
+        _unpersist(_EL_MEMO.pop(next(iter(_EL_MEMO))))
     _EL_MEMO[key] = el
     return el
 

@@ -873,11 +873,17 @@ def bm25_rank(
         "it corpus-wide (df = 1), the unique fraction, and the mean log "
         "doc-frequency (low = novel content, high = boilerplate shared "
         "across the corpus). One tokenize pass, one shingle-keyed exchange "
-        "for the df table, one doc-keyed aggregate — shingles ride the "
-        "shuffles as short strings, never the document text. ln() values "
-        "ride the 1e-6 fixed-point dsum kernel (the tfidf policy) so the "
-        "mean is order-independent and hash-stable; unique_pct is a single "
-        "int/int division, bit-identical in both engines."
+        "for the df table, one doc-keyed aggregate — and (round 12, "
+        "VERDICT r11 item 7) shingles cross the exchanges as 8-byte "
+        "xxhash64 fingerprints, never as strings: the raw trigram exists "
+        "only inside the map-side explode, the same "
+        "fingerprint-not-payload move as q_profile_documents, exact "
+        "modulo hash collisions (~n²/2⁶⁵) which the DuckDB oracle — "
+        "which keeps REAL shingle strings — would catch as a hash "
+        "mismatch. ln() values ride the 1e-6 fixed-point dsum kernel "
+        "(the tfidf policy) so the mean is order-independent and "
+        "hash-stable; unique_pct is a single int/int division, "
+        "bit-identical in both engines."
     ),
 )
 def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -886,20 +892,26 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     toks = F.filter(ws_tokens("text"), lambda x: x != "")
     d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
-    tri = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("toks", i),
-                    F.element_at("toks", i + 1),
-                    F.element_at("toks", i + 2),
-                ),
-            )
-        ).alias("sh"),
-    ).distinct()
+    tri = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                    ),
+                )
+            ).alias("sh_raw"),
+        )
+        # fingerprint BEFORE the distinct: every downstream exchange
+        # (distinct, df groupBy, df join) keys on a fixed-width BIGINT
+        .select("doc_id", F.xxhash64("sh_raw").alias("sh"))
+        .distinct()
+    )
     df = tri.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     n = F.count(F.lit(1))
     uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
@@ -912,4 +924,6 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (uniq / n).alias("unique_pct"),
             (dsum(F.log("df"), 6) / n).alias("mean_log_df"),
         )
+        # pin output order like the sibling round-11 queries (ADVICE r11)
+        .orderBy("doc_id")
     )

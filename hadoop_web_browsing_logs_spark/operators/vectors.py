@@ -783,6 +783,7 @@ _LLOYD_MEMO: dict[tuple[str, str], DataFrame] = {}
 _LLOYD_MEMO_MAX = 4
 
 from ..session import register_memo_invalidator as _reg_inv  # noqa: E402
+from ..session import unpersist_checkpoint as _unpersist_ckpt  # noqa: E402
 
 _reg_inv(_LLOYD_MEMO.clear)
 
@@ -796,8 +797,14 @@ def _lloyd_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = lloyd_kmeans(load_vectors(spark, sf_dir), N_CENTERS).localCheckpoint(
         eager=False
     )
+    # best-effort free of displaced/evicted entries' checkpoint blocks
+    # (ADVICE r11: dropping the reference alone leaks them until
+    # release_caches — q_vec_kmeans_lloyd re-benches displace repeatedly)
+    old = _LLOYD_MEMO.pop(key, None)
+    if old is not None:
+        _unpersist_ckpt(old)
     while len(_LLOYD_MEMO) >= _LLOYD_MEMO_MAX:
-        _LLOYD_MEMO.pop(next(iter(_LLOYD_MEMO)))
+        _unpersist_ckpt(_LLOYD_MEMO.pop(next(iter(_LLOYD_MEMO))))
     _LLOYD_MEMO[key] = centers
     return centers
 

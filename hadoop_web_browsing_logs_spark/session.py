@@ -109,6 +109,27 @@ def register_memo_invalidator(fn) -> None:
     _MEMO_INVALIDATORS.append(fn)
 
 
+def unpersist_checkpoint(df: "DataFrame") -> None:
+    """Best-effort: free the storage blocks behind a ``localCheckpoint``'d
+    DataFrame that is being EVICTED from a memo (ADVICE r11: dropping the
+    Python reference alone leaks the checkpoint's executor storage until
+    release_caches). A lazily-checkpointed Dataset's analyzed plan is a
+    ``LogicalRDD`` wrapping the persisted RDD, reachable via py4j; anything
+    unexpected (plan shape, a dead JVM at interpreter shutdown) degrades to
+    the documented fallback — blocks live until release_caches.
+
+    Contract: a localCheckpoint's lineage is truncated, so the evicted
+    entry is UNUSABLE after this call — callers evict only entries no live
+    plan will execute again. The registered queries honor this by always
+    re-fetching through the memo accessor at build time and collecting
+    each query before the next one builds (driver/bench/pytest all run
+    sequentially)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def release_caches(spark: SparkSession) -> int:
     """Drop every persisted/cached block the engine has accumulated: cached
     DataFrames (CacheManager) and the RDD blocks pinned by lazy

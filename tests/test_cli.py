@@ -62,3 +62,68 @@ def test_corpus_reader_skips_non_numeric_filenames(spark, tmp_path):
 
     rows = {r.doc_id for r in read_corpus_dir(spark, str(tmp_path)).collect()}
     assert rows == {1}
+
+
+def test_bench_regression_gate_fires_on_synthetic_slowdown():
+    """Round 12 (VERDICT r11 item 3): the bench's loud regression gate —
+    a query >0.5 s running >1.5x its last committed same-SF round median
+    is flagged; ambient-band wobble and sub-half-second queries are not."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join("/root/repo", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    trend = {
+        # real regression: 2.0 s -> 3.5 s (1.75x) against the LATEST round
+        "q_slow": {"r9": 1.0, "r11": 2.0, "now": 3.5},
+        # inside the gate: 1.4x
+        "q_wobble": {"r11": 2.0, "now": 2.8},
+        # huge ratio but still a small query (0.3 s) — noise class
+        "q_tiny": {"r11": 0.1, "now": 0.3},
+        # improvement
+        "q_fast": {"r11": 2.0, "now": 1.0},
+        # brand-new query: no committed history, nothing to compare
+        "q_new": {"now": 9.9},
+    }
+    got = bench._detect_regressions(trend)
+    assert set(got) == {"q_slow"}
+    assert got["q_slow"] == {
+        "last_committed": 2.0,
+        "round": 11,
+        "now": 3.5,
+        "ratio": 1.75,
+    }
+    # the gate compares against the newest committed round, not the oldest
+    assert got["q_slow"]["round"] == 11
+
+
+def test_bench_trend_loader_survives_malformed_snapshots(tmp_path, monkeypatch):
+    """ADVICE r11: a BENCH_r*.json with an unexpected shape (list-valued
+    'queries', non-dict 'parsed') must degrade to 'skip that snapshot',
+    not abort the bench after all samples were taken."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test2", os.path.join("/root/repo", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    good = {"sf": 0.1, "parsed": {"queries": {"q_a": 1.5}}}
+    bad1 = {"sf": 0.1, "parsed": {"queries": ["not", "a", "dict"]}}
+    bad2 = {"sf": 0.1, "parsed": ["list"]}
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(good))
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(bad1))
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps(bad2))
+    (tmp_path / "BENCH_r04.json").write_text("{truncated")
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path), raising=True
+    )
+    trend = bench._load_trend("0.1", {"q_a": 1.6})
+    assert trend == {"q_a": {"r1": 1.5, "now": 1.6}}
