@@ -43,88 +43,87 @@ _REGISTRY: dict[str, Query] = {}
 #: and the entire round-5 cohort; round 9 the twenty late-round-8
 #: registrations + the round-6 cohort head (CORRECTNESS_r09: 50/50 green).
 #:
-#: Round 11 (VERDICT r10 items 1/2/5, ADVICE r10): slots 1-21 seat the
-#: round-7 cohort TAIL (last driver-green r7 — after round 10 re-seated
-#: the cohort head, these are the oldest rows in the system; certifying
-#: them completes two full rotations at post-refactor HEAD: no oracled
-#: query's last green predates round 8). Slots 22-24 are the
-#: round-11-MODIFIED re-seats: q_vec_kmeans_lloyd (now built on the
-#: public lloyd_kmeans wrapper with rank-based k-smallest-id seeding +
-#: the ragged-safe per-row member count) and q_scalar_json /
-#: q_scalar_variant (their oracles now strip the full [0x00-0x20]
-#: control-char band before the strict-integral guard, matching Spark's
-#: try_cast/variant trim — ADVICE r10 medium). Slot 25 is the NEW
-#: q_graph_bfs_frontier (VERDICT r10 item 5: the DISTINCT-frontier BFS
-#: escape hatch for the documented WITH RECURSIVE 1M-row cliff). The
-#: remaining 25 seats take the round-8 cohort head oldest-green-first
-#: (25 of its 48, alphabetical: q_agg_bool_bit … q_scalar_array; the
-#: 23-row tail rolls to r12).
-#: DEMOTION (VERDICT r10 item 1): q_dedup_embedding — the labeled
-#: quadratic all-pairs exact baseline — left the window for good now
-#: that its bucketed twin holds consecutive driver greens (r8+r10); it
-#: stays registered as the pytest-only differential twin of
+#: Round 11 (VERDICT r10 items 1/2/5, ADVICE r10) seated the round-7
+#: cohort tail, three round-11-modified re-seats, the new BFS frontier,
+#: and the round-8 cohort head (25 of 48) — CORRECTNESS_r11: 50/50 green,
+#: closing the second full rotation (no oracled query's last green
+#: predates round 8). DEMOTION (VERDICT r10 item 1): q_dedup_embedding —
+#: the labeled quadratic all-pairs exact baseline — left the window for
+#: good; it stays registered as the pytest-only differential twin of
 #: q_dedup_embedding_bucketed, replayed by the full oracle audit every
 #: run, and must NOT be re-seated (the driver window should never carry
 #: an all-pairs plan). Rows-only queries stay out of the window by
 #: design (the driver's rows-only check is weak; their oracled _gate
 #: twins are seated instead and pytest replays them each run).
+#:
+#: Round 12 (VERDICT r11 item 2): slots 1-3 seat the never-certified
+#: round-11 registrations — q_dedup_semantic + q_dedup_semantic_keepfar
+#: (now carrying the round-12 hot-cluster guard, dormant at the driver's
+#: sf0.01 and hash-proved ACTIVE at sf0.1 by the full oracle audit) and
+#: q_text_novelty (round-12 xxhash64 shingle-fingerprint exchanges; the
+#: oracle keeps real strings, so the driver hash proves the fingerprint
+#: move exact on the data). Slots 4-26 are the round-8 cohort TAIL (23
+#: rows, alphabetical q_scalar_date … q_window_range_frame — the oldest
+#: driver rows in the system). Slots 27-50 take the round-9 cohort head
+#: oldest-green-first (24 of 50, alphabetical q_agg_heavy_hitters …
+#: q_filter_project; the 26-row tail rolls to r13). After a green round
+#: no oracled query's last driver-green row predates round 9.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- round-7 cohort tail (last driver-green r7, oldest in system) ---
-    "q_sim_ivf_ann_gate",
-    "q_sim_ivf_candidates",
-    "q_sim_lsh_ann_gate",
-    "q_sim_lsh_candidates_portable",
-    "q_sim_range_search",
-    "q_stream_equiv_gate",
-    "q_stream_session_batch",
-    "q_stream_session_equiv_gate",
-    "q_stream_sliding_batch",
-    "q_stream_static_join_batch",
-    "q_stream_tumbling_batch",
-    "q_text_collocations",
-    "q_text_quality",
-    "q_topk_global",
-    "q_udf_grouped_map",
-    "q_vec_cluster_groups",
-    "q_vec_kmeans_gate",
-    "q_vec_nearest_center",
-    "q_window_ntile_distributed",
-    "q_window_rank",
-    "q_window_rank_salted",
-    # --- round-11-MODIFIED re-seats ---
-    "q_vec_kmeans_lloyd",
-    "q_scalar_json",
-    "q_scalar_variant",
-    # --- NEW round-11 query (VERDICT r10 item 5) ---
-    "q_graph_bfs_frontier",
-    # --- round-8 cohort head (oldest-green-first, 25 of 48 alphabetical;
-    # the 23-row tail — q_scalar_date … q_window_range_frame — rolls to
-    # r12) ---
-    "q_agg_bool_bit",
-    "q_agg_conditional",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_rollup",
-    "q_agg_salted_hotkey",
-    "q_agg_stats",
-    "q_agg_variance",
-    "q_cte_pipeline",
-    "q_events_scd2",
-    "q_exists_priority",
-    "q_join_multiway",
-    "q_join_range",
-    "q_join_right",
-    "q_join_sixway",
-    "q_llm_bigram_logprob",
-    "q_llm_domain_cap",
-    "q_llm_pack_sequences",
-    "q_llm_shard_manifest",
-    "q_llm_token_budget",
-    "q_llm_unigram_logprob",
-    "q_merge_upsert",
-    "q_pivot",
-    "q_profile_columns",
-    "q_scalar_array",
+    # --- never driver-certified (registered round 11) ---
+    "q_dedup_semantic",
+    "q_dedup_semantic_keepfar",
+    "q_text_novelty",
+    # --- round-8 cohort tail (last driver-green r8, oldest in system) ---
+    "q_scalar_date",
+    "q_scalar_date2",
+    "q_scalar_math",
+    "q_scalar_null",
+    "q_scalar_url",
+    "q_set_ops_bag",
+    "q_stream_dedup_batch",
+    "q_stream_interval_equiv_gate",
+    "q_stream_interval_join_batch",
+    "q_stream_interval_join_left_batch",
+    "q_stream_scd2_equiv_gate",
+    "q_subquery_correlated",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_ngrams",
+    "q_text_porter_gate",
+    "q_text_stopword_filter",
+    "q_text_term_doc_freq",
+    "q_text_token_stats",
+    "q_udf_grouped_agg",
+    "q_vec_quantize_int8",
+    "q_window_navigation",
+    "q_window_range_frame",
+    # --- round-9 cohort head (oldest-green-first, 24 of 50 alphabetical;
+    # the 26-row tail — q_graph_pagerank … q_udtf_context_windows —
+    # rolls to r13) ---
+    "q_agg_heavy_hitters",
+    "q_agg_percentile",
+    "q_agg_sketch_reaggregate",
+    "q_agg_stringagg",
+    "q_asof_join",
+    "q_dedup_components",
+    "q_dedup_fuzzy_vocab",
+    "q_dedup_incremental_lsh",
+    "q_dedup_jaccard_pairs",
+    "q_dedup_keep_canonical",
+    "q_dedup_minhash_gate",
+    "q_dedup_minhash_lsh_gate",
+    "q_dedup_minhash_lsh_portable",
+    "q_dedup_substring",
+    "q_distinct",
+    "q_events_chisq",
+    "q_events_conversion_latency",
+    "q_events_correlation",
+    "q_events_funnel",
+    "q_events_path_mining",
+    "q_events_robust_zscore",
+    "q_events_trend",
+    "q_events_winsorize",
+    "q_filter_project",
 )
 
 

@@ -104,27 +104,29 @@ def test_driver_priority_window():
     assert names[:50] == list(DRIVER_PRIORITY)
     # every priority name actually resolves to a registered query
     assert set(DRIVER_PRIORITY) <= set(names)
-    # round-11 allocation (registry.py comment, VERDICT r10 items 1/2/5):
-    # slots 1-21 = the round-7 cohort tail (closing two full rotations),
-    # then the three round-11-modified re-seats (Lloyd wrapper + the two
-    # control-char-trim oracle fixes), the NEW DISTINCT-frontier BFS, and
-    # the round-8 cohort head
+    # round-12 allocation (registry.py comment, VERDICT r11 item 2):
+    # slots 1-3 = the never-certified round-11 registrations (the two
+    # SemDeDup variants — now carrying the hot-cluster guard — and the
+    # trigram novelty score), then the round-8 cohort tail (the oldest
+    # driver rows in the system), then the round-9 cohort head
     window = set(DRIVER_PRIORITY)
-    assert DRIVER_PRIORITY[0] == "q_sim_ivf_ann_gate"
-    assert DRIVER_PRIORITY[21] == "q_vec_kmeans_lloyd"
-    assert DRIVER_PRIORITY[24] == "q_graph_bfs_frontier"
+    assert DRIVER_PRIORITY[0] == "q_dedup_semantic"
+    assert DRIVER_PRIORITY[1] == "q_dedup_semantic_keepfar"
+    assert DRIVER_PRIORITY[2] == "q_text_novelty"
+    assert DRIVER_PRIORITY[3] == "q_scalar_date"
+    assert DRIVER_PRIORITY[26] == "q_agg_heavy_hitters"
     for core in (
-                 # round-7 cohort tail (oldest driver rows in the system)
-                 "q_sim_range_search", "q_stream_equiv_gate",
-                 "q_stream_session_equiv_gate", "q_text_collocations",
-                 "q_text_quality", "q_topk_global", "q_udf_grouped_map",
-                 "q_vec_cluster_groups", "q_vec_kmeans_gate",
-                 "q_vec_nearest_center", "q_window_ntile_distributed",
-                 "q_window_rank", "q_window_rank_salted",
-                 # round-11-modified oracle/engine re-seats
-                 "q_scalar_json", "q_scalar_variant",
-                 # round-8 cohort head
-                 "q_agg_bool_bit", "q_scalar_array"):
+                 # round-8 cohort tail (oldest driver rows in the system)
+                 "q_scalar_date2", "q_scalar_math", "q_scalar_null",
+                 "q_scalar_url", "q_set_ops_bag", "q_stream_dedup_batch",
+                 "q_stream_scd2_equiv_gate", "q_subquery_correlated",
+                 "q_text_fingerprint", "q_text_langid", "q_text_ngrams",
+                 "q_text_porter_gate", "q_udf_grouped_agg",
+                 "q_vec_quantize_int8", "q_window_navigation",
+                 "q_window_range_frame",
+                 # round-9 cohort head
+                 "q_asof_join", "q_dedup_components", "q_distinct",
+                 "q_events_funnel", "q_filter_project"):
         assert core in window, core
     # the demoted quadratic all-pairs baseline must NEVER be re-seated
     # (VERDICT r10 item 1); its bucketed twin carries the driver proof
