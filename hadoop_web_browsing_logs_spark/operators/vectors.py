@@ -298,9 +298,13 @@ def q_vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the near-isotropic fixture, so an occasional empty cell after a "
         "fixture regeneration must not red the gate), every embedding "
         "assigned exactly once (member counts sum to the table count), and "
-        "weighted purity above the 0.12 pytest floor (1/k random "
-        "baseline). Converts the seeded-but-SQL-inexpressible q_vec_kmeans "
-        "into a driver-hashable row."
+        "weighted purity above the 0.113 floor — re-derived round 12 as "
+        "margin-over-measured-baseline (VERDICT r11 item 5): the midpoint "
+        "between the 0.1 random (1/k) baseline and the worst of an 8-seed "
+        "sweep (0.126 at sf0.1; SCALE.md), replacing the 0.12 guess that "
+        "left only 5% margin to a seed redraw. Converts the "
+        "seeded-but-SQL-inexpressible q_vec_kmeans into a driver-hashable "
+        "row."
     ),
     tags=("calibrated",),
 )
@@ -316,7 +320,7 @@ def q_vec_kmeans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("k").between(8, 10)
             & (F.col("n_assigned") == F.col("n_vecs"))
-            & (F.col("wpurity") > 0.12)
+            & (F.col("wpurity") > 0.113)
         ).alias("ok")
     )
 

@@ -29,12 +29,15 @@ def test_kmeans_clusters_embeddings(spark):
     # the synthetic embeddings are only weakly separable (within-cluster
     # cosine ≈ 0.14) — require purity above the 1/k random baseline, which
     # still fails loudly if the pipeline (vectorization, seeding) breaks.
-    # Margin watch (VERDICT r4 item 6): observed 0.174 (sf0.001) / 0.154
-    # (sf0.01) on the round-5 fixture regeneration — ≥28% headroom over the
-    # 0.12 floor; recalibrate to a margin-over-baseline gate if a future
-    # regeneration lands under ~0.15 observed.
+    # Floor re-derived round 12 (VERDICT r11 item 5) as
+    # margin-over-measured-baseline, the ANN-gate pattern: wpurity swept
+    # over 8 KMeans seeds measured [0.126, 0.1405] at sf0.1 and
+    # [0.154, 0.178] at sf0.01 (SCALE.md round-12 entry), so the floor is
+    # the midpoint between the 0.1 random baseline and the WORST seed's
+    # 0.126 — the old 0.12 floor left only 5% margin to a seed/fixture
+    # redraw, the thinnest gate in the system.
     weighted_purity = sum(r.purity * r.n_members for r in rows) / 500
-    assert weighted_purity > 0.12, f"purity {weighted_purity}"
+    assert weighted_purity > 0.113, f"purity {weighted_purity}"
 
 
 def test_lsh_recall_reasonable(spark):
