@@ -313,6 +313,11 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark):
         # by a distributed TakeOrdered to <= HH_K = 80 rows before the
         # broadcast — a hard cap independent of SF (skew.py heavy_hitters)
         "q_agg_heavy_hitters",
+        # SemDeDup hot-cluster guard (round 12): the sub-bucket-count table
+        # is grouped on center_id — bounded by k, the Lloyd center count (a
+        # query constant), never by SF; ceil(size/cap) per center is k rows
+        # at any corpus size
+        "q_dedup_semantic", "q_dedup_semantic_keepfar",
     }
 
     def node_depth(line: str) -> int:
@@ -515,3 +520,23 @@ def test_python_stage_allowlist(spark):
         if hits and name not in allowed:
             offenders[name] = hits
     assert not offenders, f"undeclared Python stages: {offenders}"
+
+
+def test_semantic_dedup_pair_join_keys_include_salt(spark):
+    """Round 12 (VERDICT r11 item 1, structural pin): the SemDeDup pair
+    stage's equi-join keys must be (center_id, salt), not center_id alone
+    — salt is what spreads a hot cluster's pair space over its sub-buckets
+    instead of landing m² pairs on one shuffle partition. The physical
+    join node (broadcast at fixture scale, sort-merge with a
+    (center_id, salt) exchange at production stats) must list BOTH."""
+    import re
+
+    plan = _plan(spark, "q_dedup_semantic")
+    pair_joins = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*center_id#\d+, salt#\d+", ln)
+    ]
+    assert pair_joins, f"no pair join keyed on (center_id, salt):\n{plan}"
+    # and the guard's salt expression is the portable Knuth hash
+    assert "2654435761" in plan and "shiftright" in plan
