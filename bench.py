@@ -117,9 +117,15 @@ HEADLINE = [
     "q_graph_bfs_frontier",
     "q_dedup_semantic",
     # round-11 late addition, tracked from birth: corpus trigram novelty
-    # (distinct-shingle df table + per-doc micro-nat aggregate — the one
-    # new query with a corpus-sized string-keyed exchange).
+    # (distinct-shingle df table + per-doc micro-nat aggregate; round 12
+    # moved its exchanges onto xxhash64 shingle fingerprints).
     "q_text_novelty",
+    # round-12 addition, tracked from its first certified round: the
+    # paper-keep-rule SemDeDup variant — same guarded pair stage as
+    # q_dedup_semantic plus the bucket-partitioned priority rank window
+    # and it reads the shared assignment memo (the delta between the two
+    # IS the memo + rank cost, worth watching round-over-round).
+    "q_dedup_semantic_keepfar",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal
