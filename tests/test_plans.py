@@ -462,6 +462,30 @@ def test_release_caches_drops_checkpoint_blocks(spark):
     assert jsc.getPersistentRDDs().size() == 0
 
 
+def test_unpersist_checkpoint_frees_evicted_memo_blocks(spark):
+    """Round 12 (ADVICE r11): memo eviction/displacement must free the old
+    entry's localCheckpoint storage instead of leaking it until
+    release_caches. Pin the helper end-to-end: a materialized lazy
+    checkpoint pins exactly one persistent RDD; unpersist_checkpoint drops
+    it (and stays a silent no-op on a plain un-checkpointed frame)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_web_browsing_logs_spark.session import release_caches, unpersist_checkpoint
+
+    release_caches(spark)  # clean slate
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    ck = spark.range(100).select(F.col("id") * 2).localCheckpoint(eager=False)
+    ck.count()  # materialize
+    assert jsc.getPersistentRDDs().size() == base + 1
+    unpersist_checkpoint(ck)
+    assert jsc.getPersistentRDDs().size() == base
+    # best-effort contract: anything without a LogicalRDD plan degrades
+    # to a no-op, never an exception
+    unpersist_checkpoint(spark.range(3))
+    assert jsc.getPersistentRDDs().size() == base
+
+
 def test_no_fat_payload_exchanges(spark):
     """Registry-wide plan lint (round 6): no Exchange may carry a wide
     payload column — document text, embeddings, token-hash arrays, raw JSON
