@@ -308,7 +308,14 @@ def q_llm_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_hits, TRUE AS contaminated FROM hits
     """,
     category="llm",
-    description="Benchmark decontamination: 5-gram shingle overlap between the corpus and a held-out 'benchmark' subset — contaminated docs flagged via a shingle equi-join (hinted broadcast only when the caller bounds the benchmark size).",
+    description=(
+        "Benchmark decontamination: 5-gram shingle overlap between the "
+        "corpus and a held-out 'benchmark' subset — contaminated docs "
+        "flagged via a shingle equi-join (hinted broadcast only when the "
+        "caller bounds the benchmark size). Round 12: shingles cross the "
+        "join as xxhash64 fingerprints; the oracle keeps real strings, so "
+        "the hash gate proves the fingerprint rewrite exact on the data."
+    ),
 )
 def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = shingles_5gram(t(spark, sf_dir, "documents"))
@@ -343,14 +350,21 @@ def decontaminate(
     False, AQE broadcasts while the measured size fits the threshold and
     shuffle-joins beyond, which is the safe default when the benchmark set's
     cardinality is unknown or corpus-derived.
+
+    Round 12: shingles cross the contamination join / distinct /
+    countDistinct as 8-byte xxhash64 fingerprints, not strings — the
+    q_text_novelty move; raw 5-grams exist only map-side. Exact modulo
+    hash collisions (~n²/2⁶⁵), which the string-keyed DuckDB oracle would
+    surface as a driver hash mismatch.
     """
-    bench = bench_shingles.select("sh").distinct()
+    corp = corpus_shingles.select("doc_id", F.xxhash64("sh").alias("shh"))
+    bench = bench_shingles.select(F.xxhash64("sh").alias("shh")).distinct()
     if bench_is_small:
         bench = F.broadcast(bench)
     return (
-        corpus_shingles.join(bench, "sh")
+        corp.join(bench, "shh")
         .groupBy("doc_id")
-        .agg(F.countDistinct("sh").alias("n_hits"))
+        .agg(F.countDistinct("shh").alias("n_hits"))
         .withColumn("contaminated", F.lit(True))
     )
 
