@@ -62,17 +62,25 @@ _REGISTRY: dict[str, Query] = {}
 #: sf0.01 and hash-proved ACTIVE at sf0.1 by the full oracle audit) and
 #: q_text_novelty (round-12 xxhash64 shingle-fingerprint exchanges; the
 #: oracle keeps real strings, so the driver hash proves the fingerprint
-#: move exact on the data). Slots 4-26 are the round-8 cohort TAIL (23
-#: rows, alphabetical q_scalar_date … q_window_range_frame — the oldest
-#: driver rows in the system). Slots 27-50 take the round-9 cohort head
-#: oldest-green-first (24 of 50, alphabetical q_agg_heavy_hitters …
-#: q_filter_project; the 26-row tail rolls to r13). After a green round
-#: no oracled query's last driver-green row predates round 9.
+#: move exact on the data). Slots 4-5 are the round-12-MODIFIED
+#: re-seats: q_vec_kmeans_gate (purity floor re-derived 0.12 → 0.113
+#: from an 8-seed sweep — VERDICT r11 item 5) and q_llm_decontaminate
+#: (contamination join keys fingerprinted to xxhash64 like novelty;
+#: string-keyed oracle unchanged). Slots 6-28 are the round-8 cohort
+#: TAIL (23 rows, alphabetical q_scalar_date … q_window_range_frame —
+#: the oldest driver rows in the system). Slots 29-50 take the round-9
+#: cohort head oldest-green-first (22 of 50, alphabetical
+#: q_agg_heavy_hitters … q_events_trend; the 28-row tail rolls to r13).
+#: After a green round no oracled query's last driver-green row predates
+#: round 9.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never driver-certified (registered round 11) ---
     "q_dedup_semantic",
     "q_dedup_semantic_keepfar",
     "q_text_novelty",
+    # --- round-12-MODIFIED re-seats ---
+    "q_vec_kmeans_gate",
+    "q_llm_decontaminate",
     # --- round-8 cohort tail (last driver-green r8, oldest in system) ---
     "q_scalar_date",
     "q_scalar_date2",
@@ -122,8 +130,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_path_mining",
     "q_events_robust_zscore",
     "q_events_trend",
-    "q_events_winsorize",
-    "q_filter_project",
 )
 
 

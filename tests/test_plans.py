@@ -107,14 +107,18 @@ def test_driver_priority_window():
     # round-12 allocation (registry.py comment, VERDICT r11 item 2):
     # slots 1-3 = the never-certified round-11 registrations (the two
     # SemDeDup variants — now carrying the hot-cluster guard — and the
-    # trigram novelty score), then the round-8 cohort tail (the oldest
+    # trigram novelty score), slots 4-5 = the round-12-modified re-seats
+    # (the re-derived k-means purity floor and the fingerprinted
+    # decontamination join), then the round-8 cohort tail (the oldest
     # driver rows in the system), then the round-9 cohort head
     window = set(DRIVER_PRIORITY)
     assert DRIVER_PRIORITY[0] == "q_dedup_semantic"
     assert DRIVER_PRIORITY[1] == "q_dedup_semantic_keepfar"
     assert DRIVER_PRIORITY[2] == "q_text_novelty"
-    assert DRIVER_PRIORITY[3] == "q_scalar_date"
-    assert DRIVER_PRIORITY[26] == "q_agg_heavy_hitters"
+    assert DRIVER_PRIORITY[3] == "q_vec_kmeans_gate"
+    assert DRIVER_PRIORITY[4] == "q_llm_decontaminate"
+    assert DRIVER_PRIORITY[5] == "q_scalar_date"
+    assert DRIVER_PRIORITY[28] == "q_agg_heavy_hitters"
     for core in (
                  # round-8 cohort tail (oldest driver rows in the system)
                  "q_scalar_date2", "q_scalar_math", "q_scalar_null",
@@ -126,7 +130,7 @@ def test_driver_priority_window():
                  "q_window_range_frame",
                  # round-9 cohort head
                  "q_asof_join", "q_dedup_components", "q_distinct",
-                 "q_events_funnel", "q_filter_project"):
+                 "q_events_funnel", "q_events_trend"):
         assert core in window, core
     # the demoted quadratic all-pairs baseline must NEVER be re-seated
     # (VERDICT r10 item 1); its bucketed twin carries the driver proof
