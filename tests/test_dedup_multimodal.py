@@ -292,6 +292,91 @@ def test_semantic_dedup_hot_cluster_guard(spark):
         assert d == salt(vid, s)
 
 
+def test_semantic_dedup_hot_cluster_guard_keepfar(spark):
+    """Round 12: the keepfar variant under an ACTIVE guard on the same
+    skewed shape — the priority rank window now partitions by
+    (center_id, salt), so the greedy prune must behave as 'farthest from
+    centroid survives, PER SUB-BUCKET'. Full NumPy replay of
+    assignment → sizes → salts → bucket-local rank → prune."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hadoop_web_browsing_logs_spark.operators.dedup import (
+        _SEMDEDUP_SALT_MOD,
+        _SEMDEDUP_SALT_MULT,
+        _SEMDEDUP_SALT_SHIFT,
+        semantic_dedup,
+    )
+
+    cap = 32
+    rng = np.random.default_rng(20261213)
+    rows = []
+    for i in range(90):  # hot cluster of near-copies around +e1
+        v = np.array([1.0, 0.0, 0.0, 0.0]) + rng.uniform(-1e-3, 1e-3, 4)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(90, 100):  # background around +e2
+        v = np.array([0.0, 1.0, 0.0, 0.0]) + rng.uniform(-1e-2, 1e-2, 4)
+        rows.append((i, [float(x) for x in v]))
+    vs = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cs = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    centers = spark.createDataFrame(cs, ["center_id", "c"]).select(
+        "center_id", F.col("c").cast("array<double>").alias("c")
+    )
+    tau = 0.9
+    got = {
+        r.vec_id: (r.center_id, r.is_dup, r.dup_of)
+        for r in semantic_dedup(
+            vs, 2, tau=tau, centers=centers, keep="centroid_far", max_cluster=cap
+        ).collect()
+    }
+    assert len(got) == 100
+
+    def salt(vid: int, s: int) -> int:
+        h = ((vid % _SEMDEDUP_SALT_MOD) * _SEMDEDUP_SALT_MULT) % _SEMDEDUP_SALT_MOD
+        return (h >> _SEMDEDUP_SALT_SHIFT) % s
+
+    X = {vid: np.array(v) for vid, v in rows}
+    C = {cid: np.array(c) for cid, c in cs}
+    center = {vid: got[vid][0] for vid in got}
+    sizes: dict[int, int] = {}
+    for c in center.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    assert sizes[0] == 90 and sizes[1] == 10  # premise: skewed + guard active
+    nsub = {c: (sz + cap - 1) // cap for c, sz in sizes.items()}
+    assert nsub[0] == 3 and nsub[1] == 1
+    bucket = {vid: (center[vid], salt(vid, nsub[center[vid]])) for vid in got}
+    # bucket-local priority: farthest from the ASSIGNED centroid first,
+    # ties (none here by construction) to smaller id
+    pri: dict[int, int] = {}
+    for b in set(bucket.values()):
+        members = [v for v in got if bucket[v] == b]
+        members.sort(key=lambda v: (-float(np.sum((X[v] - C[b[0]]) ** 2)), v))
+        for rank, v in enumerate(members, start=1):
+            pri[v] = rank
+    nrm = {vid: float(np.linalg.norm(x)) for vid, x in X.items()}
+    for vid in sorted(got):
+        mates = [
+            (pri[u], u)
+            for u in got
+            if bucket[u] == bucket[vid]
+            and pri[u] < pri[vid]
+            and float(X[vid] @ X[u]) / (nrm[vid] * nrm[u]) >= tau
+        ]
+        want_dup = min(mates)[1] if mates else None
+        assert got[vid] == (center[vid], want_dup is not None, want_dup), (
+            vid, got[vid], want_dup,
+        )
+    # exactly one survivor per hot sub-bucket, and each survivor is the
+    # bucket's FARTHEST member, not its smallest id
+    for b in {bk for v, bk in bucket.items() if bk[0] == 0}:
+        members = [v for v in got if bucket[v] == b]
+        survivors = [v for v in members if not got[v][1]]
+        assert len(survivors) == 1
+        assert pri[survivors[0]] == 1
+
+
 def test_semantic_dedup_keepfar_prefers_centroid_far_survivor(spark):
     """Round 11: the paper keep rule — among near-identical cluster-mates,
     the one FARTHEST from the cluster centroid survives, regardless of id
