@@ -803,13 +803,18 @@ def connected_components(
 
     The loop is a driver-side iteration over distributed joins (the standard
     Spark shape for iterative graph algorithms when GraphFrames isn't on the
-    classpath); each iteration halves the longest chain, so iterations ≈
-    log(diameter), and each one is a hash join on (node). The convergence
-    check (a counts-only action) runs every ``check_every`` iterations —
-    at scale each action is a full job, so probing every round pays one
-    extra scheduling round-trip per iteration for nothing; an extra
-    propagation round past the fixpoint is a no-op join on an already-stable
-    labels table.
+    classpath). Each iteration does BOTH a neighbor-min step and a
+    pointer-jumping shortcut (label := min(label, label-of-label), the
+    hash-to-min move), so the frontier distance covered per round roughly
+    doubles and iterations ≈ log(diameter) — FIXED round 12: the original
+    loop propagated one hop per round, so ``max_iter=25`` silently
+    mislabeled any component with diameter > 25 (a 61-node chain came back
+    as 36 fragments; found by the randomized union-find differential, now a
+    committed regression test). The convergence check (a counts-only
+    action) runs every ``check_every`` iterations — at scale each action is
+    a full job, so probing every round pays one extra scheduling round-trip
+    per iteration for nothing; an extra propagation round past the fixpoint
+    is a no-op join on an already-stable labels table.
 
     ``cache()`` short-circuits recomputation but does NOT truncate the
     logical plan — the lineage grows by one join per iteration and Catalyst
@@ -833,9 +838,24 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = labels.join(neighbor_min, "node", "left").select(
+        stepped = labels.join(neighbor_min, "node", "left").select(
             "node",
             F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias("component"),
+        )
+        # pointer jump: label := min(label, label-of-label). Components are
+        # node ids, so the parent lookup is a node-keyed self-join on the
+        # same labels table — this is what makes convergence logarithmic in
+        # the diameter instead of linear (the 61-node-chain regression).
+        par = stepped.select(
+            F.col("node").alias("_pnode"), F.col("component").alias("_pcomp")
+        )
+        new_labels = stepped.join(
+            par, stepped.component == par._pnode, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("_pcomp", F.col("component"))
+            ).alias("component"),
         )
         if (it + 1) % truncate_every == 0:
             # materialize + cut lineage (see docstring)
