@@ -1,0 +1,366 @@
+"""Round-12b randomized differential sweep — the mirrored-window family.
+
+The round-12 sweep program (SCALE.md) replays a kernel's REGISTERED query
+verbatim on randomized hostile fixtures and checks it against an
+INDEPENDENT brute-force Python reference — independent meaning a different
+formulation of the declared semantics, not a transcription of the engine's
+plan. It exists because the dual-scale DuckDB oracle replay cannot catch a
+bug both engines share: every target here has an oracle that mirrors the
+engine's window/HOF rule text, so a misunderstanding of the RULE (as
+opposed to a mis-execution of it) passes the hash gate. That class is real:
+the same sweep found connected_components' one-hop fragmentation in round
+12 after three rounds of green hashes.
+
+Targets (each fuzzed on N randomized fixtures with hostile axes):
+
+  asof     q_asof_join          vs O(n*m) "latest view with (ts,event_id)
+                                strictly below the purchase's" nested loop.
+                                Axes: equal timestamps across types, view
+                                and purchase at the SAME ts (row-frame
+                                strictness), users with no views /
+                                no purchases, null ts / event_type.
+  scd2     q_events_scd2        vs a per-user sorted fold (collapse
+                                consecutive duplicate states, close
+                                intervals at the next change). Axes:
+                                equal-ts state changes (tie-break),
+                                single-event users, all-same-state users,
+                                null ts/state rows (excluded by contract).
+  interval q_stream_interval_   vs brute nested loops with the inclusive
+           join_batch (+_left)  [p.ts - 1h, p.ts] band. Axes: views exactly
+                                ON the 1-hour boundary and exactly AT the
+                                purchase ts, unmatched purchases (left),
+                                null ts rows.
+  gopher   q_llm_repetition_    vs a collections.Counter recount of the
+           rules                declared fractions (count*n / n_tok).
+                                Axes: pathological repetition (one doc =
+                                one bigram repeated), exactly-3-token docs,
+                                tab/newline whitespace, docs under the
+                                3-token floor, null/empty text.
+  cap      q_llm_domain_cap     vs a hashlib.md5 reorder in Python
+                                (md5(text or ''), doc_id) per source.
+                                Axes: duplicate texts (md5 ties -> doc_id
+                                tie-break), null text, sources exactly at /
+                                below / above DOMAIN_CAP.
+
+Run:  python docs/fuzz_round12b.py [asof|scd2|interval|gopher|cap|all]
+
+Results are recorded in SCALE.md ("Round 12" sweep ledger); canonical
+hostile shapes are promoted to committed tests in tests/test_properties.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import re
+import sys
+import tempfile
+from collections import Counter
+from datetime import datetime, timedelta
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from hadoop_web_browsing_logs_spark.plans.registry import get_query
+from hadoop_web_browsing_logs_spark.session import get_spark
+
+BASE = datetime(2024, 1, 1)
+
+
+def _write_events(rows) -> str:
+    """rows: (event_id, ts|None, user_id|None, event_type|None, value)."""
+    d = tempfile.mkdtemp(prefix="fuzz_events_")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO e VALUES (?,?,?,?,?,?)", [r + (None,) for r in rows])
+    con.execute(f"COPY e TO '{d}/events.parquet' (FORMAT PARQUET)")
+    return d
+
+
+def _write_documents(rows) -> str:
+    """rows: (doc_id, text|None, lang, source)."""
+    d = tempfile.mkdtemp(prefix="fuzz_docs_")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO t VALUES (?,?,?,?,?)",
+        [r + (len(r[1]) if r[1] is not None else 0,) for r in rows],
+    )
+    con.execute(f"COPY t TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    return d
+
+
+def _rand_events(rng: random.Random, n: int, hostile: bool):
+    """Random event stream. Hostile mode concentrates timestamps on a tiny
+    grid (many exact ties, including cross-type same-instant) and plants
+    null ts / event_type rows."""
+    rows = []
+    types = ["view", "purchase", "click"]
+    grid = [BASE + timedelta(minutes=15 * k) for k in range(6 if hostile else 400)]
+    for i in range(n):
+        ts = rng.choice(grid)
+        # exact 1-hour-boundary pairs for the interval band
+        if hostile and rng.random() < 0.2:
+            ts = rng.choice(grid) - timedelta(hours=1)
+        et = rng.choice(types)
+        uid = rng.randint(1, 3 if hostile else 20)
+        if hostile and rng.random() < 0.05:
+            ts = None
+        if hostile and rng.random() < 0.05:
+            et = None
+        rows.append((i, ts, uid, et, round(rng.uniform(0, 100), 2)))
+    return rows
+
+
+def _key(ts, eid):
+    return (ts, eid)
+
+
+def fuzz_asof(spark, trials: int = 12) -> int:
+    q = get_query("q_asof_join").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(1000 + t)
+        rows = _rand_events(rng, rng.randint(5, 120), hostile=t % 2 == 0)
+        d = _write_events(rows)
+        got = {
+            (r.user_id, r.ts, r.last_view_ts, r.secs_since_view)
+            for r in q(spark, d).collect()
+        }
+        # independent brute force: for each purchase, the max view ts among
+        # ALL events with (ts, event_id) lexicographically below it.
+        # Spark sorts NULL ts FIRST ascending, so null-ts rows precede every
+        # real-ts row in the window frame; replicate via a sort key.
+        def sk(r):
+            return (r[1] is not None, r[1], r[0])
+
+        want = set()
+        for p in rows:
+            if p[3] != "purchase":
+                continue
+            cand = [
+                v[1]
+                for v in rows
+                if v[3] == "view"
+                and v[2] == p[2]  # same user: the window partitions by user_id
+                and v[1] is not None
+                and sk(v) < sk(p)
+            ]
+            lv = max(cand) if cand else None
+            secs = None
+            if lv is not None and p[1] is not None:
+                secs = int((p[1] - lv).total_seconds())
+            want.add((p[2], p[1], lv, secs))
+        if got != want:
+            fails += 1
+            print(f"  asof trial {t}: MISMATCH\n    only-engine={got - want}\n    only-brute={want - got}")
+    return fails
+
+
+def fuzz_scd2(spark, trials: int = 12) -> int:
+    q = get_query("q_events_scd2").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(2000 + t)
+        rows = _rand_events(rng, rng.randint(3, 120), hostile=t % 2 == 0)
+        d = _write_events(rows)
+        got = {
+            (r.user_id, r.state, r.valid_from, r.valid_to)
+            for r in q(spark, d).collect()
+        }
+        # independent fold: per user, sort by (ts, event_id), keep rows whose
+        # state differs from the previous kept-or-not row's state, close each
+        # kept row at the NEXT KEPT row's ts.
+        byu: dict = {}
+        for r in rows:
+            if r[1] is None or r[3] is None:
+                continue
+            byu.setdefault(r[2], []).append(r)
+        want = set()
+        for uid, evs in byu.items():
+            evs.sort(key=lambda r: (r[1], r[0]))
+            kept = []
+            prev_state = object()
+            for r in evs:
+                if r[3] != prev_state:
+                    kept.append(r)
+                prev_state = r[3]
+            for i, r in enumerate(kept):
+                vt = kept[i + 1][1] if i + 1 < len(kept) else None
+                want.add((uid, r[3], r[1], vt))
+        if got != want:
+            fails += 1
+            print(f"  scd2 trial {t}: MISMATCH\n    only-engine={got - want}\n    only-fold={want - got}")
+    return fails
+
+
+def fuzz_interval(spark, trials: int = 10) -> int:
+    qi = get_query("q_stream_interval_join_batch").fn
+    ql = get_query("q_stream_interval_join_left_batch").fn
+    fails = 0
+    hour = timedelta(hours=1)
+    for t in range(trials):
+        rng = random.Random(3000 + t)
+        rows = _rand_events(rng, rng.randint(5, 120), hostile=t % 2 == 0)
+        d = _write_events(rows)
+        views = [r for r in rows if r[3] == "view" and r[1] is not None]
+        purch = [r for r in rows if r[3] == "purchase" and r[1] is not None]
+        want_inner = set()
+        for p in purch:
+            for v in views:
+                if v[2] == p[2] and p[1] - hour <= v[1] <= p[1]:
+                    want_inner.add((p[2], p[0], p[1], v[0], v[1], p[4]))
+        got_inner = {
+            (r.p_user, r.purchase_id, r.purchase_ts, r.view_id, r.view_ts, r.value)
+            for r in qi(spark, d).collect()
+        }
+        # the inner twin does NOT pre-filter null ts (the join condition
+        # drops them); null-ts purchases/views simply never match
+        if got_inner != want_inner:
+            fails += 1
+            print(f"  interval-inner trial {t}: MISMATCH only-engine={got_inner - want_inner} only-brute={want_inner - got_inner}")
+        want_left = set(want_inner)
+        matched = {p_id for (_, p_id, *_rest) in want_inner}
+        for p in purch:
+            if p[0] not in matched:
+                want_left.add((p[2], p[0], p[1], None, None, p[4]))
+        got_left = {
+            (r.p_user, r.purchase_id, r.purchase_ts, r.view_id, r.view_ts, r.value)
+            for r in ql(spark, d).collect()
+        }
+        if got_left != want_left:
+            fails += 1
+            print(f"  interval-left trial {t}: MISMATCH only-engine={got_left - want_left} only-brute={want_left - got_left}")
+    return fails
+
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee", "AA", "x"]
+
+
+def _rand_doc(rng: random.Random, hostile: bool) -> str | None:
+    r = rng.random()
+    if hostile and r < 0.06:
+        return None
+    if hostile and r < 0.12:
+        return "   "
+    n = rng.randint(0, 6) if rng.random() < 0.3 else rng.randint(3, 40)
+    toks = [rng.choice(_WORDS) for _ in range(n)]
+    if hostile and rng.random() < 0.4 and n >= 4:
+        # pathological repetition: tile one bigram across the doc
+        a, b = rng.choice(_WORDS), rng.choice(_WORDS)
+        toks = [a, b] * (n // 2)
+    seps = [" ", "  ", "\t", "\n"] if hostile else [" "]
+    out = ""
+    for i, tok in enumerate(toks):
+        out += (rng.choice(seps) if i else "") + tok
+    if hostile and rng.random() < 0.3:
+        out = " " + out + "\t"
+    return out
+
+
+def fuzz_gopher(spark, trials: int = 10) -> int:
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import (
+        DUP2_MAX,
+        DUP3_MAX,
+        TOP2_MAX,
+    )
+
+    q = get_query("q_llm_repetition_rules").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(4000 + t)
+        docs = [
+            (i, _rand_doc(rng, hostile=t % 2 == 0), rng.choice(["en", "de"]), "s")
+            for i in range(rng.randint(3, 60))
+        ]
+        d = _write_documents(docs)
+        got = {
+            (r.lang, r.n_docs, r.pass_top2, r.pass_dup2, r.pass_dup3, r.pass_all)
+            for r in q(spark, d).collect()
+        }
+        # independent recount of the declared formula
+        agg: dict = {}
+        for _id, text, lang, _s in docs:
+            toks = [w for w in re.split(r"\s+", (text or "").strip().lower()) if w]
+            if len(toks) < 3:
+                continue
+            n_tok = len(toks)
+            g2 = Counter(" ".join(toks[i : i + 2]) for i in range(n_tok - 1))
+            g3 = Counter(" ".join(toks[i : i + 3]) for i in range(n_tok - 2))
+            top2 = max(g2.values()) * 2 / n_tok
+            dup2 = sum(c for c in g2.values() if c >= 2) * 2 / n_tok
+            dup3 = sum(c for c in g3.values() if c >= 2) * 3 / n_tok
+            a = agg.setdefault(lang, [0, 0, 0, 0, 0])
+            a[0] += 1
+            a[1] += top2 <= TOP2_MAX
+            a[2] += dup2 <= DUP2_MAX
+            a[3] += dup3 <= DUP3_MAX
+            a[4] += top2 <= TOP2_MAX and dup2 <= DUP2_MAX and dup3 <= DUP3_MAX
+        want = {(lang, *a) for lang, a in agg.items()}
+        if got != want:
+            fails += 1
+            print(f"  gopher trial {t}: MISMATCH\n    engine={sorted(got)}\n    recount={sorted(want)}")
+    return fails
+
+
+def fuzz_cap(spark, trials: int = 8) -> int:
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import DOMAIN_CAP
+
+    q = get_query("q_llm_domain_cap").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(5000 + t)
+        n = rng.randint(5, 3 * DOMAIN_CAP)
+        texts = ["dup text"] * (n // 3) + [
+            None if rng.random() < 0.1 else f"doc {rng.randint(0, n)}"
+            for _ in range(n - n // 3)
+        ]
+        rng.shuffle(texts)
+        docs = [
+            (i, texts[i], "en", rng.choice(["a", "b", "c"])) for i in range(n)
+        ]
+        d = _write_documents(docs)
+        got = {(r.source, r.doc_id) for r in q(spark, d).collect()}
+        bysrc: dict = {}
+        for i, text, _l, src in docs:
+            key = (hashlib.md5((text or "").encode()).hexdigest(), i)
+            bysrc.setdefault(src, []).append((key, i))
+        want = set()
+        for src, items in bysrc.items():
+            items.sort()
+            want.update((src, i) for _k, i in items[:DOMAIN_CAP])
+        if got != want:
+            fails += 1
+            print(f"  cap trial {t}: MISMATCH only-engine={got - want} only-replay={want - got}")
+    return fails
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = get_spark("fuzz12b", cpus=8)
+    total = 0
+    for name, fn in [
+        ("asof", fuzz_asof),
+        ("scd2", fuzz_scd2),
+        ("interval", fuzz_interval),
+        ("gopher", fuzz_gopher),
+        ("cap", fuzz_cap),
+    ]:
+        if which not in ("all", name):
+            continue
+        f = fn(spark)
+        total += f
+        print(f"{name}: {'OK' if f == 0 else f'{f} FAILURES'}")
+    print(f"TOTAL failures: {total}")
+    sys.exit(1 if total else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -722,3 +722,120 @@ def test_semantic_dedup_invariants_random_vectors(spark):
                     if cluster[u] == r.center_id and sims[r.vec_id, u] >= tau + 1e-9
                 ]
                 assert not mates, (trial, r.vec_id, mates)
+
+
+# --- round-12b mirrored-window family: independent brute-force differentials
+# (docs/fuzz_round12b.py ran 54 randomized trials across asof/scd2/interval/
+# gopher/cap — all clean; these pin the two highest-risk shapes durably) ---
+
+
+def _write_events_fixture(tmp_path, rows):
+    """Write (event_id, ts, user_id, event_type, value) rows as the events
+    table of a synthetic sf_dir, so registered queries run VERBATIM on it."""
+    import duckdb
+
+    d = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO e VALUES (?,?,?,?,?,NULL)", [tuple(r) for r in rows]
+    )
+    con.execute(f"COPY e TO '{d}/events.parquet' (FORMAT PARQUET)")
+    return d
+
+
+def _hostile_event_stream():
+    """Deterministic hostile stream: 3 users on a 6-slot 15-minute grid, so
+    exact ties abound — including a view and a purchase at the SAME instant
+    (both orders of event_id) — plus null ts / event_type rows. This is the
+    shape where a window formulation of 'latest view strictly before each
+    purchase' and an O(n*m) definitional scan can disagree."""
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(20260816)
+    base = datetime(2024, 1, 1)
+    grid = [base + timedelta(minutes=15 * k) for k in range(6)]
+    rows = []
+    for i in range(90):
+        ts = rng.choice(grid)
+        et = rng.choice(["view", "purchase", "click"])
+        if rng.random() < 0.05:
+            ts = None
+        if rng.random() < 0.05:
+            et = None
+        rows.append((i, ts, rng.randint(1, 3), et, round(rng.uniform(0, 9), 2)))
+    return rows
+
+
+def test_asof_join_matches_brute_force(spark, tmp_path):
+    """q_asof_join (running-max row-frame window) == the definitional brute
+    force: for each purchase, the max view ts among same-user events with
+    (ts, event_id) lexicographically below it (Spark sorts NULL ts first
+    ascending, so null-ts rows precede every real-ts row in the frame)."""
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    rows = _hostile_event_stream()
+    d = _write_events_fixture(tmp_path, rows)
+    got = {
+        (r.user_id, r.ts, r.last_view_ts, r.secs_since_view)
+        for r in get_query("q_asof_join").fn(spark, d).collect()
+    }
+
+    def sk(r):
+        return (r[1] is not None, r[1], r[0])
+
+    want = set()
+    for p in rows:
+        if p[3] != "purchase":
+            continue
+        cand = [
+            v[1]
+            for v in rows
+            if v[3] == "view" and v[2] == p[2] and v[1] is not None and sk(v) < sk(p)
+        ]
+        lv = max(cand) if cand else None
+        secs = (
+            int((p[1] - lv).total_seconds())
+            if lv is not None and p[1] is not None
+            else None
+        )
+        want.add((p[2], p[1], lv, secs))
+    assert got == want
+
+
+def test_scd2_matches_python_fold(spark, tmp_path):
+    """q_events_scd2 (lag change-detect + lead interval-close windows) == an
+    independent per-user sorted fold on the equal-ts hostile stream: sort by
+    (ts, event_id), keep rows whose state differs from the immediately
+    preceding event's state, close each kept row at the next kept row's ts.
+    Null ts / null state rows are excluded by contract on both sides."""
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    rows = _hostile_event_stream()
+    d = _write_events_fixture(tmp_path, rows)
+    got = {
+        (r.user_id, r.state, r.valid_from, r.valid_to)
+        for r in get_query("q_events_scd2").fn(spark, d).collect()
+    }
+
+    byu: dict = {}
+    for r in rows:
+        if r[1] is None or r[3] is None:
+            continue
+        byu.setdefault(r[2], []).append(r)
+    want = set()
+    for uid, evs in byu.items():
+        evs.sort(key=lambda r: (r[1], r[0]))
+        kept, prev_state = [], object()
+        for r in evs:
+            if r[3] != prev_state:
+                kept.append(r)
+            prev_state = r[3]
+        for i, r in enumerate(kept):
+            vt = kept[i + 1][1] if i + 1 < len(kept) else None
+            want.add((uid, r[3], r[1], vt))
+    assert got == want
