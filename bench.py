@@ -126,6 +126,12 @@ HEADLINE = [
     # and it reads the shared assignment memo (the delta between the two
     # IS the memo + rank cost, worth watching round-over-round).
     "q_dedup_semantic_keepfar",
+    # round-12 late addition, tracked from birth: contamination SPAN
+    # report (positioned fingerprinted shingle join + gaps-and-islands
+    # over hit positions) — the doc-keyed islands window rides the same
+    # exchange family as decontaminate, so their delta isolates the
+    # positions/window cost.
+    "q_llm_contamination_span",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal

@@ -369,6 +369,94 @@ def decontaminate(
     )
 
 
+def shingles_5gram_positioned(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, sh) rows: like :func:`shingles_5gram` but each shingle
+    carries its 1-based token position, so consumers can reason about RUNS of
+    consecutive contaminated shingles, not just their count."""
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 5)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 4),
+        lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(5)]),
+    )
+    return d.select("doc_id", F.posexplode(sh).alias("p", "sh")).select(
+        "doc_id", (F.col("p") + 1).cast("bigint").alias("pos"), "sh"
+    )
+
+
+@query(
+    "q_llm_contamination_span",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    shingles AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       || ' ' || toks[i+3] || ' ' || toks[i+4] AS sh
+        FROM toks, UNNEST(range(1, GREATEST(len(toks) - 3, 1))) AS u(i)
+    ),
+    bench AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % 97 = 0),
+    hits AS (
+        SELECT s.doc_id, s.pos
+        FROM shingles s JOIN bench b ON s.sh = b.sh
+        WHERE s.doc_id % 97 <> 0
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM hits
+    ),
+    spans AS (SELECT doc_id, grp, COUNT(*) AS span FROM isl GROUP BY doc_id, grp)
+    SELECT doc_id,
+           CAST(SUM(span) AS BIGINT) AS n_hit_positions,
+           CAST(MAX(span) AS BIGINT) AS max_span_shingles,
+           CAST(MAX(span) + 4 AS BIGINT) AS max_span_tokens
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+    """,
+    category="llm",
+    description=(
+        "Contamination SPAN report — the severity half q_llm_decontaminate "
+        "leaves out: for each contaminated train doc, the longest run of "
+        "CONSECUTIVE benchmark-shared 5-gram shingles (gaps-and-islands on "
+        "hit positions), reported in shingles and tokens. A 5-token hit is "
+        "a quotation; a 200-token span is a wholesale copy — the metric "
+        "eval-overlap audits (GPT-3 appendix C style) act on. Scale shape: "
+        "positioned shingles cross the contamination join as xxhash64 "
+        "fingerprints (strings stay map-side; the string-keyed oracle "
+        "proves the rewrite exact); the islands window runs per doc over "
+        "HIT positions only — sparse by construction, never corpus-sized — "
+        "and everything downstream of the join is integer arithmetic on "
+        "(doc_id, pos)."
+    ),
+    tags=("llm", "decontamination"),
+)
+def q_llm_contamination_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingles = shingles_5gram_positioned(t(spark, sf_dir, "documents"))
+    bench = (
+        shingles.filter(F.col("doc_id") % 97 == 0)
+        .select(F.xxhash64("sh").alias("shh"))
+        .distinct()
+    )
+    hits = (
+        shingles.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "pos", F.xxhash64("sh").alias("shh"))
+        .join(bench, "shh")
+        .select("doc_id", "pos")
+    )
+    grp = F.col("pos") - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+    spans = hits.withColumn("grp", grp).groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("span")
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.sum("span").cast("bigint").alias("n_hit_positions"),
+            F.max("span").cast("bigint").alias("max_span_shingles"),
+            (F.max("span") + 4).cast("bigint").alias("max_span_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing (GPT-style concat-and-cut) + per-domain caps
 # ---------------------------------------------------------------------------

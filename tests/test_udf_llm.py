@@ -343,3 +343,41 @@ def test_temperature_mix_degenerate_corpora(spark, tmp_path):
                 assert got[src]["n_tokens"] == 0
                 assert got[src]["weight"] is None
                 assert got[src]["ppm"] is None
+
+
+def test_contamination_span_islands_math(spark, tmp_path):
+    """Constructed spans: a bench doc (id 97, 97 % 97 == 0) donates a
+    30-token passage; train docs embed (a) that passage verbatim mid-doc,
+    (b) two disjoint 5-token quotes from it, (c) nothing. The islands math
+    must report a 26-shingle / 30-token max span for (a), two length-1
+    islands (5-token spans) for (b), and no row for (c)."""
+    import duckdb
+
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    passage = " ".join(f"p{i}" for i in range(30))
+    toks = passage.split()
+    filler = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))  # noqa: E731
+    docs = [
+        (97, passage, "en", "bench"),
+        (1, f"{filler('a', 8)} {passage} {filler('b', 8)}", "en", "web"),
+        # two disjoint 5-token quotes, separated by unseen filler
+        (2, f"{' '.join(toks[0:5])} {filler('c', 6)} {' '.join(toks[20:25])}", "en", "web"),
+        (3, filler("d", 40), "en", "web"),
+    ]
+    d = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO t VALUES (?,?,?,?,?)", [r + (len(r[1]),) for r in docs]
+    )
+    con.execute(f"COPY t TO '{d}/documents.parquet' (FORMAT PARQUET)")
+
+    got = {
+        r.doc_id: (r.n_hit_positions, r.max_span_shingles, r.max_span_tokens)
+        for r in get_query("q_llm_contamination_span").fn(spark, d).collect()
+    }
+    assert got == {1: (26, 26, 30), 2: (2, 1, 5)}
