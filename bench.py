@@ -132,6 +132,11 @@ HEADLINE = [
     # exchange family as decontaminate, so their delta isolates the
     # positions/window cost.
     "q_llm_contamination_span",
+    # round-12 late addition, tracked from birth: hybrid RRF retrieval —
+    # BM25 top-20 + cosine top-20 fused by exact BIGINT micro-RRF; its
+    # cost is ~the sum of its two input kernels, so a regression here
+    # that doesn't show in q_text_bm25 isolates the dense-list/fusion leg.
+    "q_sim_hybrid_rrf",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal

@@ -669,3 +669,130 @@ def q_sim_ivf_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         IVF_RECALL_MARGIN,
         IVF_RECALL_MIN,
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval (round 12): reciprocal-rank fusion of the two retrieval
+# modalities the engine already certifies — BM25 lexical ranking (text.py)
+# and brute-force cosine ANN (this module). RRF (Cormack et al. 2009) is the
+# standard fusion a RAG / topical-mining pipeline runs when neither sparse
+# nor dense retrieval dominates: score(d) = Σ_lists 1/(K + rank_list(d)),
+# K = 60. Contributions are exact BIGINT micro-scores (10^9 DIV (K + rank)),
+# so fusion, ordering, and the driver hash never touch float summation.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_LIST_K = 20  # depth of each input rank list
+RRF_TOP_K = 10
+RRF_QUERY_VEC = 0  # the dense query point; BM25_QUERY_TERMS is the sparse one
+
+
+def _rrf_micro_sql(rank_col: str) -> str:
+    return f"COALESCE(CAST(1000000000 AS BIGINT) // ({RRF_K} + {rank_col}), 0)"
+
+
+def _hybrid_rrf_oracle() -> str:
+    from .text import _BM25_MICRO_SQL, BM25_QUERY_TERMS
+
+    return f"""
+    WITH tok AS (
+        SELECT d.doc_id, u.token AS term
+        FROM documents d, UNNEST(list_transform(string_split_regex(lower(trim(d.text)), '\\s+'), x -> regexp_replace(x, '\\pP', '', 'g'))) AS u(token)
+        WHERE u.token <> ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tot FROM tok),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        WHERE term IN {BM25_QUERY_TERMS!r}
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    per AS (
+        SELECT tf.doc_id, SUM({_BM25_MICRO_SQL}) AS micro
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (term)
+        CROSS JOIN n CROSS JOIN tot
+        GROUP BY tf.doc_id
+    ),
+    lex AS (
+        SELECT doc_id, CAST(r_lex AS BIGINT) AS r_lex FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY micro DESC, doc_id) AS r_lex
+            FROM per
+        ) WHERE r_lex <= {RRF_LIST_K}
+    ),
+    vec AS (
+        SELECT doc_id, CAST(r_vec AS BIGINT) AS r_vec FROM (
+            SELECT c.vec_id AS doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY {duck_cosine_similarity('q.embedding', 'c.embedding')} DESC,
+                                c.vec_id) AS r_vec
+            FROM {DUCK_VECTORS} q CROSS JOIN {DUCK_VECTORS} c
+            WHERE q.vec_id = {RRF_QUERY_VEC} AND c.vec_id <> {RRF_QUERY_VEC}
+        ) WHERE r_vec <= {RRF_LIST_K}
+    )
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           l.r_lex, v.r_vec,
+           {_rrf_micro_sql('l.r_lex')} + {_rrf_micro_sql('v.r_vec')} AS rrf_micro
+    FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    ORDER BY rrf_micro DESC, doc_id LIMIT {RRF_TOP_K}
+    """
+
+
+@query(
+    "q_sim_hybrid_rrf",
+    oracle=_hybrid_rrf_oracle(),
+    category="similarity",
+    description=(
+        "Hybrid retrieval via reciprocal-rank fusion (K=60): the BM25 "
+        "top-20 for the fixed 4-term query fused with the cosine top-20 "
+        "for the fixed dense query point, top-10 by exact BIGINT micro-RRF "
+        "(1e9 DIV (60+rank) per list, missing list = 0). Scale shape: each "
+        "input list is the already-certified kernel (one corpus tokenize + "
+        "doc-keyed shuffle for BM25; broadcast-query map-only scan + "
+        "TakeOrdered for dense), and the fusion itself joins two K-row "
+        "tables — driver-side-trivial at any corpus size. All-integer "
+        "fusion, so ranking is order-independent and hash-exact."
+    ),
+    tags=("similarity", "retrieval"),
+)
+def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import BM25_QUERY_TERMS, bm25_rank
+    from ._util import one_group
+
+    docs = t(spark, sf_dir, "documents")
+    lex = bm25_rank(docs, BM25_QUERY_TERMS, top_k=RRF_LIST_K).select(
+        "doc_id", "bm25"
+    )
+    # bm25 = micro/1e6 is monotone in the exact BIGINT micro, so ranking by
+    # it reproduces the kernel's own (micro DESC, doc_id) order
+    wl = W.partitionBy(one_group("doc_id")).orderBy(F.col("bm25").desc(), "doc_id")
+    lex = lex.select(
+        "doc_id", F.row_number().over(wl).cast("bigint").alias("r_lex")
+    )
+
+    e = load_vectors(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cv = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    vec = brute_force_topk(qv, cv, k=RRF_LIST_K).select(
+        F.col("c_id").alias("doc_id"), F.col("rnk").cast("bigint").alias("r_vec")
+    )
+
+    fused = lex.join(vec, ["doc_id"], "full_outer")
+    micro = lambda c: F.coalesce(  # noqa: E731
+        F.expr(f"CAST(1000000000 AS BIGINT) div ({RRF_K} + {c})"),
+        F.lit(0).cast("bigint"),
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "r_lex",
+            "r_vec",
+            (micro("r_lex") + micro("r_vec")).alias("rrf_micro"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(RRF_TOP_K)
+    )
