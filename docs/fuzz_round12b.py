@@ -310,6 +310,55 @@ def fuzz_gopher(spark, trials: int = 10) -> int:
     return fails
 
 
+def fuzz_span(spark, trials: int = 10) -> int:
+    """q_llm_contamination_span vs a Python recount: positioned 5-gram
+    shingles, bench = distinct shingles of doc_id % 97 == 0 docs, islands of
+    consecutive hit positions. Axes: docs built from a tiny vocab so shared
+    shingles abound, doc 0 and 97 are bench at n>=98, tiled repetition, and
+    whitespace-hostile separators."""
+    q = get_query("q_llm_contamination_span").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(6000 + t)
+        n = rng.randint(4, 120)
+        docs = [
+            (i, _rand_doc(rng, hostile=t % 2 == 0), "en", "s") for i in range(n)
+        ]
+        d = _write_documents(docs)
+        got = {
+            (r.doc_id, r.n_hit_positions, r.max_span_shingles, r.max_span_tokens)
+            for r in q(spark, d).collect()
+        }
+        def toks(text):
+            return [w for w in re.split(r"\s+", (text or "").strip().lower()) if w]
+
+        def sh(text):
+            tk = toks(text)
+            return [" ".join(tk[i : i + 5]) for i in range(len(tk) - 4)]
+
+        bench = {s for i, text, _l, _s in docs if i % 97 == 0 for s in sh(text)}
+        want = set()
+        for i, text, _l, _s in docs:
+            if i % 97 == 0:
+                continue
+            hits = [p for p, s in enumerate(sh(text), start=1) if s in bench]
+            if not hits:
+                continue
+            spans, cur = [], 1
+            for a, b in zip(hits, hits[1:]):
+                if b == a + 1:
+                    cur += 1
+                else:
+                    spans.append(cur)
+                    cur = 1
+            spans.append(cur)
+            want.add((i, len(hits), max(spans), max(spans) + 4))
+        if got != want:
+            fails += 1
+            print(f"  span trial {t}: MISMATCH only-engine={sorted(got - want)[:4]} only-recount={sorted(want - got)[:4]}")
+    return fails
+
+
 def fuzz_cap(spark, trials: int = 8) -> int:
     from hadoop_web_browsing_logs_spark.operators.llm_pipeline import DOMAIN_CAP
 
@@ -351,6 +400,7 @@ def main() -> None:
         ("scd2", fuzz_scd2),
         ("interval", fuzz_interval),
         ("gopher", fuzz_gopher),
+        ("span", fuzz_span),
         ("cap", fuzz_cap),
     ]:
         if which not in ("all", name):
