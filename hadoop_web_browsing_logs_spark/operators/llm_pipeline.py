@@ -384,6 +384,51 @@ def shingles_5gram_positioned(docs: DataFrame) -> DataFrame:
     )
 
 
+def contamination_spans(
+    corpus_docs: DataFrame, bench_docs: DataFrame, *, bench_is_small: bool = False
+) -> DataFrame:
+    """Contamination SPAN severity: for each corpus doc sharing >=1 5-gram
+    shingle with the benchmark, the longest run of CONSECUTIVE shared
+    shingles (gaps-and-islands over hit positions), in shingles and tokens.
+
+    Both inputs need (doc_id, text). Returns (doc_id, n_hit_positions,
+    max_span_shingles, max_span_tokens) — only contaminated docs, ordered by
+    doc_id. A 1-shingle hit is a quotation; a 200-token span is a wholesale
+    copy — the severity metric eval-overlap audits (GPT-3 appendix C style)
+    act on, which the boolean :func:`decontaminate` flag leaves out.
+
+    Scale shape: positioned shingles cross the contamination join as
+    xxhash64 fingerprints (strings stay map-side); the islands window runs
+    per doc over HIT positions only — sparse by construction, never
+    corpus-sized. ``bench_is_small=True`` force-broadcasts the benchmark
+    shingle set (real eval suites; same contract as :func:`decontaminate`).
+    """
+    bench = (
+        shingles_5gram(bench_docs).select(F.xxhash64("sh").alias("shh")).distinct()
+    )
+    if bench_is_small:
+        bench = F.broadcast(bench)
+    hits = (
+        shingles_5gram_positioned(corpus_docs)
+        .select("doc_id", "pos", F.xxhash64("sh").alias("shh"))
+        .join(bench, "shh")
+        .select("doc_id", "pos")
+    )
+    grp = F.col("pos") - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+    spans = hits.withColumn("grp", grp).groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("span")
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.sum("span").cast("bigint").alias("n_hit_positions"),
+            F.max("span").cast("bigint").alias("max_span_shingles"),
+            (F.max("span") + 4).cast("bigint").alias("max_span_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "q_llm_contamination_span",
     oracle=f"""
@@ -430,30 +475,12 @@ def shingles_5gram_positioned(docs: DataFrame) -> DataFrame:
     tags=("llm", "decontamination"),
 )
 def q_llm_contamination_span(spark: SparkSession, sf_dir: str) -> DataFrame:
-    shingles = shingles_5gram_positioned(t(spark, sf_dir, "documents"))
-    bench = (
-        shingles.filter(F.col("doc_id") % 97 == 0)
-        .select(F.xxhash64("sh").alias("shh"))
-        .distinct()
-    )
-    hits = (
-        shingles.filter(F.col("doc_id") % 97 != 0)
-        .select("doc_id", "pos", F.xxhash64("sh").alias("shh"))
-        .join(bench, "shh")
-        .select("doc_id", "pos")
-    )
-    grp = F.col("pos") - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
-    spans = hits.withColumn("grp", grp).groupBy("doc_id", "grp").agg(
-        F.count(F.lit(1)).alias("span")
-    )
-    return (
-        spans.groupBy("doc_id")
-        .agg(
-            F.sum("span").cast("bigint").alias("n_hit_positions"),
-            F.max("span").cast("bigint").alias("max_span_shingles"),
-            (F.max("span") + 4).cast("bigint").alias("max_span_tokens"),
-        )
-        .orderBy("doc_id")
+    docs = t(spark, sf_dir, "documents")
+    # fixture benchmark = the corpus-derived ~1% subset (the decontaminate
+    # split), so it is corpus-sized: no broadcast hint
+    return contamination_spans(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
     )
 
 

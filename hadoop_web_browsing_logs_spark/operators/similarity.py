@@ -691,6 +691,45 @@ def _rrf_micro_sql(rank_col: str) -> str:
     return f"COALESCE(CAST(1000000000 AS BIGINT) // ({RRF_K} + {rank_col}), 0)"
 
 
+def rrf_fuse(
+    ranked: dict[str, DataFrame], k: int = RRF_K, top_k: int | None = None
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of named rank lists.
+
+    Each input DataFrame has (doc_id, rank) — rank 1-based, one row per
+    candidate, typically a top-K list. Returns one row per doc appearing in
+    ANY list: (doc_id, r_<name> per input, rrf_micro), ordered by
+    (rrf_micro DESC, doc_id), truncated to ``top_k`` when given.
+
+    Contributions are exact BIGINTs — 10^9 DIV (k + rank), absent list = 0 —
+    so fusion and ordering never depend on float summation. Scale shape:
+    the inputs are K-row lists (the expensive part is PRODUCING them — BM25,
+    ANN — not fusing), so the full-outer fold is trivially small; the fold
+    is driver-plan-side only, no collect."""
+    fused = None
+    for name, df in ranked.items():
+        cur = df.select(
+            "doc_id", F.col("rank").cast("bigint").alias(f"r_{name}")
+        )
+        fused = cur if fused is None else fused.join(cur, ["doc_id"], "full_outer")
+    if fused is None:
+        raise ValueError("rrf_fuse needs at least one rank list")
+    micro = [
+        F.coalesce(
+            F.expr(f"CAST(1000000000 AS BIGINT) div ({k} + r_{name})"),
+            F.lit(0).cast("bigint"),
+        )
+        for name in ranked
+    ]
+    total = micro[0]
+    for m in micro[1:]:
+        total = total + m
+    out = fused.select(
+        "doc_id", *[f"r_{name}" for name in ranked], total.alias("rrf_micro")
+    ).orderBy(F.col("rrf_micro").desc(), "doc_id")
+    return out.limit(top_k) if top_k is not None else out
+
+
 def _hybrid_rrf_oracle() -> str:
     from .text import _BM25_MICRO_SQL, BM25_QUERY_TERMS
 
@@ -768,9 +807,7 @@ def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bm25 = micro/1e6 is monotone in the exact BIGINT micro, so ranking by
     # it reproduces the kernel's own (micro DESC, doc_id) order
     wl = W.partitionBy(one_group("doc_id")).orderBy(F.col("bm25").desc(), "doc_id")
-    lex = lex.select(
-        "doc_id", F.row_number().over(wl).cast("bigint").alias("r_lex")
-    )
+    lex = lex.select("doc_id", F.row_number().over(wl).alias("rank"))
 
     e = load_vectors(spark, sf_dir)
     qv = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
@@ -778,21 +815,7 @@ def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cv = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     vec = brute_force_topk(qv, cv, k=RRF_LIST_K).select(
-        F.col("c_id").alias("doc_id"), F.col("rnk").cast("bigint").alias("r_vec")
+        F.col("c_id").alias("doc_id"), F.col("rnk").alias("rank")
     )
 
-    fused = lex.join(vec, ["doc_id"], "full_outer")
-    micro = lambda c: F.coalesce(  # noqa: E731
-        F.expr(f"CAST(1000000000 AS BIGINT) div ({RRF_K} + {c})"),
-        F.lit(0).cast("bigint"),
-    )
-    return (
-        fused.select(
-            "doc_id",
-            "r_lex",
-            "r_vec",
-            (micro("r_lex") + micro("r_vec")).alias("rrf_micro"),
-        )
-        .orderBy(F.col("rrf_micro").desc(), "doc_id")
-        .limit(RRF_TOP_K)
-    )
+    return rrf_fuse({"lex": lex, "vec": vec}, k=RRF_K, top_k=RRF_TOP_K)
