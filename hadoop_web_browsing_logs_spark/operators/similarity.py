@@ -99,7 +99,16 @@ def brute_force_topk(
     Norms are precomputed once per vector before the crossJoin (each norm
     would otherwise be re-evaluated per PAIR — 3× the array work). The
     division still evaluates the identical double expression per pair, so
-    oracle bit-equality is preserved."""
+    oracle bit-equality is preserved.
+
+    Join orientation (round-12 plan audit): the CANDIDATE corpus streams
+    and the query side broadcasts — same declared shape as range search.
+    The unhinted ``q.crossJoin(c)`` built the nested-loop broadcast on the
+    RIGHT operand, i.e. shipped the corpus to every task; harmless at
+    fixture scale, a scale-killer on a 100 TB candidate table. Queries are
+    the bounded side by contract (strided probe points / a single dense
+    query); callers with a corpus-sized query set should partition it and
+    loop, not flip the broadcast."""
     from ..functions.vector import norm
 
     q = queries.withColumn("q_norm", norm("q_vec"))
@@ -107,7 +116,7 @@ def brute_force_topk(
     sim = F.try_divide(dot("q_vec", "c_vec"), F.col("q_norm") * F.col("c_norm"))
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (
-        q.crossJoin(c)
+        c.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id", sim.alias("sim"))
         .withColumn("rnk", F.row_number().over(w))
