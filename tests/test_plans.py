@@ -303,6 +303,11 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark):
         "q_sim_cosine_topk", "q_sim_range_search",
         "q_sim_lsh_ann", "q_sim_lsh_ann_gate",
         "q_sim_ivf_ann", "q_sim_ivf_ann_gate",
+        # round 12: the hybrid-RRF dense leg broadcasts the query side of
+        # brute_force_topk — a Filter on the literal RRF_QUERY_VEC key,
+        # <=1 row at any SF (same caller-bounded-probe contract as the
+        # rest of the similarity family)
+        "q_sim_hybrid_rrf",
     }
     # broadcast of a GROUPED aggregate over an SF-scaled scan is allowed only
     # here, each with a hard cardinality bound independent of SF:
