@@ -291,8 +291,10 @@ def main() -> None:
                 f"{r['now']}s ({r['ratio']}x; gate 1.5x, noise band ±20%)",
                 file=sys.stderr,
             )
-    except Exception:
-        pass  # trend/regression is diagnostic sugar; never fail the bench
+    except Exception as ex:
+        # trend/regression is diagnostic sugar; never fail the bench — but
+        # say WHY the gate went dark, or a gate bug reads as "no regressions"
+        print(f"TREND-GATE ERROR (non-fatal): {ex!r}", file=sys.stderr)
         # for it (ADVICE r11: the old OSError/ValueError catch let a
         # malformed snapshot's AttributeError abort the run post-sampling)
     try:

@@ -330,14 +330,11 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shingles_5gram(docs: DataFrame) -> DataFrame:
     """(doc_id, sh) rows: whitespace tokens → space-joined 5-gram shingles
     (docs under 5 tokens contribute none). The shared contamination unit for
-    the registered query and its tests."""
-    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
-    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 5)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - 4),
-        lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(5)]),
-    )
-    return d.select("doc_id", F.explode(sh).alias("sh"))
+    the registered queries and their tests — ONE definition: this delegates
+    to the positioned builder (Catalyst prunes the unused pos column), so
+    the boolean decontamination flag and the span report can never
+    disagree about what a shingle is."""
+    return shingles_5gram_positioned(docs).select("doc_id", "sh")
 
 
 def decontaminate(

@@ -146,7 +146,7 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     candidates = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return brute_force_topk(F.broadcast(queries), candidates)
+    return brute_force_topk(queries, candidates)
 
 
 def _hyperplanes() -> list[list[float]]:
@@ -246,10 +246,8 @@ def lsh_ann_recall(
     # "top-5" to ~2 distinct neighbors, understating recall — ADVICE round 1).
     e = load_vectors(spark, sf_dir)
     exact = brute_force_topk(
-        F.broadcast(
-            e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-                F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-            )
+        e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
         ),
         e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")),
     ).select(F.col("q_id").alias("exact_q_id"), F.col("c_id").alias("exact_c_id"))
@@ -430,7 +428,7 @@ def ivf_ann_recall(
     )
 
     exact = brute_force_topk(
-        F.broadcast(queries),
+        queries,
         e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")),
     ).select(F.col("q_id").alias("exact_q_id"), F.col("c_id").alias("exact_c_id"))
     hits = ivf_topk.join(
@@ -735,7 +733,7 @@ def rrf_fuse(
         total = total + m
     out = fused.select(
         "doc_id", *[f"r_{name}" for name in ranked], total.alias("rrf_micro")
-    ).orderBy(F.col("rrf_micro").desc(), "doc_id")
+    ).orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc_nulls_last())
     return out.limit(top_k) if top_k is not None else out
 
 
@@ -815,7 +813,11 @@ def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bm25 = micro/1e6 is monotone in the exact BIGINT micro, so ranking by
     # it reproduces the kernel's own (micro DESC, doc_id) order
-    wl = W.partitionBy(one_group("doc_id")).orderBy(F.col("bm25").desc(), "doc_id")
+    # asc_nulls_last: DuckDB's ASC default puts NULLs last, Spark's first —
+    # the same guard bm25_rank itself applies to this tie-break
+    wl = W.partitionBy(one_group("doc_id")).orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc_nulls_last()
+    )
     lex = lex.select("doc_id", F.row_number().over(wl).alias("rank"))
 
     e = load_vectors(spark, sf_dir)

@@ -105,8 +105,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_vec_quantize_int8",
     "q_window_navigation",
     "q_window_range_frame",
-    # --- round-9 cohort head (oldest-green-first, 24 of 50 alphabetical;
-    # the 26-row tail — q_graph_pagerank … q_udtf_context_windows —
+    # --- round-9 cohort head (oldest-green-first, 22 of 50 alphabetical;
+    # the 28-row tail — q_events_winsorize … q_udtf_context_windows —
     # rolls to r13) ---
     "q_agg_heavy_hitters",
     "q_agg_percentile",

@@ -72,7 +72,7 @@ def test_bench_regression_gate_fires_on_synthetic_slowdown():
     import os
 
     spec = importlib.util.spec_from_file_location(
-        "bench_under_test", os.path.join("/root/repo", "bench.py")
+        "bench_under_test", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
     )
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
@@ -110,7 +110,7 @@ def test_bench_trend_loader_survives_malformed_snapshots(tmp_path, monkeypatch):
     import os
 
     spec = importlib.util.spec_from_file_location(
-        "bench_under_test2", os.path.join("/root/repo", "bench.py")
+        "bench_under_test2", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
     )
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
