@@ -839,3 +839,41 @@ def test_scd2_matches_python_fold(spark, tmp_path):
             vt = kept[i + 1][1] if i + 1 < len(kept) else None
             want.add((uid, r[3], r[1], vt))
     assert got == want
+
+
+def test_rrf_fuse_matches_python_fold(spark):
+    """rrf_fuse on seeded random 1/2/3-list inputs == a Python fold of the
+    declared rule: score = Σ_lists 10^9 DIV (60 + rank), absent list = 0,
+    order (score DESC, doc_id ASC)."""
+    import random
+
+    from hadoop_web_browsing_logs_spark.operators.similarity import rrf_fuse
+
+    rng = random.Random(20260817)
+    for trial in range(4):
+        n_lists = rng.randint(1, 3)
+        names = [f"l{j}" for j in range(n_lists)]
+        lists = {}
+        for name in names:
+            ids = rng.sample(range(30), rng.randint(1, 12))
+            lists[name] = [(d, r + 1) for r, d in enumerate(ids)]
+        dfs = {
+            name: spark.createDataFrame(rows, ["doc_id", "rank"])
+            for name, rows in lists.items()
+        }
+        top_k = rng.choice([None, 5])
+        got = [
+            (r.doc_id, tuple(r[f"r_{n}"] for n in names), r.rrf_micro)
+            for r in rrf_fuse(dfs, top_k=top_k).collect()
+        ]
+
+        docs = {d for rows in lists.values() for d, _ in rows}
+        want = []
+        for d in docs:
+            ranks = tuple(dict(lists[n]).get(d) for n in names)
+            score = sum(10**9 // (60 + r) for r in ranks if r is not None)
+            want.append((d, ranks, score))
+        want.sort(key=lambda t: (-t[2], t[0]))
+        if top_k is not None:
+            want = want[:top_k]
+        assert got == want, (trial, lists)
