@@ -137,6 +137,11 @@ HEADLINE = [
     # cost is ~the sum of its two input kernels, so a regression here
     # that doesn't show in q_text_bm25 isolates the dense-list/fusion leg.
     "q_sim_hybrid_rrf",
+    # round-12 late addition, tracked from birth: shingle containment —
+    # the inverted-index self-join is the engine's only pair generator
+    # keyed on RAW shingle fingerprints (no banding), so its cost curve
+    # vs q_dedup_minhash_lsh shows what the banded family saves.
+    "q_dedup_containment",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal

@@ -161,6 +161,106 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_TAU = 0.5
+
+_DUCK_SH5 = (
+    "list_distinct(list_transform(range(1, GREATEST(len(tk) - 3, 1)), "
+    "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] "
+    "|| ' ' || tk[i+4]))"
+)
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+        FROM documents
+    ),
+    sh AS (SELECT doc_id, UNNEST({_DUCK_SH5}) AS s FROM toks),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_id, b.doc_id AS container_id, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ),
+    hits AS (
+        SELECT p.doc_id, p.container_id,
+               CAST(p.shared AS DOUBLE) / sz.n_sh AS containment
+        FROM pairs p JOIN sz ON sz.doc_id = p.doc_id
+        WHERE CAST(p.shared AS DOUBLE) / sz.n_sh >= {CONTAINMENT_TAU}
+    ),
+    r AS (
+        SELECT doc_id, container_id, containment,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY containment DESC, container_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_containers
+        FROM hits
+    )
+    SELECT doc_id, container_id, containment,
+           CAST(n_containers AS BIGINT) AS n_containers
+    FROM r WHERE rnk = 1 ORDER BY doc_id
+    """,
+    category="dedup",
+    description=(
+        "Shingle CONTAINMENT report (Broder's asymmetric |A∩B|/|A|, the "
+        "RefinedWeb-style 'doc swallowed by another' signal symmetric "
+        "Jaccard under-scores when sizes differ): for each doc whose "
+        "distinct 5-gram shingle set is >= 50% covered by some other doc, "
+        "its best container (max containment, tie-break smallest id) and "
+        "how many containers cover it. Scale shape: pair generation is an "
+        "inverted-index equi-join on xxhash64 shingle fingerprints — pairs "
+        "exist ONLY for docs actually sharing a shingle (no all-pairs "
+        "plan; the string-keyed oracle proves the fingerprint rewrite "
+        "exact), the shingle table is checkpointed once for the sizes agg "
+        "and both join sides, and the ranking window runs over "
+        "over-threshold hits only. Boilerplate-heavy corpora need a "
+        "shingle df-cap before the self-join (the banded-LSH hot-bucket "
+        "discussion in SCALE.md) — a corpus-frequency prefilter composes "
+        "upstream without changing this operator."
+    ),
+    tags=("dedup", "containment"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_pipeline import shingles_5gram  # runtime import: llm_pipeline imports dedup constants
+
+    sh = (
+        shingles_5gram(t(spark, sf_dir, "documents"))
+        .select("doc_id", F.xxhash64("sh").alias("shh"))
+        .distinct()
+        .localCheckpoint(eager=False)  # sizes agg + both pair-join sides
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.join(
+            sh.select(F.col("doc_id").alias("container_id"), "shh"), "shh"
+        )
+        .filter(F.col("doc_id") != F.col("container_id"))
+        .groupBy("doc_id", "container_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    cont = F.col("shared").cast("double") / F.col("n_sh")
+    hits = (
+        pairs.join(sz, "doc_id")
+        .select("doc_id", "container_id", cont.alias("containment"))
+        .filter(F.col("containment") >= CONTAINMENT_TAU)
+    )
+    w = W.partitionBy("doc_id")
+    return (
+        hits.withColumn(
+            "rnk",
+            F.row_number().over(
+                w.orderBy(F.col("containment").desc(), F.col("container_id"))
+            ),
+        )
+        .withColumn("n_containers", F.count(F.lit(1)).over(w))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", "container_id", "containment", "n_containers")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup: MinHash + LSH banding (the 100 TB path)
 # ---------------------------------------------------------------------------

@@ -877,3 +877,64 @@ def test_rrf_fuse_matches_python_fold(spark):
         if top_k is not None:
             want = want[:top_k]
         assert got == want, (trial, lists)
+
+
+def test_containment_matches_python_recount(spark, tmp_path):
+    """q_dedup_containment == a Python recount on a constructed-plus-random
+    corpus: doc 1 is wholly inside doc 2 (containment 1.0 with >=8 more
+    shingles on the container side, so the reverse direction stays under
+    tau), and a seeded tiny-vocab tail makes incidental shared shingles
+    abound. Recount: distinct 5-gram shingle sets -> pairwise |A∩B|/|A| ->
+    best container per doc at tau 0.5 (max containment, min container id)."""
+    import random
+
+    import duckdb
+
+    from hadoop_web_browsing_logs_spark.operators.dedup import CONTAINMENT_TAU
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    rng = random.Random(20260818)
+    passage = " ".join(f"p{i}" for i in range(12))
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [
+        (1, passage, "en", "s"),
+        (2, f"{' '.join(f'x{i}' for i in range(12))} {passage}", "en", "s"),
+    ]
+    for i in range(3, 40):
+        docs.append(
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))), "en", "s")
+        )
+    d = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", [r + (len(r[1]),) for r in docs])
+    con.execute(f"COPY t TO '{d}/documents.parquet' (FORMAT PARQUET)")
+
+    got = [
+        (r.doc_id, r.container_id, r.containment, r.n_containers)
+        for r in get_query("q_dedup_containment").fn(spark, d).collect()
+    ]
+
+    def sh(text):
+        tk = [w for w in text.lower().strip().split() if w]
+        return {" ".join(tk[i : i + 5]) for i in range(len(tk) - 4)}
+
+    sets = {i: sh(text) for i, text, _l, _s in docs if len(sh(text)) > 0}
+    want = []
+    for a, sa in sets.items():
+        hits = []
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= CONTAINMENT_TAU:
+                hits.append((c, b))
+        if hits:
+            best = max(hits, key=lambda t: (t[0], -t[1]))
+            want.append((a, best[1], best[0], len(hits)))
+    want.sort()
+    assert got == want
+    assert (1, 2, 1.0, 1) in got  # the constructed wholesale containment
