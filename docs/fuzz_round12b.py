@@ -359,6 +359,54 @@ def fuzz_span(spark, trials: int = 10) -> int:
     return fails
 
 
+def fuzz_containment(spark, trials: int = 8) -> int:
+    """q_dedup_containment vs a Python recount: distinct 5-gram shingle
+    sets -> pairwise |A∩B|/|A| -> best container per >=tau-covered doc
+    (max containment, min container id) + container count. Axes: tiny
+    vocab (shared shingles abound), tiled repetition, whitespace-hostile
+    separators, null/short docs, plus one planted wholesale containment."""
+    from hadoop_web_browsing_logs_spark.operators.dedup import CONTAINMENT_TAU
+
+    q = get_query("q_dedup_containment").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(7000 + t)
+        docs = [
+            (i, _rand_doc(rng, hostile=t % 2 == 0), "en", "s")
+            for i in range(rng.randint(6, 70))
+        ]
+        if docs and rng.random() < 0.7:
+            base = " ".join(rng.choice(_WORDS) for _ in range(10))
+            docs.append((len(docs), base, "en", "s"))
+            docs.append((len(docs), f"zz0 zz1 zz2 zz3 zz4 {base}", "en", "s"))
+        d = _write_documents(docs)
+        got = {
+            (r.doc_id, r.container_id, r.containment, r.n_containers)
+            for r in q(spark, d).collect()
+        }
+
+        def shset(text):
+            tk = [w for w in re.split(r"\s+", (text or "").strip().lower()) if w]
+            return {" ".join(tk[i : i + 5]) for i in range(len(tk) - 4)}
+
+        sets = {i: shset(text) for i, text, _l, _s in docs}
+        sets = {i: s for i, s in sets.items() if s}
+        want = set()
+        for a, sa in sets.items():
+            hits = [
+                (len(sa & sb) / len(sa), b)
+                for b, sb in sets.items()
+                if b != a and len(sa & sb) / len(sa) >= CONTAINMENT_TAU
+            ]
+            if hits:
+                best = max(hits, key=lambda h: (h[0], -h[1]))
+                want.add((a, best[1], best[0], len(hits)))
+        if got != want:
+            fails += 1
+            print(f"  containment trial {t}: MISMATCH only-engine={sorted(got - want)[:4]} only-recount={sorted(want - got)[:4]}")
+    return fails
+
+
 def fuzz_cap(spark, trials: int = 8) -> int:
     from hadoop_web_browsing_logs_spark.operators.llm_pipeline import DOMAIN_CAP
 
@@ -401,6 +449,7 @@ def main() -> None:
         ("interval", fuzz_interval),
         ("gopher", fuzz_gopher),
         ("span", fuzz_span),
+        ("containment", fuzz_containment),
         ("cap", fuzz_cap),
     ]:
         if which not in ("all", name):
