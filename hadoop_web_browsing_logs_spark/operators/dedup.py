@@ -223,14 +223,51 @@ _DUCK_SH5 = (
     tags=("dedup", "containment"),
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # uncapped on the fixture (shingles are near-unique here — SCALE.md);
+    # boilerplate-heavy corpora pass max_shingle_df (see containment_report)
+    return containment_report(t(spark, sf_dir, "documents"))
+
+
+def containment_report(
+    docs: DataFrame,
+    tau: float = CONTAINMENT_TAU,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Broder-containment report over ``(doc_id, text)`` rows: for each doc
+    whose distinct 5-gram shingle set is >= ``tau`` covered by some other
+    doc, its best container (max containment, tie-break smallest id) and
+    the number of covering docs. Returns (doc_id, container_id,
+    containment, n_containers) ordered by doc_id.
+
+    ``max_shingle_df`` is the HOT-SHINGLE GUARD (the SemDeDup sub-split's
+    sibling): the pair stage joins docs on raw shingle fingerprints, so one
+    boilerplate sentence shared by f docs puts f² pairs on a single join
+    key — quadratic in the hot shingle's document frequency, the exact
+    blow-up class SCALE.md documents for banded LSH. With the cap, shingles
+    whose corpus df exceeds it are dropped BEFORE pair generation — from
+    the join AND from the |A| denominator, so containment stays a
+    well-defined ratio over the surviving (discriminative) shingles rather
+    than a biased one. Deterministic rule, recount-property-tested; the
+    registered fixture query runs uncapped because the synthetic corpus's
+    shingles are near-unique (measured in SCALE.md)."""
     from .llm_pipeline import shingles_5gram  # runtime import: llm_pipeline imports dedup constants
 
     sh = (
-        shingles_5gram(t(spark, sf_dir, "documents"))
+        shingles_5gram(docs)
         .select("doc_id", F.xxhash64("sh").alias("shh"))
         .distinct()
-        .localCheckpoint(eager=False)  # sizes agg + both pair-join sides
     )
+    if max_shingle_df is not None:
+        # df table is shingle-vocabulary-sized — AQE picks the join
+        # strategy from its measured size, no forced broadcast
+        keep = (
+            sh.groupBy("shh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shh")
+        )
+        sh = sh.join(keep, "shh")
+    sh = sh.localCheckpoint(eager=False)  # sizes agg + both pair-join sides
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.join(
@@ -244,7 +281,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = (
         pairs.join(sz, "doc_id")
         .select("doc_id", "container_id", cont.alias("containment"))
-        .filter(F.col("containment") >= CONTAINMENT_TAU)
+        .filter(F.col("containment") >= tau)
     )
     w = W.partitionBy("doc_id")
     return (

@@ -938,3 +938,54 @@ def test_containment_matches_python_recount(spark, tmp_path):
     want.sort()
     assert got == want
     assert (1, 2, 1.0, 1) in got  # the constructed wholesale containment
+
+
+def test_containment_df_cap_matches_capped_recount(spark):
+    """containment_report(max_shingle_df=k) == the Python recount with the
+    SAME cap rule (shingles with corpus df > k removed from the pair space
+    AND the |A| denominator) on a boilerplate-heavy corpus: 14 docs share
+    one hot sentence (df=14 > cap) plus distinct tails; a planted wholesale
+    pair must survive the cap because its shingles are rare."""
+    import duckdb
+
+    from hadoop_web_browsing_logs_spark.operators.dedup import containment_report
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rare = " ".join(f"r{i}" for i in range(10))
+    docs = [(i, f"{boiler} t{i}a t{i}b t{i}c t{i}d t{i}e", "en", "s") for i in range(14)]
+    docs.append((14, rare, "en", "s"))
+    docs.append((15, f"{rare} zz0 zz1 zz2 zz3 zz4", "en", "s"))
+    sdf = spark.createDataFrame(docs, ["doc_id", "text", "lang", "source"])
+
+    CAP, TAU = 5, 0.5
+    got = [
+        (r.doc_id, r.container_id, r.containment, r.n_containers)
+        for r in containment_report(sdf, tau=TAU, max_shingle_df=CAP).collect()
+    ]
+
+    def shset(text):
+        tk = text.lower().split()
+        return {" ".join(tk[i : i + 5]) for i in range(len(tk) - 4)}
+
+    sets = {i: shset(text) for i, text, _l, _s in docs}
+    from collections import Counter
+
+    df = Counter(s for ss in sets.values() for s in ss)
+    sets = {i: {s for s in ss if df[s] <= CAP} for i, ss in sets.items()}
+    sets = {i: ss for i, ss in sets.items() if ss}
+    want = []
+    for a, sa in sets.items():
+        hits = [
+            (len(sa & sb) / len(sa), b)
+            for b, sb in sets.items()
+            if b != a and len(sa & sb) / len(sa) >= TAU
+        ]
+        if hits:
+            best = max(hits, key=lambda h: (h[0], -h[1]))
+            want.append((a, best[1], best[0], len(hits)))
+    want.sort()
+    assert got == want
+    assert (14, 15, 1.0, 1) in got  # rare-shingle containment survives the cap
+    # the boilerplate family must NOT be containment-linked once the hot
+    # sentence is capped away (their tails are pairwise distinct)
+    assert not any(r[0] < 14 for r in got)
