@@ -989,3 +989,92 @@ def test_containment_df_cap_matches_capped_recount(spark):
     # the boilerplate family must NOT be containment-linked once the hot
     # sentence is capped away (their tails are pairwise distinct)
     assert not any(r[0] < 14 for r in got)
+
+
+def test_moment_form_stats_match_numpy_definitions(spark):
+    """The three moment-form statistical kernels == their textbook
+    definitions computed by numpy on the same (quantized) inputs:
+    q_events_correlation vs np.corrcoef on inner-joined hourly series,
+    q_events_trend vs np.polyfit degree-1, q_events_chisq vs a crosstab
+    recount of Σ(O−E)²/E. The DuckDB oracles replicate the MOMENT
+    expressions verbatim, so they cannot catch an algebra error shared by
+    both engines; the centered-form numpy references can."""
+    import numpy as np
+    import pytest
+
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    from .conftest import SF_DIR
+
+    # correlation: rebuild the same quantized hourly series the kernel uses
+    from pyspark.sql import functions as F
+
+    from hadoop_web_browsing_logs_spark.operators._util import t as load
+    from hadoop_web_browsing_logs_spark.operators.relational import dsum
+
+    e = load(spark, SF_DIR, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(dsum("value").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .collect()
+    )
+    series: dict = {}
+    for r in hourly:
+        series.setdefault(r.event_type, {})[r.h] = r.v
+    got = {
+        (r.type_a, r.type_b): (r.n_hours, r.corr)
+        for r in get_query("q_events_correlation").fn(spark, SF_DIR).collect()
+    }
+    for (ta, tb), (n_hours, corr) in got.items():
+        common = sorted(set(series[ta]) & set(series[tb]))
+        assert n_hours == len(common)
+        x = np.array([series[ta][h] for h in common])
+        y = np.array([series[tb][h] for h in common])
+        ref = np.corrcoef(x, y)[0, 1]
+        assert corr == pytest.approx(ref, rel=1e-9, abs=1e-12), (ta, tb)
+
+    # trend: same hourly rollup keyed on the integer hour index
+    hourly2 = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hx"),
+        )
+        .agg(dsum("value").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .collect()
+    )
+    pts: dict = {}
+    for r in hourly2:
+        pts.setdefault(r.event_type, []).append((r.hx, r.v))
+    for r in get_query("q_events_trend").fn(spark, SF_DIR).collect():
+        xs, ys = zip(*sorted(pts[r.event_type]))
+        slope, intercept = np.polyfit(np.array(xs, dtype=float), np.array(ys), 1)
+        assert r.n_hours == len(xs)
+        assert r.slope_per_hour == pytest.approx(slope, rel=1e-6, abs=1e-12)
+        assert r.intercept == pytest.approx(intercept, rel=1e-6, abs=1e-9)
+
+    # chi-squared: recount O and E from a plain crosstab
+    cells: dict = {}
+    for r in (
+        e.filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy((F.col("user_id") % 10).alias("c"), "event_type")
+        .count()
+        .collect()
+    ):
+        cells[(r.c, r.event_type)] = r["count"]
+    n = sum(cells.values())
+    rt: dict = {}
+    ct: dict = {}
+    for (c, ty), o in cells.items():
+        rt[c] = rt.get(c, 0) + o
+        ct[ty] = ct.get(ty, 0) + o
+    chi2 = sum(
+        (o - rt[c] * ct[ty] / n) ** 2 / (rt[c] * ct[ty] / n)
+        for (c, ty), o in cells.items()
+    )
+    row = get_query("q_events_chisq").fn(spark, SF_DIR).collect()[0]
+    assert row.n == n
+    assert row.dof == (len(rt) - 1) * (len(ct) - 1)
+    assert row.chi2 == pytest.approx(chi2, rel=1e-6)
