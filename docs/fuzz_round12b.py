@@ -41,8 +41,17 @@ Targets (each fuzzed on N randomized fixtures with hostile axes):
                                 Axes: duplicate texts (md5 ties -> doc_id
                                 tie-break), null text, sources exactly at /
                                 below / above DOMAIN_CAP.
+  span     q_llm_contamination_ vs a Python recount of positioned shingles
+           span                 -> bench membership -> consecutive-hit
+                                islands. Axes: tiny-vocab shared shingles,
+                                tiled repetition, hostile whitespace.
+  containment q_dedup_          vs a Python recount of distinct shingle
+           containment          sets -> pairwise |A∩B|/|A| -> best
+                                container. Axes: planted wholesale
+                                containment, tiny vocab, hostile docs.
 
-Run:  python docs/fuzz_round12b.py [asof|scd2|interval|gopher|cap|all]
+Run:  python docs/fuzz_round12b.py
+      [asof|scd2|interval|gopher|span|containment|cap|all]
 
 Results are recorded in SCALE.md ("Round 12" sweep ledger); canonical
 hostile shapes are promoted to committed tests in tests/test_properties.py.
