@@ -368,6 +368,130 @@ def fuzz_span(spark, trials: int = 10) -> int:
     return fails
 
 
+def fuzz_funnel(spark, trials: int = 10) -> int:
+    """q_events_funnel vs a per-user Python scan of the declared rule:
+    first view; first click STRICTLY after it within <=24h (inclusive
+    boundary); first purchase likewise after the click. Axes: same-instant
+    ties, events exactly ON the 24h boundary (the 15-min grid aligns),
+    null ts/type/user (null users form one real funnel group, as the
+    window partitioning does)."""
+    from datetime import timedelta
+
+    q = get_query("q_events_funnel").fn
+    day = timedelta(hours=24)
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(8000 + t)
+        rows = _rand_events(rng, rng.randint(4, 140), hostile=t % 2 == 0)
+        if t % 3 == 0:
+            rows = [(i, ts, None if rng.random() < 0.1 else u, et, v)
+                    for (i, ts, u, et, v) in rows]
+        d = _write_events(rows)
+        r = q(spark, d).collect()[0]
+        got = (r.n_users, r.n_view, r.n_view_click, r.n_full_funnel)
+        byu: dict = {}
+        for row in rows:
+            byu.setdefault(row[2], []).append(row)
+        nv = nc = np_ = 0
+        for evs in byu.values():
+            views = [r_[1] for r_ in evs if r_[3] == "view" and r_[1] is not None]
+            fv = min(views) if views else None
+            fc = fp = None
+            if fv is not None:
+                clicks = [r_[1] for r_ in evs if r_[3] == "click" and r_[1] is not None
+                          and fv < r_[1] <= fv + day]
+                fc = min(clicks) if clicks else None
+            if fc is not None:
+                purch = [r_[1] for r_ in evs if r_[3] == "purchase" and r_[1] is not None
+                         and fc < r_[1] <= fc + day]
+                fp = min(purch) if purch else None
+            nv += fv is not None
+            nc += fc is not None
+            np_ += fp is not None
+        want = (len(byu), nv, nc, np_)
+        if got != want:
+            fails += 1
+            print(f"  funnel trial {t}: engine={got} brute={want}")
+    return fails
+
+
+def fuzz_retention(spark, trials: int = 8) -> int:
+    """q_events_retention vs a Python replay: per non-null user, distinct
+    epoch-week indices; cohort = earliest REAL week; one (cohort,
+    offset) cell per active week. Axes: multi-week spreads, users with
+    only null-ts events (cohort NULL, offset NULL — a real cell), week
+    boundaries."""
+    from datetime import timedelta
+
+    q = get_query("q_events_retention").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(9000 + t)
+        rows = [
+            (i, ts + timedelta(weeks=rng.randint(0, 5)) if ts is not None else None, u, et, v)
+            for (i, ts, u, et, v) in _rand_events(rng, rng.randint(4, 140), hostile=t % 2 == 0)
+        ]
+        d = _write_events(rows)
+        got = {
+            (r.cohort_week, r.week_offset): r.n_users for r in q(spark, d).collect()
+        }
+        byu: dict = {}
+        for (_i, ts, u, _et, _v) in rows:
+            if u is None:
+                continue
+            widx = int(ts.timestamp()) // 604800 if ts is not None else None
+            byu.setdefault(u, set()).add(widx)
+        cells: dict = {}
+        for weeks in byu.values():
+            real = [w for w in weeks if w is not None]
+            cohort = min(real) if real else None
+            for w in weeks:
+                key = (cohort, w - cohort if (w is not None and cohort is not None) else None)
+                cells[key] = cells.get(key, 0) + 1
+        if got != cells:
+            fails += 1
+            print(f"  retention trial {t}: only-engine={dict(set(got.items()) - set(cells.items()))} only-brute={dict(set(cells.items()) - set(got.items()))}")
+    return fails
+
+
+def fuzz_attribution(spark, trials: int = 10) -> int:
+    """q_events_attribution vs a per-purchase Python scan: candidate views
+    are same-user within the inclusive [p.ts - 1h, p.ts] band; credit the
+    max (view_ts, view_id) struct; unmatched purchases emit a null credit
+    with n=0. Axes: views exactly ON the band edges, same-instant ties
+    resolved by id, null ts/user purchases (never match, still emitted)."""
+    from datetime import timedelta
+
+    q = get_query("q_events_attribution").fn
+    hour = timedelta(hours=1)
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(10000 + t)
+        rows = _rand_events(rng, rng.randint(4, 140), hostile=t % 2 == 0)
+        d = _write_events(rows)
+        got = {
+            (r.purchase_id, r.user_id, r.purchase_ts, r.value,
+             r.attributed_view_ts, r.attributed_view_id, r.n_candidate_views)
+            for r in q(spark, d).collect()
+        }
+        views = [r_ for r_ in rows if r_[3] == "view" and r_[1] is not None]
+        want = set()
+        for p in rows:
+            if p[3] != "purchase":
+                continue
+            cand = [
+                (v[1], v[0]) for v in views
+                if p[1] is not None and v[2] == p[2]
+                and p[1] - hour <= v[1] <= p[1]
+            ]
+            best = max(cand) if cand else (None, None)
+            want.add((p[0], p[2], p[1], p[4], best[0], best[1], len(cand)))
+        if got != want:
+            fails += 1
+            print(f"  attribution trial {t}: only-engine={sorted(got - want)[:4]} only-brute={sorted(want - got)[:4]}")
+    return fails
+
+
 def fuzz_containment(spark, trials: int = 8) -> int:
     """q_dedup_containment vs a Python recount: distinct 5-gram shingle
     sets -> pairwise |A∩B|/|A| -> best container per >=tau-covered doc
@@ -457,6 +581,9 @@ def main() -> None:
         ("scd2", fuzz_scd2),
         ("interval", fuzz_interval),
         ("gopher", fuzz_gopher),
+        ("funnel", fuzz_funnel),
+        ("retention", fuzz_retention),
+        ("attribution", fuzz_attribution),
         ("span", fuzz_span),
         ("containment", fuzz_containment),
         ("cap", fuzz_cap),

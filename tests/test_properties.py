@@ -1078,3 +1078,44 @@ def test_moment_form_stats_match_numpy_definitions(spark):
     assert row.n == n
     assert row.dof == (len(rt) - 1) * (len(ct) - 1)
     assert row.chi2 == pytest.approx(chi2, rel=1e-6)
+
+
+def test_funnel_matches_brute_force(spark, tmp_path):
+    """q_events_funnel (chained running-min windows) == the definitional
+    per-user scan on the equal-ts hostile stream: first view; first click
+    STRICTLY after it within an INCLUSIVE 24h; first purchase likewise
+    after the click. The 15-minute grid aligns events exactly ON the 24h
+    boundary, and null users form one real funnel group on both sides."""
+    from datetime import timedelta
+
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    rows = [
+        (i, ts, None if i % 17 == 0 else u, et, v)
+        for (i, ts, u, et, v) in _hostile_event_stream()
+    ]
+    d = _write_events_fixture(tmp_path, rows)
+    r = get_query("q_events_funnel").fn(spark, d).collect()[0]
+    got = (r.n_users, r.n_view, r.n_view_click, r.n_full_funnel)
+
+    day = timedelta(hours=24)
+    byu: dict = {}
+    for row in rows:
+        byu.setdefault(row[2], []).append(row)
+    nv = nc = np_ = 0
+    for evs in byu.values():
+        views = [e[1] for e in evs if e[3] == "view" and e[1] is not None]
+        fv = min(views) if views else None
+        fc = fp = None
+        if fv is not None:
+            clicks = [e[1] for e in evs if e[3] == "click" and e[1] is not None
+                      and fv < e[1] <= fv + day]
+            fc = min(clicks) if clicks else None
+        if fc is not None:
+            purch = [e[1] for e in evs if e[3] == "purchase" and e[1] is not None
+                     and fc < e[1] <= fc + day]
+            fp = min(purch) if purch else None
+        nv += fv is not None
+        nc += fc is not None
+        np_ += fp is not None
+    assert got == (len(byu), nv, nc, np_)
