@@ -1119,3 +1119,70 @@ def test_funnel_matches_brute_force(spark, tmp_path):
         nc += fc is not None
         np_ += fp is not None
     assert got == (len(byu), nv, nc, np_)
+
+
+def test_attribution_matches_brute_force(spark, tmp_path):
+    """q_events_attribution (interval join + struct-max credit) == the
+    definitional per-purchase scan on the equal-ts hostile stream: views
+    in the INCLUSIVE [p.ts − 1h, p.ts] band, credit max (view_ts,
+    view_id), unmatched purchases (incl. null-ts ones) emit a null credit
+    with n_candidate_views = 0."""
+    from datetime import timedelta
+
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    rows = _hostile_event_stream()
+    d = _write_events_fixture(tmp_path, rows)
+    got = {
+        (r.purchase_id, r.user_id, r.purchase_ts, r.value,
+         r.attributed_view_ts, r.attributed_view_id, r.n_candidate_views)
+        for r in get_query("q_events_attribution").fn(spark, d).collect()
+    }
+    hour = timedelta(hours=1)
+    views = [v for v in rows if v[3] == "view" and v[1] is not None]
+    want = set()
+    for p in rows:
+        if p[3] != "purchase":
+            continue
+        cand = [
+            (v[1], v[0]) for v in views
+            if p[1] is not None and v[2] == p[2] and p[1] - hour <= v[1] <= p[1]
+        ]
+        best = max(cand) if cand else (None, None)
+        want.add((p[0], p[2], p[1], p[4], best[0], best[1], len(cand)))
+    assert got == want
+
+
+def test_retention_matches_python_replay(spark, tmp_path):
+    """q_events_retention == the distinct-week / min-cohort Python replay
+    on a multi-week spread of the hostile stream, including the
+    (cohort, NULL-offset) cell users with only null-ts events produce."""
+    import random
+    from datetime import timedelta
+
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    rng = random.Random(20260819)
+    rows = [
+        (i, ts + timedelta(weeks=rng.randint(0, 5)) if ts is not None else None, u, et, v)
+        for (i, ts, u, et, v) in _hostile_event_stream()
+    ]
+    d = _write_events_fixture(tmp_path, rows)
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in get_query("q_events_retention").fn(spark, d).collect()
+    }
+    byu: dict = {}
+    for (_i, ts, u, _et, _v) in rows:
+        if u is None:
+            continue
+        widx = int(ts.timestamp()) // 604800 if ts is not None else None
+        byu.setdefault(u, set()).add(widx)
+    cells: dict = {}
+    for weeks in byu.values():
+        real = [w for w in weeks if w is not None]
+        cohort = min(real) if real else None
+        for w in weeks:
+            key = (cohort, w - cohort if (w is not None and cohort is not None) else None)
+            cells[key] = cells.get(key, 0) + 1
+    assert got == cells
