@@ -184,12 +184,20 @@ def _detect_regressions(
     trend: dict[str, dict[str, float]],
     min_now_sec: float = 0.5,
     ratio_gate: float = 1.5,
+    tier1_last_sec: float = 1.0,
+    tier1_ratio_gate: float = 1.25,
 ) -> dict[str, dict[str, float]]:
-    """Queries whose current median is > ``ratio_gate`` × their LAST
-    committed same-SF round median and now cost > ``min_now_sec`` (small
-    queries swing whole multiples inside the ±20% ambient band — SCALE.md
-    noise-band rules). Returns {query: {last_committed, round, now, ratio}};
-    a non-empty result also lands in BENCH_DETAIL.json as the nonzero
+    """Queries whose current median is > gate × their LAST committed
+    same-SF round median and now cost > ``min_now_sec`` (small queries
+    swing whole multiples inside the ±20% ambient band — SCALE.md
+    noise-band rules). TIERED gate (VERDICT r12 item 4): queries whose
+    last-committed median is >= ``tier1_last_sec`` flag at
+    ``tier1_ratio_gate`` = 1.25× — SCALE.md's measured same-day sf0.1
+    ambient band is ±15-20%, so on a >=1 s query 1.25× already clears
+    noise (the r12 q_graph_pagerank +33% drift sailed under the flat
+    1.5×); sub-second queries keep the looser 1.5×. Returns
+    {query: {last_committed, round, now, ratio, gate}}; a non-empty
+    result also lands in BENCH_DETAIL.json as the nonzero
     ``regression_count`` sentinel."""
     out: dict[str, dict[str, float]] = {}
     for qn, hist in trend.items():
@@ -198,12 +206,14 @@ def _detect_regressions(
         if not rounds or now is None or now <= min_now_sec:
             continue
         last = hist[rounds[-1]]
-        if last > 0 and now > ratio_gate * last:
+        gate = tier1_ratio_gate if last >= tier1_last_sec else ratio_gate
+        if last > 0 and now > gate * last:
             out[qn] = {
                 "last_committed": last,
                 "round": int(rounds[-1][1:]),
                 "now": now,
                 "ratio": round(now / last, 2),
+                "gate": gate,
             }
     return out
 
@@ -282,26 +292,26 @@ def main() -> None:
     try:
         trend = _load_trend(str(line["sf"]), per_query)
         detail["trend"] = trend
-        # Loud regression gate (VERDICT r11 item 3): the trend block alone
-        # still needed a human diff. Flag every query now >0.5 s that runs
-        # >1.5x its LAST COMMITTED same-SF round median — 1.5x sits outside
-        # the ±15-20% ambient band two same-day sf0.1 runs showed
-        # (SCALE.md), so a flag is a code-or-plan change, not noise.
+        # Loud regression gate (VERDICT r11 item 3, tiered r13): flag every
+        # query now >0.5 s that runs past its tier's gate vs its LAST
+        # COMMITTED same-SF round median — 1.25x for queries whose last
+        # median was >=1 s, 1.5x below (thresholds justified against the
+        # SCALE.md ±15-20% ambient band; see _detect_regressions).
         regressions = _detect_regressions(trend)
         detail["regressions"] = regressions
         detail["regression_count"] = len(regressions)
         for qn, r in sorted(regressions.items()):
             print(
                 f"REGRESSION {qn}: {r['last_committed']}s (r{r['round']}) -> "
-                f"{r['now']}s ({r['ratio']}x; gate 1.5x, noise band ±20%)",
+                f"{r['now']}s ({r['ratio']}x; gate {r['gate']}x, noise band ±20%)",
                 file=sys.stderr,
             )
     except Exception as ex:
         # trend/regression is diagnostic sugar; never fail the bench — but
-        # say WHY the gate went dark, or a gate bug reads as "no regressions"
-        print(f"TREND-GATE ERROR (non-fatal): {ex!r}", file=sys.stderr)
-        # for it (ADVICE r11: the old OSError/ValueError catch let a
+        # say WHY the gate went dark, or a gate bug reads as "no
+        # regressions" (ADVICE r11: the old OSError/ValueError catch let a
         # malformed snapshot's AttributeError abort the run post-sampling)
+        print(f"TREND-GATE ERROR (non-fatal): {ex!r}", file=sys.stderr)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)

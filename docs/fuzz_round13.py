@@ -1,0 +1,372 @@
+"""Round-13 randomized differential sweep — the shared-derivation family.
+
+Extends the round-12 fuzz-differential program (docs/fuzz_round12b.py,
+SCALE.md sweep ledger) to the kernel families VERDICT r12 item 5 ranked
+top: kernels whose DuckDB oracles share their DERIVATION with the engine
+(a window/arithmetic transliteration of the same rule text), so a
+misunderstanding of the rule itself would pass the dual-scale hash gate.
+Each target replays the REGISTERED query (or the exact library kernel the
+registered query calls) on randomized hostile fixtures against an
+INDEPENDENT brute-force Python reference — a different formulation of the
+declared semantics, never a transcription of the engine's plan. The
+program has form: it found connected_components' one-hop fragmentation in
+round 12 after three rounds of green hashes.
+
+Targets:
+
+  pack     q_llm_pack_sequences  vs a Python prefix-sum fold over the
+           q_llm_shard_manifest  doc_id-ordered token tape. The engine
+                                 side is with_global_cumsum (range-
+                                 repartition + per-partition running sums
+                                 + broadcast prefix offsets) — exactly the
+                                 distributed-vs-sequential derivation gap
+                                 the oracle's single SUM() OVER cannot
+                                 probe. seq bounds for n>0 docs are
+                                 derived INDEPENDENTLY from the token
+                                 index range [off, off+n-1] (not the
+                                 engine's formulas); n=0 docs pin the
+                                 documented degenerate (seq_last <
+                                 seq_first — the doc lands in no
+                                 sequence). Axes: doc_id gaps, giant
+                                 multi-shard docs, empty/whitespace-only
+                                 docs, SEQ_LEN-boundary-exact layouts,
+                                 single-doc corpora.
+  bpe      bpe_encode            vs an independent scan-and-splice greedy
+           (the kernel inside    leftmost encoder, on ADVERSARIAL merge
+           q_llm_bpe_encode/     tables: self-merges (a,a) over runs of
+           _gate)                a, cascades whose left/right are
+                                 products of earlier merges, merges
+                                 targeting </w>, merges that never fire,
+                                 and rank orders where a later merge
+                                 would have enabled an earlier one
+                                 (rank order must win over re-scan).
+  gapfill  q_events_gapfill      vs a Python hourly-bucket + spine +
+                                 carry-forward fold (dsum fixed-point
+                                 mirrored with int arithmetic). Axes:
+                                 multi-hour gaps, single-hour types,
+                                 events exactly on hour boundaries,
+                                 all-null-value hours (observed but
+                                 sum-less: is_gap=0, carry persists),
+                                 null ts rows (no spine contribution),
+                                 negative values.
+
+Run:  python docs/fuzz_round13.py [pack|bpe|gapfill|all]
+
+Results land in SCALE.md's sweep ledger; canonical hostile shapes get
+promoted to committed regression tests.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+import tempfile
+from datetime import datetime, timedelta
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from hadoop_web_browsing_logs_spark.plans.registry import get_query
+from hadoop_web_browsing_logs_spark.session import get_spark
+
+BASE = datetime(2024, 1, 1)
+
+
+def _write_documents(rows) -> str:
+    """rows: (doc_id, text|None, lang, source)."""
+    d = tempfile.mkdtemp(prefix="fuzz13_docs_")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO t VALUES (?,?,?,?,?)",
+        [r + (len(r[1]) if r[1] is not None else 0,) for r in rows],
+    )
+    con.execute(f"COPY t TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    return d
+
+
+def _write_events(rows) -> str:
+    """rows: (event_id, ts|None, user_id, event_type, value|None)."""
+    d = tempfile.mkdtemp(prefix="fuzz13_events_")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO e VALUES (?,?,?,?,?,?)", [r + (None,) for r in rows])
+    con.execute(f"COPY e TO '{d}/events.parquet' (FORMAT PARQUET)")
+    return d
+
+
+def _tokens(text: str | None) -> list[str]:
+    if text is None:
+        return []
+    return [w for w in text.lower().strip().split() if w]
+
+
+# ---------------------------------------------------------------------------
+# pack: q_llm_pack_sequences + q_llm_shard_manifest vs a sequential fold
+# ---------------------------------------------------------------------------
+
+
+def fuzz_pack(spark, trials: int = 10) -> int:
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import (
+        SEQ_LEN,
+        SHARD_TOKENS,
+    )
+
+    q_pack = get_query("q_llm_pack_sequences").fn
+    q_shard = get_query("q_llm_shard_manifest").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(13000 + t)
+        hostile = t % 2 == 0
+        n = rng.randint(1, 120)
+        rows = []
+        # non-contiguous, shuffled-insert doc ids: the tape order is BY
+        # doc_id, not by parquet row order
+        ids = rng.sample(range(0, 10 * n), n)
+        for i in ids:
+            r = rng.random()
+            if hostile and r < 0.12:
+                text = rng.choice(["", "   ", "\t\n  "])  # 0 tokens
+            elif hostile and r < 0.3:
+                # boundary-exact: token count a multiple of SEQ_LEN
+                text = " ".join(f"w{j}" for j in range(SEQ_LEN * rng.randint(1, 3)))
+            elif hostile and r < 0.38:
+                # giant doc spanning several shards
+                text = " ".join(f"g{j}" for j in range(rng.randint(1200, 3000)))
+            else:
+                text = " ".join(f"t{j}" for j in range(rng.randint(1, 40)))
+            rows.append((i, text, "en", "s"))
+        rng.shuffle(rows)
+        d = _write_documents(rows)
+
+        got_pack = {
+            r.doc_id: (r.n_tokens, r.token_offset, r.seq_first, r.seq_last)
+            for r in q_pack(spark, d).collect()
+        }
+        got_shard = {
+            r.shard_id: (r.n_docs, r.n_tokens, r.first_doc, r.last_doc)
+            for r in q_shard(spark, d).collect()
+        }
+
+        # independent sequential fold over the doc_id-ordered tape
+        want_pack = {}
+        cum = 0
+        for doc_id, text, _l, _s in sorted(rows):
+            ntok = len(_tokens(text))
+            off = cum
+            cum += ntok
+            if ntok > 0:
+                # derived from the token index range, not the engine formula
+                first = off // SEQ_LEN
+                last = (off + ntok - 1) // SEQ_LEN
+            else:
+                # documented degenerate: lands in no sequence; the published
+                # formulas give seq_last = (off-1)//SEQ_LEN (< seq_first at
+                # boundaries, == otherwise)
+                first = off // SEQ_LEN
+                last = (off - 1) // SEQ_LEN
+            want_pack[doc_id] = (ntok, off, first, last)
+        want_shard: dict = {}
+        for doc_id, (ntok, off, _f, _l2) in want_pack.items():
+            sid = off // SHARD_TOKENS
+            nd, nt, fd, ld = want_shard.get(sid, (0, 0, doc_id, doc_id))
+            want_shard[sid] = (
+                nd + 1,
+                nt + ntok,
+                min(fd, doc_id),
+                max(ld, doc_id),
+            )
+        if got_pack != want_pack or got_shard != want_shard:
+            fails += 1
+            pk = {k for k in set(got_pack) | set(want_pack) if got_pack.get(k) != want_pack.get(k)}
+            sk = {k for k in set(got_shard) | set(want_shard) if got_shard.get(k) != want_shard.get(k)}
+            print(f"  pack trial {t}: MISMATCH pack_keys={sorted(pk)[:5]} shard_keys={sorted(sk)[:5]}")
+            for k in sorted(pk)[:3]:
+                print(f"    doc {k}: engine={got_pack.get(k)} brute={want_pack.get(k)}")
+            for k in sorted(sk)[:3]:
+                print(f"    shard {k}: engine={got_shard.get(k)} brute={want_shard.get(k)}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# bpe: bpe_encode on adversarial merge tables vs scan-and-splice encoder
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe_apply(syms: list[str], left: str, right: str) -> list[str]:
+    """One greedy leftmost pass: scan left to right, merge each (left,right)
+    adjacency, continue AFTER the merged token ('aaa' + (a,a) -> ['aa','a']).
+    A different formulation from the engine's aggregate-pend fold."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _py_bpe_encode(word: str, merges) -> list[str]:
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import BPE_END
+
+    syms = list(word) + [BPE_END]
+    for l, r in merges:
+        syms = _py_bpe_apply(syms, l, r)
+    return syms
+
+
+def _rand_merge_table(rng: random.Random, alphabet: list[str], k: int):
+    """Adversarial merge table: left/right drawn from the REACHABLE symbol
+    set (base chars + </w> + products of earlier merges), biased toward
+    self-merges, </w>-targeting merges, and cascades."""
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import BPE_END
+
+    reachable = list(alphabet) + [BPE_END]
+    merges = []
+    for _ in range(k):
+        r = rng.random()
+        if r < 0.25:
+            a = rng.choice(alphabet)
+            pair = (a, a)  # self-merge over runs
+        elif r < 0.45 and merges:
+            prod = rng.choice(merges)
+            pair = (prod[0] + prod[1], rng.choice(reachable))  # cascade
+        elif r < 0.6:
+            pair = (rng.choice(reachable), BPE_END)
+        else:
+            pair = (rng.choice(reachable), rng.choice(reachable))
+        merges.append(pair)
+        reachable.append(pair[0] + pair[1])
+    return merges
+
+
+def fuzz_bpe(spark, trials: int = 10) -> int:
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import bpe_encode
+
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(14000 + t)
+        alphabet = list("ab") if t % 2 == 0 else list("abc")
+        merges = _rand_merge_table(rng, alphabet, rng.randint(1, 10))
+        words = set()
+        for _ in range(rng.randint(3, 25)):
+            words.add("".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12))))
+        # runs of a single char stress self-merges
+        words.add("a" * rng.randint(2, 9))
+        words = sorted(words)
+        wdf = spark.createDataFrame([(w,) for w in words], ["word"])
+        got = {
+            r.word: list(r.syms)
+            for r in bpe_encode(wdf, merges=merges, checkpoint_every=4).collect()
+        }
+        want = {w: _py_bpe_encode(w, merges) for w in words}
+        if got != want:
+            fails += 1
+            bad = [w for w in words if got.get(w) != want.get(w)]
+            print(f"  bpe trial {t}: MISMATCH merges={merges}")
+            for w in bad[:3]:
+                print(f"    {w!r}: engine={got.get(w)} brute={want.get(w)}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# gapfill: q_events_gapfill vs a Python spine + carry-forward fold
+# ---------------------------------------------------------------------------
+
+
+def fuzz_gapfill(spark, trials: int = 10) -> int:
+    q = get_query("q_events_gapfill").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(15000 + t)
+        hostile = t % 2 == 0
+        types = ["view", "purchase"] if hostile else ["view", "purchase", "click"]
+        rows = []
+        for i in range(rng.randint(2, 120)):
+            et = rng.choice(types)
+            if hostile:
+                # sparse multi-hour gaps + exact hour boundaries
+                h = rng.choice([0, 1, 2, 7, 8, 30, 31])
+                mins = rng.choice([0, 1, 59])  # 0 = exactly on the boundary
+            else:
+                h = rng.randint(0, 12)
+                mins = rng.randint(0, 59)
+            ts = BASE + timedelta(hours=h, minutes=mins)
+            if hostile and rng.random() < 0.05:
+                ts = None  # no spine contribution, no hourly row that joins
+            val = round(rng.uniform(-50, 50), 2)
+            if hostile and rng.random() < 0.1:
+                val = None  # hour can be observed yet sum-less
+            rows.append((i, ts, rng.randint(1, 5), et, val))
+        d = _write_events(rows)
+        got = {
+            (r.event_type, r.hour, r.n_events, r.is_gap, r.filled_sum)
+            for r in q(spark, d).collect()
+        }
+
+        # brute force: hourly buckets -> spine -> carry-forward
+        hourly: dict = {}
+        for _i, ts, _u, et, val in rows:
+            if ts is None:
+                continue
+            h = ts.replace(minute=0, second=0, microsecond=0)
+            cnt, micro, has = hourly.get((et, h), (0, 0, False))
+            if val is not None:
+                micro += int(round(val * 100))
+                has = True
+            hourly[(et, h)] = (cnt + 1, micro, has)
+        want = set()
+        for et in {k[0] for k in hourly}:
+            hs = sorted(h for (e, h) in hourly if e == et)
+            carry = None
+            h = hs[0]
+            while h <= hs[-1]:
+                cnt, micro, has = hourly.get((et, h), (0, 0, False))
+                obs = (et, h) in hourly
+                if obs and has:
+                    carry = micro / 100
+                want.add((et, h, cnt if obs else 0, 0 if obs else 1, carry))
+                h += timedelta(hours=1)
+        if got != want:
+            fails += 1
+            print(
+                f"  gapfill trial {t}: MISMATCH\n    only-engine={sorted(got - want)[:4]}"
+                f"\n    only-brute={sorted(want - got)[:4]}"
+            )
+    return fails
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = get_spark("fuzz13")
+    total = 0
+    ran = []
+    if which in ("pack", "all"):
+        f = fuzz_pack(spark)
+        ran.append(("pack", 10, f))
+        total += f
+    if which in ("bpe", "all"):
+        f = fuzz_bpe(spark)
+        ran.append(("bpe", 10, f))
+        total += f
+    if which in ("gapfill", "all"):
+        f = fuzz_gapfill(spark)
+        ran.append(("gapfill", 10, f))
+        total += f
+    for name, trials, f in ran:
+        print(f"{name}: {trials} trials, {f} failures")
+    print(f"TOTAL FAILURES: {total}")
+    sys.exit(1 if total else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -163,6 +163,22 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTAINMENT_TAU = 0.5
 
+#: Default hot-shingle document-frequency cap for containment_report —
+#: DEFAULT-ON (round 13, VERDICT r12 item 2; the SEMDEDUP_MAX_CLUSTER
+#: pattern). The pair stage equi-joins docs on shingle fingerprints, so a
+#: boilerplate sentence shared by f docs puts f² pairs on one join key:
+#: round-12's own measurement (SCALE.md) saw df≈1200 → 14M pair rows, 3.9×
+#: slower AND 1201 junk "contained" docs; at web-corpus df=10⁶ the key is
+#: 10¹² pairs. 128 bounds any single key's fanout at 128² = 16384 pairs
+#: (the same per-bucket budget the SemDeDup salt enforces) while staying
+#: far above the fixture corpora's near-unique shingle df (max df 2–4
+#: measured at sf0.01/sf0.1, SCALE.md — the cap is dormant there, so
+#: capped and uncapped results are identical on the registered fixtures).
+#: A shingle with df > 128 is boilerplate, not evidence of containment —
+#: dropping it from the pair space AND the |A| denominator keeps the
+#: ratio well-defined over the discriminative shingles.
+CONTAINMENT_MAX_SHINGLE_DF = 128
+
 _DUCK_SH5 = (
     "list_distinct(list_transform(range(1, GREATEST(len(tk) - 3, 1)), "
     "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] "
@@ -178,7 +194,12 @@ _DUCK_SH5 = (
                list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
         FROM documents
     ),
-    sh AS (SELECT doc_id, UNNEST({_DUCK_SH5}) AS s FROM toks),
+    sh0 AS (SELECT doc_id, UNNEST({_DUCK_SH5}) AS s FROM toks),
+    -- hot-shingle df cap, mirroring the engine's default-on guard: shingles
+    -- shared by more than CONTAINMENT_MAX_SHINGLE_DF docs leave the pair
+    -- space AND the |A| denominator (dormant on this near-unique fixture)
+    keep AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {CONTAINMENT_MAX_SHINGLE_DF}),
+    sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
     sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS doc_id, b.doc_id AS container_id, COUNT(*) AS shared
@@ -215,23 +236,25 @@ _DUCK_SH5 = (
         "plan; the string-keyed oracle proves the fingerprint rewrite "
         "exact), the shingle table is checkpointed once for the sizes agg "
         "and both join sides, and the ranking window runs over "
-        "over-threshold hits only. Boilerplate-heavy corpora need a "
-        "shingle df-cap before the self-join (the banded-LSH hot-bucket "
-        "discussion in SCALE.md) — a corpus-frequency prefilter composes "
-        "upstream without changing this operator."
+        "over-threshold hits only. The hot-shingle df cap "
+        "(CONTAINMENT_MAX_SHINGLE_DF=128) is DEFAULT-ON and mirrored in "
+        "the oracle: boilerplate shingles shared by >128 docs leave the "
+        "pair space and the |A| denominator before the self-join, bounding "
+        "any single join key's fanout at 128² pairs (dormant on this "
+        "near-unique fixture — capped and uncapped agree, SCALE.md)."
     ),
     tags=("dedup", "containment"),
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # uncapped on the fixture (shingles are near-unique here — SCALE.md);
-    # boilerplate-heavy corpora pass max_shingle_df (see containment_report)
+    # default path: the hot-shingle cap is ON (CONTAINMENT_MAX_SHINGLE_DF,
+    # mirrored in the oracle above; dormant on the near-unique fixture)
     return containment_report(t(spark, sf_dir, "documents"))
 
 
 def containment_report(
     docs: DataFrame,
     tau: float = CONTAINMENT_TAU,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = CONTAINMENT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Broder-containment report over ``(doc_id, text)`` rows: for each doc
     whose distinct 5-gram shingle set is >= ``tau`` covered by some other
@@ -240,16 +263,19 @@ def containment_report(
     containment, n_containers) ordered by doc_id.
 
     ``max_shingle_df`` is the HOT-SHINGLE GUARD (the SemDeDup sub-split's
-    sibling): the pair stage joins docs on raw shingle fingerprints, so one
-    boilerplate sentence shared by f docs puts f² pairs on a single join
-    key — quadratic in the hot shingle's document frequency, the exact
-    blow-up class SCALE.md documents for banded LSH. With the cap, shingles
-    whose corpus df exceeds it are dropped BEFORE pair generation — from
-    the join AND from the |A| denominator, so containment stays a
-    well-defined ratio over the surviving (discriminative) shingles rather
-    than a biased one. Deterministic rule, recount-property-tested; the
-    registered fixture query runs uncapped because the synthetic corpus's
-    shingles are near-unique (measured in SCALE.md)."""
+    sibling), DEFAULT-ON at ``CONTAINMENT_MAX_SHINGLE_DF`` = 128 since
+    round 13 (VERDICT r12 item 2): the pair stage joins docs on raw
+    shingle fingerprints, so one boilerplate sentence shared by f docs
+    puts f² pairs on a single join key — quadratic in the hot shingle's
+    document frequency, the exact blow-up class SCALE.md documents for
+    banded LSH, and boilerplate-heavy corpora are this operator's normal
+    input. With the cap, shingles whose corpus df exceeds it are dropped
+    BEFORE pair generation — from the join AND from the |A| denominator,
+    so containment stays a well-defined ratio over the surviving
+    (discriminative) shingles rather than a biased one. Deterministic
+    rule, recount-property-tested on both the explicit-cap and DEFAULT
+    paths; pass ``max_shingle_df=None`` to run uncapped (the pytest-only
+    exact baseline posture — never at corpus scale)."""
     from .llm_pipeline import shingles_5gram  # runtime import: llm_pipeline imports dedup constants
 
     sh = (

@@ -91,7 +91,10 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def brute_force_topk(
-    queries: DataFrame, candidates: DataFrame, k: int = TOP_K
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = TOP_K,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: crossJoin + per-query window. ``queries`` has
     (q_id, q_vec); ``candidates`` has (c_id, c_vec).
@@ -107,8 +110,12 @@ def brute_force_topk(
     RIGHT operand, i.e. shipped the corpus to every task; harmless at
     fixture scale, a scale-killer on a 100 TB candidate table. Queries are
     the bounded side by contract (strided probe points / a single dense
-    query); callers with a corpus-sized query set should partition it and
-    loop, not flip the broadcast."""
+    query) and the forced hint bakes that contract in, bypassing AQE's
+    size check (ADVICE r12) — a caller whose query set is itself
+    corpus-scale must pass ``broadcast_queries=False`` (the unhinted plan
+    then goes through AQE's broadcast-threshold check and fails loudly to
+    a non-broadcast strategy instead of OOMing the driver), and should
+    partition the query set and loop rather than flip the broadcast."""
     from ..functions.vector import norm
 
     q = queries.withColumn("q_norm", norm("q_vec"))
@@ -116,7 +123,7 @@ def brute_force_topk(
     sim = F.try_divide(dot("q_vec", "c_vec"), F.col("q_norm") * F.col("c_norm"))
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(F.broadcast(q) if broadcast_queries else q)
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id", sim.alias("sim"))
         .withColumn("rnk", F.row_number().over(w))
@@ -709,14 +716,18 @@ def rrf_fuse(
     (rrf_micro DESC, doc_id), truncated to ``top_k`` when given.
 
     Contributions are exact BIGINTs — 10^9 DIV (k + rank), absent list = 0 —
-    so fusion and ordering never depend on float summation. Scale shape:
-    the inputs are K-row lists (the expensive part is PRODUCING them — BM25,
-    ANN — not fusing), so the full-outer fold is trivially small; the fold
-    is driver-plan-side only, no collect."""
+    so fusion and ordering never depend on float summation. Each input list
+    is deduped to its BEST (minimum) rank per doc_id before the fold
+    (ADVICE r12): a duplicate doc_id inside one list would otherwise fan
+    out the full-outer join and double-count that doc's contribution — a
+    K-row aggregation, free, and a no-op on already-unique lists. Scale
+    shape: the inputs are K-row lists (the expensive part is PRODUCING
+    them — BM25, ANN — not fusing), so the full-outer fold is trivially
+    small; the fold is driver-plan-side only, no collect."""
     fused = None
     for name, df in ranked.items():
-        cur = df.select(
-            "doc_id", F.col("rank").cast("bigint").alias(f"r_{name}")
+        cur = df.groupBy("doc_id").agg(
+            F.min(F.col("rank").cast("bigint")).alias(f"r_{name}")
         )
         fused = cur if fused is None else fused.join(cur, ["doc_id"], "full_outer")
     if fused is None:
@@ -808,15 +819,15 @@ def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import one_group
 
     docs = t(spark, sf_dir, "documents")
-    lex = bm25_rank(docs, BM25_QUERY_TERMS, top_k=RRF_LIST_K).select(
-        "doc_id", "bm25"
-    )
-    # bm25 = micro/1e6 is monotone in the exact BIGINT micro, so ranking by
-    # it reproduces the kernel's own (micro DESC, doc_id) order
+    # rank on the exact BIGINT micro the kernel orders by (ADVICE r12) —
+    # no float hop between bm25_rank's ordering and this window's
+    lex = bm25_rank(
+        docs, BM25_QUERY_TERMS, top_k=RRF_LIST_K, include_micro=True
+    ).select("doc_id", "micro")
     # asc_nulls_last: DuckDB's ASC default puts NULLs last, Spark's first —
     # the same guard bm25_rank itself applies to this tie-break
     wl = W.partitionBy(one_group("doc_id")).orderBy(
-        F.col("bm25").desc(), F.col("doc_id").asc_nulls_last()
+        F.col("micro").desc(), F.col("doc_id").asc_nulls_last()
     )
     lex = lex.select("doc_id", F.row_number().over(wl).alias("rank"))
 

@@ -758,8 +758,15 @@ def bm25_rank(
     docs: DataFrame,
     query_terms,
     top_k: int = BM25_TOP_K,
+    include_micro: bool = False,
 ) -> DataFrame:
     """Okapi BM25 (k1=1.2, b=0.75, Lucene idf) over the shared tokenizer.
+
+    ``include_micro`` appends the exact BIGINT micro-score (1e-6 fixed
+    point) the ordering already runs on — downstream rankers (hybrid RRF)
+    rank on it directly instead of re-deriving order from the DOUBLE
+    ``bm25`` display column (ADVICE r12: micro << 2^53 keeps the division
+    injective today, but the integer is the contract).
 
     Scale shape: ONE corpus tokenize + ONE doc-keyed shuffle total — the
     per-doc length and every per-query-term tf are conditional counts in the
@@ -833,6 +840,7 @@ def bm25_rank(
             "doc_id",
             "n_terms",
             (F.col("micro").cast("double") / 1000000).alias("bm25"),
+            *([F.col("micro")] if include_micro else []),
         )
     )
 

@@ -56,80 +56,76 @@ _REGISTRY: dict[str, Query] = {}
 #: design (the driver's rows-only check is weak; their oracled _gate
 #: twins are seated instead and pytest replays them each run).
 #:
-#: Round 12 (VERDICT r11 item 2): slots 1-3 seat the never-certified
-#: round-11 registrations — q_dedup_semantic + q_dedup_semantic_keepfar
-#: (now carrying the round-12 hot-cluster guard, dormant at the driver's
-#: sf0.01 and hash-proved ACTIVE at sf0.1 by the full oracle audit) and
-#: q_text_novelty (round-12 xxhash64 shingle-fingerprint exchanges; the
-#: oracle keeps real strings, so the driver hash proves the fingerprint
-#: move exact on the data). Slots 4-5 are the round-12-MODIFIED
-#: re-seats: q_vec_kmeans_gate (purity floor re-derived 0.12 → 0.113
-#: from an 8-seed sweep — VERDICT r11 item 5) and q_llm_decontaminate
-#: (contamination join keys fingerprinted to xxhash64 like novelty;
-#: string-keyed oracle unchanged). Slots 6-28 are the round-8 cohort
-#: TAIL (23 rows, alphabetical q_scalar_date … q_window_range_frame —
-#: the oldest driver rows in the system). Slots 29-50 take the round-9
-#: cohort head oldest-green-first (22 of 50, alphabetical
-#: q_agg_heavy_hitters … q_events_trend; the 28-row tail rolls to r13).
-#: After a green round no oracled query's last driver-green row predates
-#: round 9.
+#: Round 13 (VERDICT r12 item 1): slots 1-3 seat the only oracled
+#: queries with no driver row ever — the round-12 registrations
+#: q_dedup_containment (MODIFIED round 13: the hot-shingle df cap is now
+#: DEFAULT-ON per VERDICT r12 item 2, mirrored bit-for-bit in the
+#: DuckDB oracle), q_llm_contamination_span, and q_sim_hybrid_rrf
+#: (MODIFIED round 13 by the ADVICE r12 fixes: the lexical leg ranks on
+#: the exact BIGINT micro-BM25 and rrf_fuse dedupes each input list on
+#: doc_id before the fold). Slots 4-31 are the round-9 cohort TAIL
+#: (28 rows, alphabetical q_events_winsorize … q_udtf_context_windows —
+#: the oldest driver rows in the system). Slots 32-50 take the
+#: round-10 cohort head oldest-green-first (19 of 46, alphabetical
+#: q1_pricing_summary … q_graph_reachability, skipping the demoted
+#: q_dedup_embedding; the 27-row tail rolls to r14). After a green
+#: round no oracled query's last driver-green row predates round 10.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never driver-certified (registered round 11) ---
-    "q_dedup_semantic",
-    "q_dedup_semantic_keepfar",
-    "q_text_novelty",
-    # --- round-12-MODIFIED re-seats ---
-    "q_vec_kmeans_gate",
-    "q_llm_decontaminate",
-    # --- round-8 cohort tail (last driver-green r8, oldest in system) ---
-    "q_scalar_date",
-    "q_scalar_date2",
-    "q_scalar_math",
-    "q_scalar_null",
-    "q_scalar_url",
-    "q_set_ops_bag",
-    "q_stream_dedup_batch",
-    "q_stream_interval_equiv_gate",
-    "q_stream_interval_join_batch",
-    "q_stream_interval_join_left_batch",
-    "q_stream_scd2_equiv_gate",
-    "q_subquery_correlated",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_ngrams",
-    "q_text_porter_gate",
-    "q_text_stopword_filter",
-    "q_text_term_doc_freq",
-    "q_text_token_stats",
-    "q_udf_grouped_agg",
-    "q_vec_quantize_int8",
-    "q_window_navigation",
-    "q_window_range_frame",
-    # --- round-9 cohort head (oldest-green-first, 22 of 50 alphabetical;
-    # the 28-row tail — q_events_winsorize … q_udtf_context_windows —
-    # rolls to r13) ---
-    "q_agg_heavy_hitters",
-    "q_agg_percentile",
-    "q_agg_sketch_reaggregate",
-    "q_agg_stringagg",
-    "q_asof_join",
-    "q_dedup_components",
-    "q_dedup_fuzzy_vocab",
-    "q_dedup_incremental_lsh",
-    "q_dedup_jaccard_pairs",
-    "q_dedup_keep_canonical",
-    "q_dedup_minhash_gate",
-    "q_dedup_minhash_lsh_gate",
-    "q_dedup_minhash_lsh_portable",
-    "q_dedup_substring",
-    "q_distinct",
-    "q_events_chisq",
-    "q_events_conversion_latency",
-    "q_events_correlation",
-    "q_events_funnel",
-    "q_events_path_mining",
-    "q_events_robust_zscore",
-    "q_events_trend",
+    # --- never driver-certified (registered round 12) ---
+    "q_dedup_containment",
+    "q_llm_contamination_span",
+    "q_sim_hybrid_rrf",
+    # --- round-9 cohort tail (last driver-green r9, oldest in system) ---
+    "q_events_winsorize",
+    "q_filter_project",
+    "q_graph_pagerank",
+    "q_graph_pagerank_dangling",
+    "q_graph_triangles",
+    "q_incremental_agg_refresh",
+    "q_join_anti",
+    "q_join_bloom_prefilter",
+    "q_join_full",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_theta",
+    "q_llm_bpe_first_merge",
+    "q_llm_bpe_merges_gate",
+    "q_llm_chunk",
+    "q_llm_quality_filter_mix",
+    "q_llm_quality_rules",
+    "q_llm_repetition_rules",
+    "q_llm_scrub",
+    "q_llm_weighted_sample",
+    "q_ref_pipeline_unstemmed",
+    "q_snapshot_diff",
+    "q_stream_interval_left_equiv_gate",
+    "q_text_inverted_index",
+    "q_text_tfidf",
+    "q_udf_cogrouped_map",
+    "q_udf_python_row",
+    "q_udtf_context_windows",
+    # --- round-10 cohort head (oldest-green-first, 19 of 46
+    # alphabetical, q_dedup_embedding skipped — demoted for good; the
+    # 27-row tail — q_join_inner … q_window_ntile — rolls to r14) ---
+    "q1_pricing_summary",
+    "q_agg_approx_distinct_gate",
+    "q_agg_approx_percentile_gate",
+    "q_agg_histogram",
+    "q_dedup_embedding_bucketed",
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
+    "q_events_ab_welch",
+    "q_events_anomaly_zscore",
+    "q_events_attribution",
+    "q_events_ewma",
+    "q_events_gapfill",
+    "q_events_retention",
+    "q_events_rollup_multires",
+    "q_events_spearman",
+    "q_events_type_affinity",
+    "q_graph_label_propagation",
+    "q_graph_reachability",
 )
 
 

@@ -65,9 +65,11 @@ def test_corpus_reader_skips_non_numeric_filenames(spark, tmp_path):
 
 
 def test_bench_regression_gate_fires_on_synthetic_slowdown():
-    """Round 12 (VERDICT r11 item 3): the bench's loud regression gate —
-    a query >0.5 s running >1.5x its last committed same-SF round median
-    is flagged; ambient-band wobble and sub-half-second queries are not."""
+    """Round 12 (VERDICT r11 item 3) + round-13 tiering (VERDICT r12 item
+    4): a query >0.5 s running past its tier's gate vs the last committed
+    same-SF round median is flagged — 1.25x when the last median was >=1 s
+    (the ±15-20% ambient band is cleared there), 1.5x below; ambient-band
+    wobble and sub-half-second queries are not."""
     import importlib.util
     import os
 
@@ -80,8 +82,13 @@ def test_bench_regression_gate_fires_on_synthetic_slowdown():
     trend = {
         # real regression: 2.0 s -> 3.5 s (1.75x) against the LATEST round
         "q_slow": {"r9": 1.0, "r11": 2.0, "now": 3.5},
-        # inside the gate: 1.4x
-        "q_wobble": {"r11": 2.0, "now": 2.8},
+        # the r12 pagerank case: +33% on a >=1 s query — the flat 1.5x
+        # gate let it sail; the 1.25x tier catches it
+        "q_drift": {"r11": 1.77, "now": 2.36},
+        # inside the >=1 s tier's gate: 1.2x, ambient band
+        "q_wobble": {"r11": 2.0, "now": 2.4},
+        # 1.4x but SUB-second last median — keeps the looser 1.5x gate
+        "q_subsec": {"r11": 0.6, "now": 0.84},
         # huge ratio but still a small query (0.3 s) — noise class
         "q_tiny": {"r11": 0.1, "now": 0.3},
         # improvement
@@ -90,13 +97,16 @@ def test_bench_regression_gate_fires_on_synthetic_slowdown():
         "q_new": {"now": 9.9},
     }
     got = bench._detect_regressions(trend)
-    assert set(got) == {"q_slow"}
+    assert set(got) == {"q_slow", "q_drift"}
     assert got["q_slow"] == {
         "last_committed": 2.0,
         "round": 11,
         "now": 3.5,
         "ratio": 1.75,
+        "gate": 1.25,
     }
+    assert got["q_drift"]["ratio"] == 1.33
+    assert got["q_drift"]["gate"] == 1.25
     # the gate compares against the newest committed round, not the oldest
     assert got["q_slow"]["round"] == 11
 

@@ -204,6 +204,63 @@ def test_semantic_dedup_cluster_bounded_survivors(spark):
     assert got[4][0] == got[5][0] == got[1][0]
 
 
+def test_semantic_dedup_residual_duplication_bound_at_cap(spark):
+    """Round 13 (VERDICT r12 item 7): the guard's RECALL contract — a
+    duplicate GROUP of size g >> max_cluster collapses to at most
+    s = ceil(cluster_size/max_cluster) survivors (one per sub-bucket),
+    i.e. residual duplication after the prune is bounded by s/g as the
+    semantic_dedup docstring states. Planted: one cluster that IS a
+    g=640 group of identical vectors with cap=64 → s=10; a small
+    background cluster keeps k=2 honest. The bound must hold exactly:
+    every sub-bucket keeps exactly its min-id row, everything else in
+    the group is pruned, so survivors == #non-empty buckets <= s and
+    residual duplication <= s/g = 1.6%."""
+    from pyspark.sql import functions as F
+
+    from hadoop_web_browsing_logs_spark.operators.dedup import (
+        _SEMDEDUP_SALT_MOD,
+        _SEMDEDUP_SALT_MULT,
+        _SEMDEDUP_SALT_SHIFT,
+        semantic_dedup,
+    )
+
+    cap, g = 64, 640
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(g)]  # the dup group
+    rows += [(g + j, [0.0, 1.0, 0.0, 0.0]) for j in range(4)]  # background
+    vs = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centers = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])], ["center_id", "c"]
+    ).select("center_id", F.col("c").cast("array<double>").alias("c"))
+    got = {
+        r.vec_id: (r.center_id, r.is_dup, r.dup_of)
+        for r in semantic_dedup(
+            vs, 2, tau=0.95, centers=centers, max_cluster=cap
+        ).collect()
+    }
+    assert len(got) == g + 4
+
+    def salt(vid: int, s: int) -> int:
+        h = ((vid % _SEMDEDUP_SALT_MOD) * _SEMDEDUP_SALT_MULT) % _SEMDEDUP_SALT_MOD
+        return (h >> _SEMDEDUP_SALT_SHIFT) % s
+
+    s = (g + cap - 1) // cap
+    assert s == 10
+    buckets: dict[int, list[int]] = {}
+    for vid in range(g):
+        buckets.setdefault(salt(vid, s), []).append(vid)
+    survivors = sorted(vid for vid in range(g) if not got[vid][1])
+    # exactly one survivor per non-empty sub-bucket: its min id
+    assert survivors == sorted(min(b) for b in buckets.values())
+    assert len(survivors) <= s  # the documented bound ...
+    assert len(survivors) / g <= s / g <= 0.016  # ... = residual duplication
+    # every pruned group row names its own bucket's min id as witness
+    for vid in range(g):
+        b_min = min(buckets[salt(vid, s)])
+        assert got[vid] == (0, vid != b_min, b_min if vid != b_min else None)
+
+
 def test_semantic_dedup_hot_cluster_guard(spark):
     """Round 12 (VERDICT r11 item 1): with >=90% of the corpus in ONE
     cluster — the boilerplate-heavy web-corpus shape SemDeDup exists for —

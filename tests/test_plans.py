@@ -104,33 +104,33 @@ def test_driver_priority_window():
     assert names[:50] == list(DRIVER_PRIORITY)
     # every priority name actually resolves to a registered query
     assert set(DRIVER_PRIORITY) <= set(names)
-    # round-12 allocation (registry.py comment, VERDICT r11 item 2):
-    # slots 1-3 = the never-certified round-11 registrations (the two
-    # SemDeDup variants — now carrying the hot-cluster guard — and the
-    # trigram novelty score), slots 4-5 = the round-12-modified re-seats
-    # (the re-derived k-means purity floor and the fingerprinted
-    # decontamination join), then the round-8 cohort tail (the oldest
-    # driver rows in the system), then the round-9 cohort head
+    # round-13 allocation (registry.py comment, VERDICT r12 item 1):
+    # slots 1-3 = the never-certified round-12 registrations (the
+    # containment report — now carrying the default-on hot-shingle df
+    # cap — the contamination-span severity report, and hybrid RRF with
+    # the ADVICE r12 exact-micro/list-dedupe fixes), then the round-9
+    # cohort tail (the oldest driver rows in the system), then the
+    # round-10 cohort head
     window = set(DRIVER_PRIORITY)
-    assert DRIVER_PRIORITY[0] == "q_dedup_semantic"
-    assert DRIVER_PRIORITY[1] == "q_dedup_semantic_keepfar"
-    assert DRIVER_PRIORITY[2] == "q_text_novelty"
-    assert DRIVER_PRIORITY[3] == "q_vec_kmeans_gate"
-    assert DRIVER_PRIORITY[4] == "q_llm_decontaminate"
-    assert DRIVER_PRIORITY[5] == "q_scalar_date"
-    assert DRIVER_PRIORITY[28] == "q_agg_heavy_hitters"
+    assert DRIVER_PRIORITY[0] == "q_dedup_containment"
+    assert DRIVER_PRIORITY[1] == "q_llm_contamination_span"
+    assert DRIVER_PRIORITY[2] == "q_sim_hybrid_rrf"
+    assert DRIVER_PRIORITY[3] == "q_events_winsorize"
+    assert DRIVER_PRIORITY[30] == "q_udtf_context_windows"
+    assert DRIVER_PRIORITY[31] == "q1_pricing_summary"
     for core in (
-                 # round-8 cohort tail (oldest driver rows in the system)
-                 "q_scalar_date2", "q_scalar_math", "q_scalar_null",
-                 "q_scalar_url", "q_set_ops_bag", "q_stream_dedup_batch",
-                 "q_stream_scd2_equiv_gate", "q_subquery_correlated",
-                 "q_text_fingerprint", "q_text_langid", "q_text_ngrams",
-                 "q_text_porter_gate", "q_udf_grouped_agg",
-                 "q_vec_quantize_int8", "q_window_navigation",
-                 "q_window_range_frame",
-                 # round-9 cohort head
-                 "q_asof_join", "q_dedup_components", "q_distinct",
-                 "q_events_funnel", "q_events_trend"):
+                 # round-9 cohort tail (oldest driver rows in the system)
+                 "q_filter_project", "q_graph_pagerank",
+                 "q_graph_pagerank_dangling", "q_graph_triangles",
+                 "q_join_anti", "q_join_bloom_prefilter", "q_join_full",
+                 "q_llm_bpe_merges_gate", "q_llm_chunk", "q_llm_scrub",
+                 "q_ref_pipeline_unstemmed", "q_snapshot_diff",
+                 "q_text_inverted_index", "q_text_tfidf",
+                 "q_udf_cogrouped_map", "q_udtf_context_windows",
+                 # round-10 cohort head
+                 "q_agg_histogram", "q_dedup_embedding_bucketed",
+                 "q_dedup_exact", "q_dedup_simhash",
+                 "q_events_gapfill", "q_graph_reachability"):
         assert core in window, core
     # the demoted quadratic all-pairs baseline must NEVER be re-seated
     # (VERDICT r10 item 1); its bucketed twin carries the driver proof

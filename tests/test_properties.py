@@ -879,6 +879,30 @@ def test_rrf_fuse_matches_python_fold(spark):
         assert got == want, (trial, lists)
 
 
+def test_rrf_fuse_dedupes_duplicate_doc_in_one_list(spark):
+    """ADVICE r12: a duplicate doc_id INSIDE one input list must not fan
+    out the full-outer fold and double-count — rrf_fuse keeps the best
+    (minimum) rank per doc per list."""
+    from hadoop_web_browsing_logs_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(7, 1), (7, 3), (8, 2)], ["doc_id", "rank"]  # doc 7 listed twice
+    )
+    vec = spark.createDataFrame([(7, 2), (9, 1)], ["doc_id", "rank"])
+    got = [
+        (r.doc_id, r.r_lex, r.r_vec, r.rrf_micro)
+        for r in rrf_fuse({"lex": lex, "vec": vec}).collect()
+    ]
+    want = []
+    for d, rl, rv in [(7, 1, 2), (8, 2, None), (9, None, 1)]:
+        score = sum(10**9 // (60 + r) for r in (rl, rv) if r is not None)
+        want.append((d, rl, rv, score))
+    want.sort(key=lambda t: (-t[3], t[0]))
+    assert got == want
+    # exactly one fused row for doc 7, scored from rank 1 (not 3, not both)
+    assert [r for r in got if r[0] == 7] == [(7, 1, 2, 10**9 // 61 + 10**9 // 62)]
+
+
 def test_containment_matches_python_recount(spark, tmp_path):
     """q_dedup_containment == a Python recount on a constructed-plus-random
     corpus: doc 1 is wholly inside doc 2 (containment 1.0 with >=8 more
@@ -989,6 +1013,72 @@ def test_containment_df_cap_matches_capped_recount(spark):
     # the boilerplate family must NOT be containment-linked once the hot
     # sentence is capped away (their tails are pairwise distinct)
     assert not any(r[0] < 14 for r in got)
+
+
+def test_containment_default_path_caps_boilerplate_skew(spark, tmp_path):
+    """The REGISTERED q_dedup_containment (no explicit cap argument — the
+    default path, VERDICT r12 item 2) survives a boilerplate-heavy corpus:
+    140 docs share one hot sentence (df=140 > CONTAINMENT_MAX_SHINGLE_DF=128)
+    with pairwise-distinct tails, plus a planted rare wholesale pair. The
+    default cap must (a) match the Python recount under the same df-cap rule,
+    (b) keep the rare-shingle containment, and (c) emit NO junk containment
+    rows among the boilerplate family — the uncapped plan would link all
+    140 docs pairwise (139 containers each) off the shared sentence alone."""
+    import duckdb
+
+    from hadoop_web_browsing_logs_spark.operators.dedup import (
+        CONTAINMENT_MAX_SHINGLE_DF,
+        CONTAINMENT_TAU,
+    )
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rare = " ".join(f"r{i}" for i in range(10))
+    docs = [
+        (i, f"{boiler} t{i}a t{i}b t{i}c t{i}d t{i}e", "en", "s") for i in range(140)
+    ]
+    docs.append((140, rare, "en", "s"))
+    docs.append((141, f"{rare} zz0 zz1 zz2 zz3 zz4", "en", "s"))
+    d = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", [r + (len(r[1]),) for r in docs])
+    con.execute(f"COPY t TO '{d}/documents.parquet' (FORMAT PARQUET)")
+
+    got = sorted(
+        (r.doc_id, r.container_id, r.containment, r.n_containers)
+        for r in get_query("q_dedup_containment").fn(spark, d).collect()
+    )
+
+    def shset(text):
+        tk = text.lower().split()
+        return {" ".join(tk[i : i + 5]) for i in range(len(tk) - 4)}
+
+    from collections import Counter
+
+    sets = {i: shset(text) for i, text, _l, _s in docs}
+    df = Counter(s for ss in sets.values() for s in ss)
+    sets = {i: {s for s in ss if df[s] <= CONTAINMENT_MAX_SHINGLE_DF} for i, ss in sets.items()}
+    sets = {i: ss for i, ss in sets.items() if ss}
+    want = []
+    for a, sa in sets.items():
+        hits = [
+            (len(sa & sb) / len(sa), b)
+            for b, sb in sets.items()
+            if b != a and len(sa & sb) / len(sa) >= CONTAINMENT_TAU
+        ]
+        if hits:
+            best = max(hits, key=lambda h: (h[0], -h[1]))
+            want.append((a, best[1], best[0], len(hits)))
+    want.sort()
+    assert got == want
+    assert (140, 141, 1.0, 1) in got  # rare wholesale containment survives
+    # zero junk rows among the 140-doc boilerplate family: the uncapped plan
+    # would emit one row per boilerplate doc with n_containers=139
+    assert all(r[0] >= 140 for r in got)
 
 
 def test_moment_form_stats_match_numpy_definitions(spark):

@@ -238,6 +238,102 @@ def test_bpe_golden_classic_corpus(spark):
     ]
 
 
+def test_bpe_encode_adversarial_merge_tables(spark):
+    """Round-13 fuzz promotion (docs/fuzz_round13.py bpe family, 10 trials
+    0 failures): the encoder's greedy leftmost fold vs an independent
+    scan-and-splice Python encoder on the adversarial merge-table shapes —
+    self-merges over runs ('aaaa' + (a,a): pairs merge left-to-right
+    without re-scanning the merged product), cascades whose operands are
+    products of earlier merges, merges targeting </w>, and rank orders
+    where a later merge would have enabled an earlier one (rank order must
+    win: the earlier merge does NOT re-fire)."""
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import (
+        BPE_END,
+        bpe_encode,
+    )
+
+    def apply(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    def encode(word, merges):
+        syms = list(word) + [BPE_END]
+        for l, r in merges:
+            syms = apply(syms, l, r)
+        return syms
+
+    cases = [
+        # self-merge over runs: even/odd lengths, then a cascade on the product
+        (["aa", "aaa", "aaaa", "aaaaa", "b"], [("a", "a"), ("aa", "aa"), ("aa", "a")]),
+        # </w>-targeting + product-of-product cascade
+        (["ab", "ba", "abab"], [("a", "b"), ("ab", BPE_END), ("ab", "ab")]),
+        # rank order beats enablement: (b,a) fires first, so the 'ab' the
+        # rank-2 merge wants never forms in 'aba' — but does in 'aab'
+        (["aba", "aab", "ab"], [("b", "a"), ("a", "b")]),
+    ]
+    for words, merges in cases:
+        wdf = spark.createDataFrame([(w,) for w in words], ["word"])
+        got = {
+            r.word: list(r.syms)
+            for r in bpe_encode(wdf, merges=merges, checkpoint_every=2).collect()
+        }
+        want = {w: encode(w, merges) for w in words}
+        assert got == want, (merges, got, want)
+
+
+def test_pack_sequences_boundary_and_empty_docs(spark, tmp_path):
+    """Round-13 fuzz promotion (docs/fuzz_round13.py pack family, 10 trials
+    0 failures): the distributed token tape (with_global_cumsum) vs a
+    sequential Python fold on the hostile layout — doc_id gaps with shuffled
+    insert order, a doc exactly SEQ_LEN tokens long (its successor starts
+    exactly on a cut), zero-token docs ON the boundary (the documented
+    degenerate: seq_last = seq_first - 1, the doc lands in no sequence),
+    and a giant doc spanning several sequences."""
+    import duckdb
+
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import SEQ_LEN
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    docs = [
+        (3, " ".join(f"a{j}" for j in range(SEQ_LEN)), "en", "s"),  # exact cut
+        (7, "", "en", "s"),  # 0 tokens exactly ON a boundary -> last < first
+        (10, " ".join(f"b{j}" for j in range(5)), "en", "s"),
+        (11, "   ", "en", "s"),  # 0 tokens mid-sequence -> last == first
+        (40, " ".join(f"c{j}" for j in range(3 * SEQ_LEN + 1)), "en", "s"),
+    ]
+    d = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO t VALUES (?,?,?,?,?)",
+        [r + (len(r[1]),) for r in [docs[4], docs[1], docs[0], docs[3], docs[2]]],
+    )
+    con.execute(f"COPY t TO '{d}/documents.parquet' (FORMAT PARQUET)")
+
+    got = {
+        r.doc_id: (r.n_tokens, r.token_offset, r.seq_first, r.seq_last)
+        for r in get_query("q_llm_pack_sequences").fn(spark, d).collect()
+    }
+    L = SEQ_LEN
+    assert got == {
+        3: (L, 0, 0, 0),
+        7: (0, L, 1, 0),  # boundary degenerate: lands in no sequence
+        10: (5, L, 1, 1),
+        11: (0, L + 5, 1, 1),  # mid-sequence zero-token doc
+        40: (3 * L + 1, L + 5, 1, 4),  # spans sequences 1..4
+    }
+
+
 def test_bpe_merges_first_row_is_the_oracled_first_merge(spark):
     """The rows-only iterative loop is gated by its oracled twin: the loop's
     rank-1 merge must equal q_llm_bpe_first_merge's rank-1 candidate (same
