@@ -40,6 +40,15 @@ Targets:
                                  and rank orders where a later merge
                                  would have enabled an earlier one
                                  (rank order must win over re-scan).
+  bpe_train bpe_train            vs an independent Python trainer state
+           (inside q_llm_bpe_    machine (argmax tie-break, greedy fold,
+           merges/_merges_gate)  recount-after-merge interplay — the
+                                 overlap-run case 'aaa': (a,a) counts 2,
+                                 folds to ['aa','a'], next round sees
+                                 (aa,a) once). Axes: 2-char alphabets
+                                 (massive ties), run-heavy words, random
+                                 freq weights, more merges than the
+                                 corpus supports.
   gapfill  q_events_gapfill      vs a Python hourly-bucket + spine +
                                  carry-forward fold (dsum fixed-point
                                  mirrored with int arithmetic). Axes:
@@ -50,7 +59,7 @@ Targets:
                                  null ts rows (no spine contribution),
                                  negative values.
 
-Run:  python docs/fuzz_round13.py [pack|bpe|gapfill|all]
+Run:  python docs/fuzz_round13.py [pack|bpe|bpe_train|gapfill|all]
 
 Results land in SCALE.md's sweep ledger; canonical hostile shapes get
 promoted to committed regression tests.
@@ -278,6 +287,60 @@ def fuzz_bpe(spark, trials: int = 10) -> int:
     return fails
 
 
+def fuzz_bpe_train(spark, trials: int = 8) -> int:
+    """bpe_train (iterate: global pair argmax -> greedy fold -> recount) vs
+    an independent Python trainer. The pair COUNT derivation is necessarily
+    the same rule (positional adjacent pairs, overlapping runs count every
+    position), but the iteration state machine — argmax tie-break
+    (cnt DESC, lexicographic left then right), the fold, and the
+    recount-after-merge interplay (e.g. 'aaa' counts (a,a) twice but folds
+    to ['aa','a'], so the NEXT round sees (aa,a) once) — is re-implemented
+    from the docstring. Axes: 2-char alphabets (massive ties), run-heavy
+    words, random frequency weights, more merges than the corpus supports
+    (early-exhaustion break)."""
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import (
+        BPE_END,
+        bpe_train,
+        bpe_word_dict,
+    )
+
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(16000 + t)
+        alphabet = list("ab") if t % 2 == 0 else list("abc")
+        words = {}
+        for _ in range(rng.randint(2, 15)):
+            w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+            words[w] = words.get(w, 0) + rng.randint(1, 9)
+        words["a" * rng.randint(3, 7)] = rng.randint(1, 9)  # run-heavy
+        text = " ".join(
+            w for w, f in sorted(words.items()) for _ in range(f)
+        )
+        docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        n_merges = rng.randint(1, 8)
+        got = bpe_train(bpe_word_dict(docs), n_merges)
+
+        cur = [(list(w) + [BPE_END], f) for w, f in sorted(words.items())]
+        want = []
+        for rank in range(1, n_merges + 1):
+            counts: dict = {}
+            for syms, f in cur:
+                for i in range(len(syms) - 1):
+                    k = (syms[i], syms[i + 1])
+                    counts[k] = counts.get(k, 0) + f
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+            want.append((rank, best[0], best[1], best[0] + best[1], counts[best]))
+            cur = [(_py_bpe_apply(syms, *best), f) for syms, f in cur]
+        got_t = [tuple(m) for m in got]
+        if got_t != want:
+            fails += 1
+            print(f"  bpe_train trial {t}: MISMATCH words={words}")
+            print(f"    engine={got_t}\n    brute={want}")
+    return fails
+
+
 # ---------------------------------------------------------------------------
 # gapfill: q_events_gapfill vs a Python spine + carry-forward fold
 # ---------------------------------------------------------------------------
@@ -357,6 +420,10 @@ def main() -> None:
     if which in ("bpe", "all"):
         f = fuzz_bpe(spark)
         ran.append(("bpe", 10, f))
+        total += f
+    if which in ("bpe_train", "all"):
+        f = fuzz_bpe_train(spark)
+        ran.append(("bpe_train", 8, f))
         total += f
     if which in ("gapfill", "all"):
         f = fuzz_gapfill(spark)

@@ -284,15 +284,22 @@ def containment_report(
         .distinct()
     )
     if max_shingle_df is not None:
-        # df table is shingle-vocabulary-sized — AQE picks the join
-        # strategy from its measured size, no forced broadcast
-        keep = (
-            sh.groupBy("shh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shh")
+        # ONE shh-keyed exchange: count-over-window (no orderBy — unbounded
+        # frame, no sort) then filter. The groupBy-count + semi-join-back
+        # alternative re-exchanges the full corpus-sized shingle table for
+        # the join on top of the (partial-agg-reduced) df exchange — at
+        # sf0.1 the two are a wall-clock wash (0.52 vs 0.49 s warm, cap
+        # dormant; SCALE.md round 13) but the window form ships the table
+        # once, which is what matters at 100 TB. Per-key row counts are
+        # the hot shingle's df — linear within its one partition, the
+        # same bound a groupBy would have.
+        sh = (
+            sh.withColumn(
+                "_df", F.count(F.lit(1)).over(W.partitionBy("shh"))
+            )
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
         )
-        sh = sh.join(keep, "shh")
     sh = sh.localCheckpoint(eager=False)  # sizes agg + both pair-join sides
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (

