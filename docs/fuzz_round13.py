@@ -59,7 +59,18 @@ Targets:
                                  null ts rows (no spine contribution),
                                  negative values.
 
-Run:  python docs/fuzz_round13.py [pack|bpe|bpe_train|gapfill|all]
+  path     q_events_path_mining  vs a per-user sorted triple scan (ties,
+                                 30-min boundary hops, top-20 count ties).
+  ewma     q_events_ewma         vs a Python float fold of the recurrence
+                                 (exact equality — same IEEE ops, same
+                                 order; single-hour and null-value axes).
+  wsample  q_llm_weighted_sample vs a Python A-ES recount (md5-derived u,
+                                 ROUND_HALF_UP fixed point) PLUS the
+                                 docstring's equivalence-to-exact-keys
+                                 claim, modulo rounded ties at the K edge.
+
+Run:  python docs/fuzz_round13.py
+      [pack|bpe|bpe_train|gapfill|path|ewma|wsample|all]
 
 Results land in SCALE.md's sweep ledger; canonical hostile shapes get
 promoted to committed regression tests.
@@ -408,6 +419,217 @@ def fuzz_gapfill(spark, trials: int = 10) -> int:
     return fails
 
 
+# ---------------------------------------------------------------------------
+# path: q_events_path_mining vs a per-user sorted triple scan
+# ---------------------------------------------------------------------------
+
+
+def fuzz_path(spark, trials: int = 10) -> int:
+    """q_events_path_mining (two lags on one user window + hash agg +
+    TakeOrdered) vs an independent per-user sorted-list TRIPLE SCAN. Axes:
+    equal timestamps (tie by event_id), hops exactly AT the 30-min session
+    boundary (inclusive), users with < 3 events, null ts / event_type rows
+    (excluded by contract), >20 distinct paths with count ties at the
+    top-20 boundary."""
+    q = get_query("q_events_path_mining").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(17000 + t)
+        hostile = t % 2 == 0
+        types = list("ABCD") if hostile else ["view", "click", "purchase", "search", "login"]
+        rows = []
+        for i in range(rng.randint(3, 150)):
+            if hostile:
+                # tiny grid: exact ties and exact 30-min hops abound
+                ts = BASE + timedelta(minutes=rng.choice([0, 0, 30, 30, 60, 90, 91]))
+            else:
+                ts = BASE + timedelta(minutes=rng.randint(0, 600))
+            et = rng.choice(types)
+            if hostile and rng.random() < 0.05:
+                ts = None
+            if hostile and rng.random() < 0.05:
+                et = None
+            rows.append((i, ts, rng.randint(1, 4 if hostile else 12), et, 1.0))
+        d = _write_events(rows)
+        got = [(r.rank, r.path, r.cnt) for r in q(spark, d).collect()]
+
+        byu: dict = {}
+        for eid, ts, uid, et, _v in rows:
+            if ts is None or et is None:
+                continue
+            byu.setdefault(uid, []).append((ts, eid, et))
+        cnt: dict = {}
+        lim = timedelta(minutes=30)
+        for evs in byu.values():
+            evs.sort()
+            for j in range(2, len(evs)):
+                (ts2, _e2, t2), (ts1, _e1, t1), (ts0, _e0, t0) = evs[j - 2], evs[j - 1], evs[j]
+                if ts1 >= ts0 - lim and ts2 >= ts1 - lim:
+                    p = f"{t2}>{t1}>{t0}"
+                    cnt[p] = cnt.get(p, 0) + 1
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        want = [(r + 1, p, c) for r, (p, c) in enumerate(ranked)]
+        if got != want:
+            fails += 1
+            print(f"  path trial {t}: MISMATCH\n    engine={got[:6]}\n    brute={want[:6]}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# ewma: q_events_ewma vs a Python per-type fold over the hour-sorted series
+# ---------------------------------------------------------------------------
+
+
+def fuzz_ewma(spark, trials: int = 10) -> int:
+    """q_events_ewma (seed-with-first aggregate() fold over the collected
+    hour-sorted value array) vs a Python float fold of the declared
+    recurrence ewma = 0.25*x + 0.75*acc — same IEEE ops in the same order,
+    so equality is exact, no tolerance. Axes: single-hour types (fold over
+    an empty tail — seed only), all-null-value hours (dsum -> NULL ->
+    dropped from the series), negative values, insertion order shuffled
+    against hour order."""
+    q = get_query("q_events_ewma").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(18000 + t)
+        hostile = t % 2 == 0
+        types = ["a", "b", "c"]
+        rows = []
+        for i in range(rng.randint(2, 120)):
+            et = rng.choice(types)
+            h = rng.randint(0, 3 if hostile else 20)
+            ts = BASE + timedelta(hours=h, minutes=rng.randint(0, 59))
+            val = round(rng.uniform(-40, 40), 2)
+            if hostile and rng.random() < 0.12:
+                val = None
+            if hostile and rng.random() < 0.05:
+                ts = None
+            rows.append((i, ts, rng.randint(1, 5), et, val))
+        rng.shuffle(rows)
+        rows = [(i,) + r[1:] for i, r in enumerate(rows)]
+        d = _write_events(rows)
+        got = {
+            r.event_type: (r.n_hours, r.last_v, r.ewma)
+            for r in q(spark, d).collect()
+        }
+
+        hourly: dict = {}
+        for _i, ts, _u, et, val in rows:
+            if ts is None:
+                continue
+            h = ts.replace(minute=0, second=0, microsecond=0)
+            micro, has = hourly.get((et, h), (0, False))
+            if val is not None:
+                micro += int(round(val * 100))
+                has = True
+            hourly[(et, h)] = (micro, has)
+        want = {}
+        for et in {k[0] for k in hourly}:
+            series = [
+                micro / 100
+                for h, (micro, has) in sorted(
+                    (h, v) for (e, h), v in hourly.items() if e == et
+                )
+                if has
+            ]
+            if not series:
+                continue
+            acc = series[0]
+            for x in series[1:]:
+                acc = 0.25 * x + 0.75 * acc
+            want[et] = (len(series), series[-1], acc)
+        if got != want:
+            fails += 1
+            bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
+            print(f"  ewma trial {t}: MISMATCH {[(k, got.get(k), want.get(k)) for k in sorted(bad)][:3]}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# wsample: q_llm_weighted_sample vs a Python A-ES recount + exact-key check
+# ---------------------------------------------------------------------------
+
+
+def fuzz_wsample(spark, trials: int = 8) -> int:
+    """q_llm_weighted_sample vs (1) a Python recount of the declared
+    derandomized A-ES rule — u from the first 8 md5 hex chars of the text,
+    key_micro = ROUND_HALF_UP(ln((h+1)/2^32)/n_tokens * 1e6), top SAMPLE_K
+    per source by (key_micro DESC, doc_id) — and (2) the EQUIVALENCE claim
+    the docstring makes: the selected set per source must be the top-K
+    under the exact (unrounded) ln(u)/w key too, except for docs whose
+    rounded key ties at the K boundary. Axes: duplicate texts (identical
+    u), single-token docs (extreme weights), zero-token docs (excluded),
+    sources with fewer than K eligible docs."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import SAMPLE_K
+
+    q = get_query("q_llm_weighted_sample").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(19000 + t)
+        hostile = t % 2 == 0
+        rows = []
+        texts = [" ".join(f"w{j}" for j in range(rng.randint(1, 30))) for _ in range(6)]
+        for i in range(rng.randint(4, 120)):
+            if hostile and rng.random() < 0.2:
+                text = rng.choice(texts)  # duplicate texts: identical u
+            elif hostile and rng.random() < 0.1:
+                text = ""  # zero tokens: excluded
+            elif hostile and rng.random() < 0.15:
+                text = "solo"  # single-token: extreme weight
+            else:
+                text = " ".join(f"x{rng.randint(0, 50)}" for _ in range(rng.randint(1, 40)))
+            rows.append((i, text, "en", rng.choice(["s1", "s2"] if hostile else ["s1", "s2", "s3"])))
+        d = _write_documents(rows)
+        got = {
+            (r.source, r.doc_id): (r.n_tokens, r.key_micro)
+            for r in q(spark, d).collect()
+        }
+
+        cand: dict = {}
+        exact: dict = {}
+        for doc_id, text, _l, src in rows:
+            ntok = len(_tokens(text))
+            if ntok <= 0:
+                continue
+            h = int(hashlib.md5((text or "").encode()).hexdigest()[:8], 16)
+            key = math.log((h + 1) / 4294967296.0) / ntok
+            km = int(
+                Decimal(key * 1000000).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+            )
+            cand.setdefault(src, []).append((km, doc_id, ntok))
+            exact.setdefault(src, []).append((key, doc_id))
+        want = {}
+        for src, lst in cand.items():
+            lst.sort(key=lambda r: (-r[0], r[1]))
+            for km, doc_id, ntok in lst[:SAMPLE_K]:
+                want[(src, doc_id)] = (ntok, km)
+        if got != want:
+            fails += 1
+            bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
+            print(f"  wsample trial {t}: MISMATCH {[(k, got.get(k), want.get(k)) for k in sorted(bad)][:4]}")
+            continue
+        # equivalence to the exact-key A-ES ranking, modulo boundary ties
+        for src, lst in exact.items():
+            lst.sort(key=lambda r: (-r[0], r[1]))
+            exact_top = {doc_id for _k, doc_id in lst[:SAMPLE_K]}
+            chosen = {doc_id for (s, doc_id) in want if s == src}
+            diff = exact_top ^ chosen
+            if diff:
+                kms = {doc_id: km for km, doc_id, _n in cand[src]}
+                boundary = sorted(cand[src], key=lambda r: (-r[0], r[1]))
+                if len(boundary) > SAMPLE_K:
+                    edge = boundary[SAMPLE_K - 1][0]
+                    if all(kms[d] == edge for d in diff):
+                        continue  # rounded-key tie at the K boundary: allowed
+                fails += 1
+                print(f"  wsample trial {t}: EXACT-KEY DIVERGENCE src={src} diff={sorted(diff)[:4]}")
+    return fails
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("fuzz13")
@@ -428,6 +650,18 @@ def main() -> None:
     if which in ("gapfill", "all"):
         f = fuzz_gapfill(spark)
         ran.append(("gapfill", 10, f))
+        total += f
+    if which in ("path", "all"):
+        f = fuzz_path(spark)
+        ran.append(("path", 10, f))
+        total += f
+    if which in ("ewma", "all"):
+        f = fuzz_ewma(spark)
+        ran.append(("ewma", 10, f))
+        total += f
+    if which in ("wsample", "all"):
+        f = fuzz_wsample(spark)
+        ran.append(("wsample", 8, f))
         total += f
     for name, trials, f in ran:
         print(f"{name}: {trials} trials, {f} failures")
