@@ -68,9 +68,13 @@ Targets:
                                  ROUND_HALF_UP fixed point) PLUS the
                                  docstring's equivalence-to-exact-keys
                                  claim, modulo rounded ties at the K edge.
+  bm25     q_text_bm25           vs a textbook Okapi recount in Python
+                                 (Lucene idf, k1=1.2/b=0.75, micro
+                                 rounding, top-20 tie-break) — the kernel
+                                 hybrid RRF's lexical leg ranks on.
 
 Run:  python docs/fuzz_round13.py
-      [pack|bpe|bpe_train|gapfill|path|ewma|wsample|all]
+      [pack|bpe|bpe_train|gapfill|path|ewma|wsample|bm25|all]
 
 Results land in SCALE.md's sweep ledger; canonical hostile shapes get
 promoted to committed regression tests.
@@ -630,6 +634,104 @@ def fuzz_wsample(spark, trials: int = 8) -> int:
     return fails
 
 
+# ---------------------------------------------------------------------------
+# bm25: q_text_bm25 vs a textbook Okapi recount (feeds hybrid RRF's lex leg)
+# ---------------------------------------------------------------------------
+
+
+def fuzz_bm25(spark, trials: int = 8) -> int:
+    """q_text_bm25 (one-pass conditional-count aggregation + df cascade +
+    TakeOrdered) vs a textbook per-doc Okapi BM25 recount in Python:
+    k1=1.2, b=0.75, Lucene idf ln(1+(N-df+0.5)/(df+0.5)), avgdl = corpus
+    tokens / ALL docs (empty docs count in N), micro = ROUND_HALF_UP of
+    the double product, per-doc sum over present query terms, top-20 by
+    (micro DESC, doc_id). Axes: punctuation-attached query terms (the
+    \\p{{P}} strip must fire before matching), repeated query terms (tf),
+    duplicate docs (micro ties at the top-20 boundary -> doc_id
+    tie-break), empty docs (count in N, absent from dl), docs with zero
+    query terms (no row)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hadoop_web_browsing_logs_spark.operators.text import (
+        BM25_QUERY_TERMS,
+        BM25_TOP_K,
+    )
+
+    q = get_query("q_text_bm25").fn
+    PUNCT = set(".,!?-;:'\"()")
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(20000 + t)
+        hostile = t % 2 == 0
+        filler = [f"f{j}" for j in range(8 if hostile else 60)]
+        rows = []
+        dup_pool = []
+        for i in range(rng.randint(5, 140)):
+            r = rng.random()
+            if hostile and r < 0.1:
+                text = ""  # counts in N, no tokens
+            elif hostile and r < 0.25 and dup_pool:
+                text = rng.choice(dup_pool)  # exact dup: micro tie
+            else:
+                words = []
+                for _ in range(rng.randint(1, 30)):
+                    if rng.random() < 0.3:
+                        w = rng.choice(BM25_QUERY_TERMS)
+                        if hostile and rng.random() < 0.4:
+                            w = w + rng.choice([".", ",", "!", "?"])  # punct-attached
+                    else:
+                        w = rng.choice(filler)
+                    words.append(w)
+                text = " ".join(words)
+                dup_pool.append(text)
+            rows.append((i, text, "en", "s"))
+        d = _write_documents(rows)
+        got = [(r.doc_id, r.n_terms, r.bm25) for r in q(spark, d).collect()]
+
+        def toks(text):
+            out = []
+            for w in text.lower().strip().split():
+                w = "".join(c for c in w if c not in PUNCT)
+                if w:
+                    out.append(w)
+            return out
+
+        tk = {i: toks(text) for i, text, _l, _s in rows}
+        N = float(len(rows))
+        tot = float(sum(len(v) for v in tk.values()))
+        df = {
+            term: sum(1 for v in tk.values() if term in v)
+            for term in BM25_QUERY_TERMS
+        }
+        scored = []
+        for i, v in tk.items():
+            dl = len(v)
+            micro = 0
+            n_terms = 0
+            for term in BM25_QUERY_TERMS:
+                tf = v.count(term)
+                if tf == 0:
+                    continue
+                n_terms += 1
+                x = (
+                    math.log(1 + (N - df[term] + 0.5) / (df[term] + 0.5))
+                    * (tf * 2.2)
+                    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (tot / N)))
+                    * 1000000
+                )
+                micro += int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+            if n_terms:
+                scored.append((i, n_terms, micro))
+        scored.sort(key=lambda r: (-r[2], r[0]))
+        want = [(i, n, m / 1000000) for i, n, m in scored[:BM25_TOP_K]]
+        if got != want:
+            fails += 1
+            diffs = [(a, b) for a, b in zip(got, want) if a != b]
+            print(f"  bm25 trial {t}: MISMATCH first={diffs[:3]} len(got)={len(got)} len(want)={len(want)}")
+    return fails
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("fuzz13")
@@ -662,6 +764,10 @@ def main() -> None:
     if which in ("wsample", "all"):
         f = fuzz_wsample(spark)
         ran.append(("wsample", 8, f))
+        total += f
+    if which in ("bm25", "all"):
+        f = fuzz_bm25(spark)
+        ran.append(("bm25", 8, f))
         total += f
     for name, trials, f in ran:
         print(f"{name}: {trials} trials, {f} failures")
