@@ -72,9 +72,21 @@ Targets:
                                  (Lucene idf, k1=1.2/b=0.75, micro
                                  rounding, top-20 tie-break) — the kernel
                                  hybrid RRF's lexical leg ranks on.
+  leakage  q_llm_split_leakage_  vs exact Jaccard + UNION-FIND + md5
+           safe                  buckets, centered on long near-dup
+                                 CHAINS (diameter 40-80 — the r12 bug
+                                 class) plus incidental-pair and
+                                 singleton axes.
+  hh       q_agg_heavy_hitters   vs an exact Python count of the declared
+                                 output (cnt*80 > N, strict) — any MG
+                                 merge/trim bug that drops a true heavy
+                                 hitter breaks sketch-independence here.
+                                 Axes: 200-600 distinct keys vs the
+                                 80-counter budget, boundary counts,
+                                 negative floors, NaN/Inf/null exclusion.
 
 Run:  python docs/fuzz_round13.py
-      [pack|bpe|bpe_train|gapfill|path|ewma|wsample|bm25|all]
+      [pack|bpe|bpe_train|gapfill|path|ewma|wsample|bm25|leakage|hh|all]
 
 Results land in SCALE.md's sweep ledger; canonical hostile shapes get
 promoted to committed regression tests.
@@ -732,6 +744,184 @@ def fuzz_bm25(spark, trials: int = 8) -> int:
     return fails
 
 
+# ---------------------------------------------------------------------------
+# leakage: q_llm_split_leakage_safe vs union-find + md5 buckets, on CHAINS
+# ---------------------------------------------------------------------------
+
+
+def fuzz_leakage(spark, trials: int = 8) -> int:
+    """q_llm_split_leakage_safe (Jaccard pairs -> connected_components ->
+    group-keyed md5 split) vs an independent Python pipeline: exact Jaccard
+    over the strided universe, UNION-FIND components (not pointer-jumping),
+    min-member group ids, md5-prefix buckets. The centerpiece axis is LONG
+    NEAR-DUP CHAINS — sliding 20-token windows where consecutive docs hit
+    Jaccard 19/21 ~ 0.905 but doc i vs i+2 falls to 0.818 < 0.9 — building
+    components of diameter 40-80: exactly the class whose one-hop
+    propagation bug survived 9 rounds until the round-12 union-find fuzz.
+    Other axes: tiny-vocab incidental pairs, empty/whitespace docs
+    (excluded from pairing, singleton groups), non-strided doc ids
+    (singletons by construction)."""
+    import hashlib
+
+    from hadoop_web_browsing_logs_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        PAIR_STRIDE,
+    )
+
+    q = get_query("q_llm_split_leakage_safe").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(21000 + t)
+        hostile = t % 2 == 0
+        rows = []
+        next_id = 0
+
+        def take_id(strided: bool):
+            nonlocal next_id
+            next_id += PAIR_STRIDE if strided else 1
+            if strided and next_id % PAIR_STRIDE != 0:
+                next_id += PAIR_STRIDE - (next_id % PAIR_STRIDE)
+            return next_id
+
+        # the chain: diameter >> 25
+        chain_len = rng.randint(40, 80) if hostile else rng.randint(3, 10)
+        base = [f"c{t}w{j}" for j in range(chain_len + 19)]
+        for k in range(chain_len):
+            rows.append((take_id(True), " ".join(base[k : k + 20]), "en", "s"))
+        # random tail: tiny vocab for incidental pairs + empties + unsampled
+        vocab = [f"v{j}" for j in range(4)]
+        for _ in range(rng.randint(0, 40)):
+            strided = rng.random() < 0.5
+            txt = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+            if hostile and rng.random() < 0.1:
+                txt = "  "
+            rows.append((take_id(strided), txt, "en", "s"))
+        d = _write_documents(rows)
+        got = {(r.split): (r.n_docs, r.n_groups) for r in q(spark, d).collect()}
+
+        # brute force: exact pairs over the strided universe -> union-find
+        toks = {
+            i: set(_tokens(txt))
+            for i, txt, _l, _s in rows
+            if i % PAIR_STRIDE == 0 and _tokens(txt)
+        }
+        parent = {i: i for i in toks}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ids = sorted(toks)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                inter = len(toks[a] & toks[b])
+                if inter / (len(toks[a]) + len(toks[b]) - inter) >= JACCARD_THRESHOLD:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        # min-member component id per node (only nodes that appear in a pair
+        # get a component row in the engine; others fall back to doc_id —
+        # min-member == own id for singletons either way)
+        comp = {}
+        for i in toks:
+            r = find(i)
+            comp.setdefault(r, []).append(i)
+        gid_of = {}
+        for r, members in comp.items():
+            g = min(members)
+            for m in members:
+                gid_of[m] = g
+        want: dict = {}
+        for i, _txt, _l, _s in rows:
+            gid = gid_of.get(i, i)
+            b = int(hashlib.md5(str(gid).encode()).hexdigest()[:4], 16) % 10
+            split = "train" if b < 8 else ("val" if b == 8 else "test")
+            nd, groups = want.get(split, (0, set()))
+            groups.add(gid)
+            want[split] = (nd + 1, groups)
+        want = {s: (nd, len(g)) for s, (nd, g) in want.items()}
+        if got != want:
+            fails += 1
+            print(f"  leakage trial {t}: MISMATCH chain={chain_len}\n    engine={got}\n    brute={want}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# hh: q_agg_heavy_hitters vs an exact Python count (sketch-independence)
+# ---------------------------------------------------------------------------
+
+
+def fuzz_hh(spark, trials: int = 8) -> int:
+    """q_agg_heavy_hitters (per-partition Misra-Gries partials -> mergeable
+    reduction -> candidate trim -> exact verify) vs a plain Python exact
+    count of the DECLARED output: every floor(value) key with
+    cnt * 80 > N, (cnt DESC, bucket) ordered. The output must be
+    sketch-independent — any MG merge/trim bug that drops a true heavy
+    hitter breaks the superset guarantee and shows here. Axes: >80x the
+    counter budget in distinct keys, keys exactly AT the N/80 boundary
+    (strict >), near-boundary ±1 counts, negative values (floor toward
+    -inf), NaN/±Inf/null excluded, single dominant key."""
+    import math
+
+    from hadoop_web_browsing_logs_spark.operators.skew import HH_K
+
+    q = get_query("q_agg_heavy_hitters").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(22000 + t)
+        hostile = t % 2 == 0
+        rows = []
+        i = 0
+
+        def add(v, times=1):
+            nonlocal i
+            for _ in range(times):
+                rows.append((i, BASE, rng.randint(1, 9), "view", v))
+                i += 1
+
+        if hostile:
+            # many distinct keys (>> the 80-counter budget) + boundary keys
+            for k in range(rng.randint(200, 600)):
+                add(float(k) + rng.random(), 1)
+            n_so_far = len(rows)
+            # plant keys hovering at the threshold: after planting, total N
+            # changes, so plant counts around (N_final / 80)
+            for k in range(5):
+                add(-100.0 - k + 0.5, rng.randint(8, 14))
+            add(1000.25, max(1, len(rows) // 40))  # a clear heavy hitter
+            if rng.random() < 0.5:
+                add(float("nan"), 3)
+                add(float("inf"), 2)
+                rows.append((i, BASE, 1, "view", None)); i += 1
+        else:
+            for _ in range(rng.randint(20, 200)):
+                add(rng.gauss(0, 30), 1)
+            add(7.5, rng.randint(5, 30))
+        d = _write_events(rows)
+        got = [(r.bucket, r.cnt, r.n_total) for r in q(spark, d).collect()]
+
+        keys = [
+            math.floor(v)
+            for _e, _ts, _u, _et, v in rows
+            if v is not None and math.isfinite(v)
+        ]
+        n = len(keys)
+        cnt: dict = {}
+        for k in keys:
+            cnt[k] = cnt.get(k, 0) + 1
+        want = sorted(
+            ((k, c, n) for k, c in cnt.items() if c * HH_K > n),
+            key=lambda r: (-r[1], r[0]),
+        )
+        if got != want:
+            fails += 1
+            print(f"  hh trial {t}: MISMATCH\n    engine={got[:6]}\n    brute={want[:6]}")
+    return fails
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("fuzz13")
@@ -768,6 +958,14 @@ def main() -> None:
     if which in ("bm25", "all"):
         f = fuzz_bm25(spark)
         ran.append(("bm25", 8, f))
+        total += f
+    if which in ("leakage", "all"):
+        f = fuzz_leakage(spark)
+        ran.append(("leakage", 8, f))
+        total += f
+    if which in ("hh", "all"):
+        f = fuzz_hh(spark)
+        ran.append(("hh", 8, f))
         total += f
     for name, trials, f in ran:
         print(f"{name}: {trials} trials, {f} failures")

@@ -334,6 +334,63 @@ def test_pack_sequences_boundary_and_empty_docs(spark, tmp_path):
     }
 
 
+def test_leakage_safe_split_on_long_near_dup_chain(spark, tmp_path):
+    """Round-13 fuzz promotion (docs/fuzz_round13.py leakage family, 8
+    trials 0 failures): a 60-doc near-dup CHAIN — sliding 20-token windows
+    where consecutive docs hit Jaccard 19/21 ~ 0.905 but i vs i+2 falls to
+    0.818 < 0.9 — must split as ONE atomic group. Component diameter 59 is
+    the exact class connected_components' pre-round-12 one-hop propagation
+    fragmented (it returned 36 components for a 61-chain at max_iter=25);
+    a fragmented chain here puts near-dup docs in DIFFERENT splits —
+    train/eval leakage, the failure this operator exists to prevent."""
+    import hashlib
+
+    import duckdb
+
+    from hadoop_web_browsing_logs_spark.operators.dedup import PAIR_STRIDE
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    chain_len = 60
+    base = [f"w{j}" for j in range(chain_len + 19)]
+    rows = [
+        (PAIR_STRIDE * (k + 1), " ".join(base[k : k + 20]), "en", "s")
+        for k in range(chain_len)
+    ]
+    rows.append((7, "lone unsampled doc", "en", "s"))  # singleton, unstrided
+    d = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", [r + (len(r[1]),) for r in rows])
+    con.execute(f"COPY t TO '{d}/documents.parquet' (FORMAT PARQUET)")
+
+    got = {
+        r.split: (r.n_docs, r.n_groups)
+        for r in get_query("q_llm_split_leakage_safe").fn(spark, d).collect()
+    }
+
+    def bucket(gid: int) -> str:
+        b = int(hashlib.md5(str(gid).encode()).hexdigest()[:4], 16) % 10
+        return "train" if b < 8 else ("val" if b == 8 else "test")
+
+    # the whole chain is one group keyed on its min doc_id; the lone doc
+    # keys on itself
+    chain_split, lone_split = bucket(PAIR_STRIDE), bucket(7)
+    want: dict = {}
+    for split, docs, groups in ((chain_split, chain_len, 1), (lone_split, 1, 1)):
+        nd, ng = want.get(split, (0, 0))
+        want[split] = (nd + docs, ng + groups)
+    assert got == want
+    # the chain landed WHOLE in a single split: no split holds a strict
+    # subset of its docs
+    assert all(
+        nd == chain_len + 1 if s == chain_split == lone_split else True
+        for s, (nd, _g) in got.items()
+    )
+
+
 def test_bpe_merges_first_row_is_the_oracled_first_merge(spark):
     """The rows-only iterative loop is gated by its oracled twin: the loop's
     rank-1 merge must equal q_llm_bpe_first_merge's rank-1 candidate (same
