@@ -84,9 +84,19 @@ Targets:
                                  Axes: 200-600 distinct keys vs the
                                  80-counter budget, boundary counts,
                                  negative floors, NaN/Inf/null exclusion.
+  diff     q_snapshot_diff       vs a Python dict diff of the declared
+                                 snapshot derivation (null-text md5('')
+                                 rule, multi-rule id collisions).
+  chunk    q_llm_chunk           vs a Python sliding-window recount
+                                 (20/15 windows; one-vs-two-chunk and
+                                 exact-fit length boundaries).
+  rollup   q_events_rollup_      vs a Python three-grain recount (hour/
+           multires              day truncation, epoch//604800 weeks,
+                                 dsum cents; null-ts rows label 'week'
+                                 in every set -> multiset compare).
 
 Run:  python docs/fuzz_round13.py
-      [pack|bpe|bpe_train|gapfill|path|ewma|wsample|bm25|leakage|hh|all]
+      [pack|bpe|bpe_train|gapfill|path|ewma|wsample|bm25|leakage|hh|diff|chunk|rollup|all]
 
 Results land in SCALE.md's sweep ledger; canonical hostile shapes get
 promoted to committed regression tests.
@@ -922,6 +932,204 @@ def fuzz_hh(spark, trials: int = 8) -> int:
     return fails
 
 
+# ---------------------------------------------------------------------------
+# diff: q_snapshot_diff vs a Python dict diff of the declared derivation
+# ---------------------------------------------------------------------------
+
+
+def fuzz_diff(spark, trials: int = 8) -> int:
+    """q_snapshot_diff (fingerprint full-outer join over the two derived
+    snapshots) vs a Python dict diff implementing the DECLARED derivation:
+    old = docs minus doc_id%7==2 with text rewritten to 'OLD::'||text on
+    doc_id%13==5, new = docs minus doc_id%11==3, status by md5(COALESCE
+    (text,'')) equality. Axes: null text (hashes as ''), null text ON the
+    %13 rewrite ids ('OLD::' vs '' -> changed), ids hitting several rules
+    at once (LCM neighborhoods), ids in only one snapshot."""
+    import hashlib
+
+    q = get_query("q_snapshot_diff").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(23000 + t)
+        hostile = t % 2 == 0
+        ids = rng.sample(range(0, 4000), rng.randint(5, 150))
+        if hostile:
+            # force multi-rule collisions: %7==2, %11==3, %13==5 overlaps
+            ids = sorted(set(ids) | {2, 3, 5, 16, 25, 44, 58, 93, 135, 1001, 2002})
+        rows = []
+        for i in ids:
+            r = rng.random()
+            text = None if (hostile and r < 0.15) else " ".join(
+                f"s{rng.randint(0, 30)}" for _ in range(rng.randint(0, 10))
+            )
+            rows.append((i, text, "en", "s"))
+        d = _write_documents(rows)
+        got = sorted((r.doc_id, r.status) for r in q(spark, d).collect())
+
+        def fp(x):
+            return hashlib.md5((x or "").encode()).hexdigest()
+
+        old = {
+            i: fp(("OLD::" + (txt or "")) if i % 13 == 5 else txt)
+            for i, txt, _l, _s in rows
+            if i % 7 != 2
+        }
+        new = {i: fp(txt) for i, txt, _l, _s in rows if i % 11 != 3}
+        want = []
+        for i in set(old) | set(new):
+            if i not in old:
+                st = "added"
+            elif i not in new:
+                st = "removed"
+            elif old[i] == new[i]:
+                st = "unchanged"
+            else:
+                st = "changed"
+            want.append((i, st))
+        want.sort()
+        if got != want:
+            fails += 1
+            diff = [(a, b) for a, b in zip(got, want) if a != b]
+            print(f"  diff trial {t}: MISMATCH first={diff[:4]}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# chunk: q_llm_chunk vs a Python sliding-window recount
+# ---------------------------------------------------------------------------
+
+
+def fuzz_chunk(spark, trials: int = 8) -> int:
+    """q_llm_chunk (computed chunk counts + sequence explode + array slice)
+    vs a Python sliding-window recount of the declared rule: 20-token
+    windows at stride 15, n_chunks = max(ceil((len-20)/15)+1, 1), last
+    window ragged. Axes: lengths exactly AT 20/21/35/36 (the
+    one-vs-two-chunk and exact-fit boundaries), single-token docs,
+    empty/whitespace docs (excluded), non-strided ids (excluded)."""
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    q = get_query("q_llm_chunk").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(24000 + t)
+        hostile = t % 2 == 0
+        rows = []
+        for i in range(rng.randint(3, 80)):
+            doc_id = i * 10 if rng.random() < 0.8 else i * 10 + rng.randint(1, 9)
+            if hostile and rng.random() < 0.15:
+                nlen = rng.choice([CHUNK_TOKENS - 1, CHUNK_TOKENS, CHUNK_TOKENS + 1,
+                                   CHUNK_TOKENS + CHUNK_STRIDE,
+                                   CHUNK_TOKENS + CHUNK_STRIDE + 1, 1])
+            elif hostile and rng.random() < 0.1:
+                nlen = 0
+            else:
+                nlen = rng.randint(0, 90)
+            text = " ".join(f"k{j}" for j in range(nlen)) if nlen else rng.choice(["", "  "])
+            rows.append((doc_id, text, "en", "s"))
+        d = _write_documents(rows)
+        got = sorted(
+            (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+            for r in q(spark, d).collect()
+        )
+
+        import math
+
+        want = []
+        for doc_id, text, _l, _s in rows:
+            if doc_id % 10 != 0:
+                continue
+            toks = _tokens(text)
+            n = len(toks)
+            if n == 0:
+                continue
+            n_chunks = max(math.ceil((n - CHUNK_TOKENS) / CHUNK_STRIDE) + 1, 1)
+            for idx in range(n_chunks):
+                w = toks[idx * CHUNK_STRIDE : idx * CHUNK_STRIDE + CHUNK_TOKENS]
+                want.append((doc_id, idx, " ".join(w), min(CHUNK_TOKENS, n - idx * CHUNK_STRIDE)))
+        want.sort()
+        if got != want:
+            fails += 1
+            diff = [(a, b) for a, b in zip(got, want) if a != b]
+            print(f"  chunk trial {t}: MISMATCH first={diff[:3]} lens {len(got)}/{len(want)}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# rollup: q_events_rollup_multires vs a Python three-grain recount
+# ---------------------------------------------------------------------------
+
+
+def fuzz_rollup(spark, trials: int = 8) -> int:
+    """q_events_rollup_multires (one grouping-sets pass) vs a Python
+    recount building the three grains independently (hour truncation, day
+    truncation, epoch//604800 week index) with dsum integer cents. The
+    grain column derives from which bucket is non-null — so a NULL-ts row
+    labels 'week' in EVERY set and the hour/day sets' null-bucket rows
+    COLLIDE with the week set's on visible columns (separate rows, same
+    values: multiset compare). Axes: null ts, week boundaries (epoch
+    604800 multiples), events exactly at midnight, negative values, null
+    values (counted, not summed)."""
+    q = get_query("q_events_rollup_multires").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(25000 + t)
+        hostile = t % 2 == 0
+        rows = []
+        for i in range(rng.randint(3, 150)):
+            if hostile:
+                # land near week boundaries: BASE is 2024-01-01 (a Monday);
+                # epoch-week boundaries fall Thursdays — exercise both
+                days = rng.choice([0, 3, 4, 6, 7, 10, 11])
+                ts = BASE + timedelta(days=days, hours=rng.choice([0, 23]), minutes=rng.choice([0, 59]))
+            else:
+                ts = BASE + timedelta(minutes=rng.randint(0, 60 * 24 * 20))
+            if hostile and rng.random() < 0.07:
+                ts = None
+            val = round(rng.uniform(-30, 30), 2)
+            if hostile and rng.random() < 0.08:
+                val = None
+            rows.append((i, ts, rng.randint(1, 5), rng.choice(["a", "b"]), val))
+        d = _write_events(rows)
+        from collections import Counter
+
+        got = Counter(
+            (r.event_type, r.grain, r.hour_bucket, r.day_bucket, r.week_idx,
+             r.n_events, r.sum_value)
+            for r in q(spark, d).collect()
+        )
+
+        def grain_row(et, hour, day, week, group):
+            g = "hour" if hour is not None else ("day" if day is not None else "week")
+            cnt = len(group)
+            micros = [int(round(v * 100)) for _ts, v in group if v is not None]
+            s = sum(micros) / 100 if micros else None
+            return (et, g, hour, day, week, cnt, s)
+
+        buckets: dict = {}
+        for _i, ts, _u, et, v in rows:
+            hour = ts.replace(minute=0, second=0, microsecond=0) if ts else None
+            day = ts.replace(hour=0, minute=0, second=0, microsecond=0) if ts else None
+            week = int((ts - datetime(1970, 1, 1)).total_seconds() // 604800) if ts else None
+            buckets.setdefault(("hour", et, hour), []).append((ts, v))
+            buckets.setdefault(("day", et, day), []).append((ts, v))
+            buckets.setdefault(("week", et, week), []).append((ts, v))
+        want: Counter = Counter()
+        for (setname, et, key), group in buckets.items():
+            hour = key if setname == "hour" else None
+            day = key if setname == "day" else None
+            week = key if setname == "week" else None
+            want[grain_row(et, hour, day, week, group)] += 1
+        if got != want:
+            fails += 1
+            only_e = list((got - want).items())[:3]
+            only_b = list((want - got).items())[:3]
+            print(f"  rollup trial {t}: MISMATCH\n    only-engine={only_e}\n    only-brute={only_b}")
+    return fails
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("fuzz13")
@@ -966,6 +1174,18 @@ def main() -> None:
     if which in ("hh", "all"):
         f = fuzz_hh(spark)
         ran.append(("hh", 8, f))
+        total += f
+    if which in ("diff", "all"):
+        f = fuzz_diff(spark)
+        ran.append(("diff", 8, f))
+        total += f
+    if which in ("chunk", "all"):
+        f = fuzz_chunk(spark)
+        ran.append(("chunk", 8, f))
+        total += f
+    if which in ("rollup", "all"):
+        f = fuzz_rollup(spark)
+        ran.append(("rollup", 8, f))
         total += f
     for name, trials, f in ran:
         print(f"{name}: {trials} trials, {f} failures")
