@@ -94,9 +94,21 @@ Targets:
            multires              day truncation, epoch//604800 weeks,
                                  dsum cents; null-ts rows label 'week'
                                  in every set -> multiset compare).
+  canonical q_dedup_keep_        vs union-find + longest-doc argmax —
+           canonical             the components kernel's THIRD consumer
+                                 on the chain axis; equal-length
+                                 tie-breaks, longest != min-id clusters.
+  substring q_dedup_substring    vs a Python rolling-window recount
+                                 (intra-doc repeats must NOT flag,
+                                 exact-10-token docs, planted cross-doc
+                                 passages at different offsets).
+  tfidf    q_text_tfidf          vs a textbook recount (df==N -> idf 0,
+                                 unrounded ranking vs rounded output,
+                                 top-5 term tie-breaks).
 
 Run:  python docs/fuzz_round13.py
-      [pack|bpe|bpe_train|gapfill|path|ewma|wsample|bm25|leakage|hh|diff|chunk|rollup|all]
+      [pack|bpe|bpe_train|gapfill|path|ewma|wsample|bm25|leakage|hh|
+       diff|chunk|rollup|canonical|substring|tfidf|all]
 
 Results land in SCALE.md's sweep ledger; canonical hostile shapes get
 promoted to committed regression tests.
@@ -1130,6 +1142,229 @@ def fuzz_rollup(spark, trials: int = 8) -> int:
     return fails
 
 
+# ---------------------------------------------------------------------------
+# canonical: q_dedup_keep_canonical vs union-find + longest-survivor recount
+# ---------------------------------------------------------------------------
+
+
+def fuzz_canonical(spark, trials: int = 8) -> int:
+    """q_dedup_keep_canonical (Jaccard pairs -> connected_components ->
+    longest-doc argmax per cluster) vs an independent union-find + Python
+    argmax. Third consumer of the components kernel fuzzed on the CHAIN
+    axis (diameter 30-60), plus: equal-LENGTH texts inside one cluster
+    (the (length, -doc_id) struct tie-break must pick the smallest id),
+    clusters where the longest member is NOT the smallest id, and
+    tiny-vocab incidental clusters."""
+    from hadoop_web_browsing_logs_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        PAIR_STRIDE,
+    )
+
+    q = get_query("q_dedup_keep_canonical").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(26000 + t)
+        hostile = t % 2 == 0
+        rows = []
+        nid = 0
+
+        def sid():
+            nonlocal nid
+            nid += PAIR_STRIDE
+            return nid
+
+        chain_len = rng.randint(30, 60) if hostile else rng.randint(2, 8)
+        # pad token names so some chain members share the same CHAR length
+        base = [f"c{j:03d}" for j in range(chain_len + 19)]
+        for k in range(chain_len):
+            rows.append((sid(), " ".join(base[k : k + 20]), "en", "s"))
+        vocab = [f"v{j}" for j in range(3)]
+        for _ in range(rng.randint(0, 30)):
+            rows.append((sid(), " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10))), "en", "s"))
+        d = _write_documents(rows)
+        got = {
+            r.component: (r.keeper_doc, r.keeper_len, r.n_members, r.n_dropped, r.dropped)
+            for r in q(spark, d).collect()
+        }
+
+        text_of = {i: txt for i, txt, _l, _s in rows}
+        toks = {
+            i: set(_tokens(txt))
+            for i, txt, _l, _s in rows
+            if i % PAIR_STRIDE == 0 and _tokens(txt)
+        }
+        parent = {i: i for i in toks}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ids = sorted(toks)
+        edges = set()
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                inter = len(toks[a] & toks[b])
+                if inter / (len(toks[a]) + len(toks[b]) - inter) >= JACCARD_THRESHOLD:
+                    edges.add((a, b))
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        # only nodes that appear in at least one pair carry a component row
+        in_pair = {x for e in edges for x in e}
+        comp: dict = {}
+        for i in in_pair:
+            comp.setdefault(find(i), []).append(i)
+        want = {}
+        for root, members in comp.items():
+            members.sort()
+            gid = min(members)
+            keeper = max(members, key=lambda m: (len(text_of[m]), -m))
+            dropped = " ".join(str(m) for m in members if m != keeper)
+            want[gid] = (keeper, len(text_of[keeper]), len(members), len(members) - 1, dropped)
+        if got != want:
+            fails += 1
+            bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
+            print(f"  canonical trial {t}: MISMATCH {[(k, got.get(k), want.get(k)) for k in sorted(bad)][:3]}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# substring: q_dedup_substring vs a Python rolling-window recount
+# ---------------------------------------------------------------------------
+
+
+def fuzz_substring(spark, trials: int = 8) -> int:
+    """q_dedup_substring (rolling 10-token MD5 windows, cross-doc flags)
+    vs a Python rolling-window recount. Axes: a window repeated INSIDE one
+    doc (n_occ > n_docs; single-doc repeats must NOT flag), docs exactly
+    10 tokens long (one window), 9-token docs (no window), a shared
+    passage planted across 3+ docs at different offsets, tiny vocab."""
+    import hashlib
+
+    from hadoop_web_browsing_logs_spark.operators.dedup import SUBSTR_WINDOW
+
+    q = get_query("q_dedup_substring").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(27000 + t)
+        hostile = t % 2 == 0
+        passage = [f"p{j}" for j in range(SUBSTR_WINDOW + rng.randint(0, 5))]
+        rows = []
+        for i in range(rng.randint(3, 60)):
+            r = rng.random()
+            if hostile and r < 0.2:
+                # the planted cross-doc passage at a random offset
+                pre = [f"u{i}x{j}" for j in range(rng.randint(0, 6))]
+                post = [f"u{i}y{j}" for j in range(rng.randint(0, 6))]
+                words = pre + passage + post
+            elif hostile and r < 0.35:
+                # intra-doc repeat: same window twice in ONE doc
+                rep = [f"r{i}z{j}" for j in range(SUBSTR_WINDOW)]
+                words = rep + [f"m{i}"] + rep
+            elif hostile and r < 0.45:
+                words = [f"e{i}w{j}" for j in range(rng.choice([SUBSTR_WINDOW - 1, SUBSTR_WINDOW]))]
+            else:
+                words = [rng.choice([f"g{j}" for j in range(8)]) for _ in range(rng.randint(0, 30))]
+            rows.append((i, " ".join(words), "en", "s"))
+        d = _write_documents(rows)
+        got = sorted(
+            (r.win_hash, r.n_occ, r.n_docs, r.keeper_doc) for r in q(spark, d).collect()
+        )
+
+        occ: dict = {}
+        for i, txt, _l, _s in rows:
+            tk = _tokens(txt)
+            for j in range(len(tk) - SUBSTR_WINDOW + 1):
+                h = hashlib.md5(" ".join(tk[j : j + SUBSTR_WINDOW]).encode()).hexdigest()
+                n_occ, docs = occ.get(h, (0, set()))
+                docs.add(i)
+                occ[h] = (n_occ + 1, docs)
+        want = sorted(
+            (h, n, len(ds), min(ds)) for h, (n, ds) in occ.items() if len(ds) > 1
+        )
+        if got != want:
+            fails += 1
+            print(f"  substring trial {t}: MISMATCH lens {len(got)}/{len(want)}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# tfidf: q_text_tfidf vs a textbook recount
+# ---------------------------------------------------------------------------
+
+
+def fuzz_tfidf(spark, trials: int = 8) -> int:
+    """q_text_tfidf (map-side tf, df CASCADE re-aggregating tf, broadcast
+    N, per-doc top-5) vs a textbook Python recount: tf * ln(N/df) ranked
+    UNROUNDED then emitted ROUND(.,6). Axes: df == N terms (idf exactly 0
+    -> tfidf 0 rows still rank by term), punctuation-attached tokens,
+    single-term docs, empty docs counting in N, tfidf ties at the top-5
+    boundary (term tie-break)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = get_query("q_text_tfidf").fn
+    PUNCT = set(".,!?-;:'\"()")
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(28000 + t)
+        hostile = t % 2 == 0
+        common = ["every", "doc", "has", "these"]  # df == N candidates
+        filler = [f"f{j}" for j in range(6 if hostile else 40)]
+        rows = []
+        for i in range(rng.randint(3, 120)):
+            words = list(common) if hostile else []
+            for _ in range(rng.randint(0, 25)):
+                w = rng.choice(filler)
+                if hostile and rng.random() < 0.2:
+                    w += rng.choice([".", ",", "!"])
+                words.append(w)
+            if hostile and rng.random() < 0.08:
+                words = []
+            rows.append((i, " ".join(words), "en", "s"))
+        d = _write_documents(rows)
+        got = sorted(
+            (r.doc_id, r.term, r.tf, r.df, r.tfidf, r.rnk) for r in q(spark, d).collect()
+        )
+
+        def toks(text):
+            out = []
+            for w in text.lower().strip().split():
+                w = "".join(c for c in w if c not in PUNCT)
+                if w:
+                    out.append(w)
+            return out
+
+        tk = {i: toks(txt) for i, txt, _l, _s in rows}
+        N = len(rows)
+        df: dict = {}
+        for v in tk.values():
+            for term in set(v):
+                df[term] = df.get(term, 0) + 1
+        want = []
+        for i, v in tk.items():
+            if i % 20 != 0 or not v:
+                continue
+            scored = []
+            for term in set(v):
+                tf = v.count(term)
+                x = tf * math.log(N / df[term])
+                scored.append((term, tf, df[term], x))
+            scored.sort(key=lambda r: (-r[3], r[0]))
+            for rnk, (term, tf, dfv, x) in enumerate(scored[:5], 1):
+                r6 = float(Decimal(x * 1000000).quantize(Decimal(1), rounding=ROUND_HALF_UP)) / 1000000
+                want.append((i, term, tf, dfv, r6, rnk))
+        want.sort()
+        if got != want:
+            fails += 1
+            diffs = [(a, b) for a, b in zip(got, want) if a != b]
+            print(f"  tfidf trial {t}: MISMATCH first={diffs[:3]} lens {len(got)}/{len(want)}")
+    return fails
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("fuzz13")
@@ -1186,6 +1421,18 @@ def main() -> None:
     if which in ("rollup", "all"):
         f = fuzz_rollup(spark)
         ran.append(("rollup", 8, f))
+        total += f
+    if which in ("canonical", "all"):
+        f = fuzz_canonical(spark)
+        ran.append(("canonical", 8, f))
+        total += f
+    if which in ("substring", "all"):
+        f = fuzz_substring(spark)
+        ran.append(("substring", 8, f))
+        total += f
+    if which in ("tfidf", "all"):
+        f = fuzz_tfidf(spark)
+        ran.append(("tfidf", 8, f))
         total += f
     for name, trials, f in ran:
         print(f"{name}: {trials} trials, {f} failures")
