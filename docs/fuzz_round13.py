@@ -105,10 +105,20 @@ Targets:
   tfidf    q_text_tfidf          vs a textbook recount (df==N -> idf 0,
                                  unrounded ranking vs rounded output,
                                  top-5 term tie-breaks).
+  budget   q_llm_token_budget    vs a Python per-source running fold
+                                 (exact-2000 boundary, zero-token docs
+                                 after the cut, NULL-skipping cumsum).
+  tempmix  q_llm_temperature_mix vs a Python n^0.5 recount (micro-grid
+                                 denominator, ppm rounding, single/zero/
+                                 equal-token and all-null sources).
+  int8     q_vec_quantize_int8   vs a numpy/struct float32-faithful
+                                 recount (1e-30 scale floor, exact-half
+                                 codes, arbitrary dims, NaN/Inf/NULL
+                                 exclusion).
 
 Run:  python docs/fuzz_round13.py
       [pack|bpe|bpe_train|gapfill|path|ewma|wsample|bm25|leakage|hh|
-       diff|chunk|rollup|canonical|substring|tfidf|all]
+       diff|chunk|rollup|canonical|substring|tfidf|budget|tempmix|int8|all]
 
 Results land in SCALE.md's sweep ledger; canonical hostile shapes get
 promoted to committed regression tests.
@@ -1365,6 +1375,221 @@ def fuzz_tfidf(spark, trials: int = 8) -> int:
     return fails
 
 
+# ---------------------------------------------------------------------------
+# budget: q_llm_token_budget vs a Python per-source running fold
+# ---------------------------------------------------------------------------
+
+
+def fuzz_budget(spark, trials: int = 8) -> int:
+    """q_llm_token_budget (per-source window cumsum, keep while <= 2000)
+    vs a Python running fold. Axes: a doc landing the cumsum EXACTLY at
+    2000 (kept), a first doc alone over budget (docs_in_budget=0,
+    tokens_used NULL), zero-token docs AFTER the boundary (cum unchanged
+    and still <= 2000 -> still counted), null-text docs (SUM skips NULL:
+    the row inherits the running cum; an all-NULL prefix has cum NULL and
+    is NOT counted), doc_id order vs insert order."""
+    q = get_query("q_llm_token_budget").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(29000 + t)
+        hostile = t % 2 == 0
+        rows = []
+        ids = rng.sample(range(1000), rng.randint(3, 100))
+        for i in ids:
+            src = rng.choice(["s1", "s2", "s3"])
+            r = rng.random()
+            if hostile and r < 0.1:
+                text = None
+            elif hostile and r < 0.25:
+                text = ""  # zero tokens
+            elif hostile and r < 0.35:
+                text = " ".join(f"b{j}" for j in range(rng.choice([1990, 2000, 2001, 2500])))
+            else:
+                text = " ".join(f"t{j}" for j in range(rng.randint(1, 600)))
+            rows.append((i, text, "en", src))
+        rng.shuffle(rows)
+        d = _write_documents(rows)
+        got = {
+            r.source: (r.docs_in_budget, r.tokens_used)
+            for r in q(spark, d).collect()
+        }
+
+        bysrc: dict = {}
+        for i, text, _l, src in sorted(rows):
+            bysrc.setdefault(src, []).append((i, None if text is None else len(_tokens(text))))
+        want = {}
+        for src, docs in bysrc.items():
+            total, seen, n_in, used = 0, False, 0, None
+            for _i, ntok in docs:
+                if ntok is not None:
+                    total += ntok
+                    seen = True
+                cum = total if seen else None
+                if cum is not None and cum <= 2000:
+                    n_in += 1
+                    used = cum if used is None else max(used, cum)
+            want[src] = (n_in, used)
+        if got != want:
+            fails += 1
+            bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
+            print(f"  budget trial {t}: MISMATCH {[(k, got.get(k), want.get(k)) for k in sorted(bad)][:3]}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# tempmix: q_llm_temperature_mix vs a Python n^0.5 weight recount
+# ---------------------------------------------------------------------------
+
+
+def fuzz_tempmix(spark, trials: int = 8) -> int:
+    """q_llm_temperature_mix (n_tokens^0.5 weights, micro-quantized
+    denominator, double + ppm emission) vs a Python recount with the same
+    IEEE pow/divide order and Decimal ROUND_HALF_UP. Axes: a single
+    source (weight exactly 1.0), zero-token sources (w_raw = 0), equal
+    token totals (equal weights summing through the micro grid),
+    an all-null-text source (n_tokens NULL -> NULL weight row)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = get_query("q_llm_temperature_mix").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(30000 + t)
+        hostile = t % 2 == 0
+        n_sources = 1 if (hostile and rng.random() < 0.2) else rng.randint(2, 6)
+        rows = []
+        i = 0
+        for s in range(n_sources):
+            src = f"s{s}"
+            kind = rng.random()
+            for _ in range(rng.randint(1, 12)):
+                if hostile and kind < 0.15:
+                    text = None  # all-null source -> NULL n_tokens
+                elif hostile and kind < 0.3:
+                    text = ""  # zero tokens
+                elif hostile and kind < 0.55:
+                    text = " ".join(f"e{j}" for j in range(10))  # equal totals
+                else:
+                    text = " ".join(f"w{j}" for j in range(rng.randint(1, 80)))
+                rows.append((i, text, "en", src))
+                i += 1
+        d = _write_documents(rows)
+        got = {
+            r.source: (r.n_tokens, r.weight, r.ppm) for r in q(spark, d).collect()
+        }
+
+        def rhu(x):
+            return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+        tok_tot: dict = {}
+        for _i, text, _l, src in rows:
+            if src not in tok_tot:
+                tok_tot[src] = None
+            if text is not None:
+                tok_tot[src] = (tok_tot[src] or 0) + len(_tokens(text))
+        w_raw = {s: (None if n is None else n ** 0.5) for s, n in tok_tot.items()}
+        denom = sum(rhu(w * 1000000) for w in w_raw.values() if w is not None) / 1000000
+        want = {}
+        for s, n in tok_tot.items():
+            w = w_raw[s]
+            if w is None:
+                want[s] = (None, None, None)
+            else:
+                weight = w / denom
+                want[s] = (n, weight, rhu(weight * 1000000))
+        if got != want:
+            fails += 1
+            bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
+            print(f"  tempmix trial {t}: MISMATCH {[(k, got.get(k), want.get(k)) for k in sorted(bad)][:3]}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# int8: q_vec_quantize_int8 vs a numpy/Python recount
+# ---------------------------------------------------------------------------
+
+
+def _write_embeddings(rows) -> str:
+    """rows: (vec_id, list[float]|None, label)."""
+    d = tempfile.mkdtemp(prefix="fuzz13_emb_")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE em (vec_id BIGINT, embedding FLOAT[], label INTEGER)"
+    )
+    con.executemany("INSERT INTO em VALUES (?,?,?)", rows)
+    con.execute(f"COPY em TO '{d}/embeddings.parquet' (FORMAT PARQUET)")
+    return d
+
+
+def fuzz_int8(spark, trials: int = 8) -> int:
+    """q_vec_quantize_int8 (max-abs scale, FLOOR(x*127/scale + 0.5)
+    half-up integer codes, checksum + reconstruction-error emission) vs a
+    Python recount over the float32-faithful values. Axes: vectors of
+    arbitrary dimension (this query does NOT impose the declared-dim
+    contract), all-zero vectors (the 1e-30 scale floor), exact-half codes
+    (values landing x*127/scale + 0.5 on an integer), negative-dominated
+    vectors, NaN/Inf/NULL-element and empty/NULL vectors (excluded)."""
+    import math
+    import struct
+
+    q = get_query("q_vec_quantize_int8").fn
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(31000 + t)
+        hostile = t % 2 == 0
+        rows = []
+        for i in range(rng.randint(3, 80)):
+            r = rng.random()
+            dim = rng.choice([1, 2, 5, 16]) if hostile else 16
+            if hostile and r < 0.08:
+                rows.append((i, None, 0))
+                continue
+            if hostile and r < 0.14:
+                rows.append((i, [], 0))
+                continue
+            if hostile and r < 0.2:
+                v = [rng.uniform(-1, 1) for _ in range(dim)]
+                v[rng.randrange(dim)] = rng.choice([float("nan"), float("inf"), None])
+                rows.append((i, v, 0))
+                continue
+            if hostile and r < 0.3:
+                rows.append((i, [0.0] * dim, 0))  # scale floor
+                continue
+            if hostile and r < 0.45:
+                # exact-half codes: elements at k/127 of the max-abs element
+                m = rng.uniform(0.5, 2.0)
+                v = [m] + [m * (k + 0.5) / 127.0 for k in rng.sample(range(127), min(dim - 1, 8))]
+                v = v[:dim] + [0.0] * max(0, dim - len(v))
+                rows.append((i, v, 0))
+                continue
+            rows.append((i, [rng.uniform(-3, 3) for _ in range(dim)], 0))
+        d = _write_embeddings(rows)
+        got = {
+            r.vec_id: (r.scale, r.q_sum, r.q_abs_sum, r.q_sq_sum, r.max_abs_err)
+            for r in q(spark, d).collect()
+        }
+
+        want = {}
+        for i, v, _lab in rows:
+            if v is None or len(v) == 0:
+                continue
+            xd = [None if x is None else f32(x) for x in v]
+            if any(x is None or not math.isfinite(x) for x in xd):
+                continue
+            scale = max(max(abs(x) for x in xd), 1e-30)
+            qv = [math.floor(x * 127.0 / scale + 0.5) for x in xd]
+            err = max(abs(x - qc * scale / 127.0) for x, qc in zip(xd, qv))
+            want[i] = (scale, sum(qv), sum(abs(c) for c in qv), sum(c * c for c in qv), err)
+        if got != want:
+            fails += 1
+            bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
+            print(f"  int8 trial {t}: MISMATCH {[(k, got.get(k), want.get(k)) for k in sorted(bad)][:3]}")
+    return fails
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("fuzz13")
@@ -1433,6 +1658,18 @@ def main() -> None:
     if which in ("tfidf", "all"):
         f = fuzz_tfidf(spark)
         ran.append(("tfidf", 8, f))
+        total += f
+    if which in ("budget", "all"):
+        f = fuzz_budget(spark)
+        ran.append(("budget", 8, f))
+        total += f
+    if which in ("tempmix", "all"):
+        f = fuzz_tempmix(spark)
+        ran.append(("tempmix", 8, f))
+        total += f
+    if which in ("int8", "all"):
+        f = fuzz_int8(spark)
+        ran.append(("int8", 8, f))
         total += f
     for name, trials, f in ran:
         print(f"{name}: {trials} trials, {f} failures")
