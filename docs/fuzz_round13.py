@@ -115,10 +115,22 @@ Targets:
                                  recount (1e-30 scale floor, exact-half
                                  codes, arbitrary dims, NaN/Inf/NULL
                                  exclusion).
+  langid   q_text_langid         vs a Python marker-vote recount (cross-
+                                 language ambiguous markers force exact
+                                 ties -> declaration-order tie-break;
+                                 punctuation-attached markers vote for
+                                 nothing).
+  funnel   q_llm_corpus_funnel   vs a Python stage recount (NULL source
+                                 through the null-safe joins, BETWEEN
+                                 bounds at 9/10/5000, per-source dedup).
+  fuzzy    fuzzy_vocab_pairs     vs a textbook Levenshtein DP cross-join
+                                 (transpositions, exactly-ed-2-vs-3,
+                                 3/24 length bounds, dense ladders).
 
 Run:  python docs/fuzz_round13.py
       [pack|bpe|bpe_train|gapfill|path|ewma|wsample|bm25|leakage|hh|
-       diff|chunk|rollup|canonical|substring|tfidf|budget|tempmix|int8|all]
+       diff|chunk|rollup|canonical|substring|tfidf|budget|tempmix|int8|
+       langid|funnel|fuzzy|all]
 
 Results land in SCALE.md's sweep ledger; canonical hostile shapes get
 promoted to committed regression tests.
@@ -1590,6 +1602,204 @@ def fuzz_int8(spark, trials: int = 8) -> int:
     return fails
 
 
+# ---------------------------------------------------------------------------
+# langid: q_text_langid vs a Python marker-vote recount
+# ---------------------------------------------------------------------------
+
+
+def fuzz_langid(spark, trials: int = 8) -> int:
+    """q_text_langid (per-language marker-token counts, GREATEST argmax,
+    first-match tie-break in declaration order, all-zero -> 'und') vs a
+    Python vote recount. Axes: CROSS-LANGUAGE ambiguous markers ('la' is
+    fr AND es; 'en'/'es'/'que' collide too) forcing exact ties that the
+    declaration-order tie-break must resolve, repeated markers (counts,
+    not distinct presence), empty docs ('und'), marker-free docs,
+    punctuation-attached markers (ws_tokens does NOT strip punctuation —
+    'the.' votes for nothing)."""
+    from hadoop_web_browsing_logs_spark.functions.text_stats import LANG_MARKERS
+
+    q = get_query("q_text_langid").fn
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    ambiguous = sorted(
+        m for m in all_markers
+        if sum(1 for ms in LANG_MARKERS.values() if m in ms) > 1
+    )
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(32000 + t)
+        hostile = t % 2 == 0
+        rows = []
+        for i in range(rng.randint(3, 100)):
+            r = rng.random()
+            if hostile and r < 0.25 and ambiguous:
+                words = [rng.choice(ambiguous) for _ in range(rng.randint(1, 6))]
+            elif hostile and r < 0.35:
+                words = []
+            elif hostile and r < 0.45:
+                words = [rng.choice(all_markers) + "." for _ in range(rng.randint(1, 4))]
+            elif hostile and r < 0.6:
+                # exact tie between two specific languages
+                words = ["the", "der"] * rng.randint(1, 3)
+            else:
+                words = [
+                    rng.choice(all_markers if rng.random() < 0.5 else ["zz", "qq", "xx"])
+                    for _ in range(rng.randint(0, 20))
+                ]
+            rows.append((i, " ".join(words), rng.choice(["en", "de", "fr", "es"]), "s"))
+        d = _write_documents(rows)
+        cols = [f"score_{lang}" for lang in LANG_MARKERS]
+        got = {
+            r.doc_id: (r.labeled_lang, tuple(r[c] for c in cols), r.lang_guess)
+            for r in q(spark, d).collect()
+        }
+
+        want = {}
+        for i, text, lab, _s in rows:
+            toks = _tokens(text)
+            scores = {
+                lang: sum(1 for w in toks if w in ms)
+                for lang, ms in LANG_MARKERS.items()
+            }
+            best = max(scores.values()) if scores else 0
+            if best == 0:
+                guess = "und"
+            else:
+                guess = next(l for l in LANG_MARKERS if scores[l] == best)
+            want[i] = (lab, tuple(scores[l] for l in LANG_MARKERS), guess)
+        if got != want:
+            fails += 1
+            bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
+            print(f"  langid trial {t}: MISMATCH {[(k, got.get(k), want.get(k)) for k in sorted(bad)][:3]}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# funnel: q_llm_corpus_funnel vs a Python stage recount
+# ---------------------------------------------------------------------------
+
+
+def fuzz_funnel(spark, trials: int = 8) -> int:
+    """q_llm_corpus_funnel (raw -> 10..5000-token quality -> md5-dedup
+    unique -> MIN-token final budget, per source, null-safe joins) vs a
+    Python stage recount. Axes: NULL source (must reconcile through the
+    null-safe joins, not drop), NULL text (counts raw, fails quality),
+    duplicate texts with DIFFERENT sources (dedup is per source),
+    duplicate texts with different lengths impossible (same fp -> same
+    text -> same n_tok; instead duplicate exact texts repeated), docs at
+    exactly 10 / 5000 / 9 / 5001 tokens (BETWEEN bounds)."""
+    import hashlib
+
+    q = get_query("q_llm_corpus_funnel").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(33000 + t)
+        hostile = t % 2 == 0
+        rows = []
+        dup_pool = []
+        for i in range(rng.randint(3, 120)):
+            src = rng.choice(["s1", "s2", None] if hostile else ["s1", "s2", "s3"])
+            r = rng.random()
+            if hostile and r < 0.08:
+                text = None
+            elif hostile and r < 0.2:
+                n = rng.choice([9, 10, 11, 4999, 5000])
+                text = " ".join(f"w{j}" for j in range(n))
+            elif hostile and r < 0.4 and dup_pool:
+                text = rng.choice(dup_pool)
+            else:
+                text = " ".join(f"x{rng.randint(0, 40)}" for _ in range(rng.randint(0, 60)))
+                dup_pool.append(text)
+            rows.append((i, text, "en", src))
+        d = _write_documents(rows)
+        got = {
+            r.source: (r.n_raw, r.n_quality, r.n_unique, r.tokens_final)
+            for r in q(spark, d).collect()
+        }
+
+        stages: dict = {}
+        for _i, text, _l, src in rows:
+            raw, qual = stages.get(src, (0, {}))
+            raw += 1
+            ntok = None if text is None else len(_tokens(text))
+            if ntok is not None and 10 <= ntok <= 5000:
+                fp = hashlib.md5((text or "").lower().strip().encode()).hexdigest()
+                qual.setdefault(fp, []).append(ntok)
+            stages[src] = (raw, qual)
+        want = {}
+        for src, (raw, qual) in stages.items():
+            n_quality = sum(len(v) for v in qual.values())
+            n_unique = len(qual)
+            tokens_final = sum(min(v) for v in qual.values()) if qual else 0
+            want[src] = (raw, n_quality, n_unique, tokens_final)
+        if got != want:
+            fails += 1
+            bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
+            print(f"  funnel trial {t}: MISMATCH {[(k, got.get(k), want.get(k)) for k in sorted(bad)][:3]}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# fuzzy: fuzzy_vocab_pairs vs a textbook Levenshtein DP cross-join
+# ---------------------------------------------------------------------------
+
+
+def fuzz_fuzzy(spark, trials: int = 6) -> int:
+    """fuzzy_vocab_pairs (SymSpell deletion-variant blocking + Spark
+    levenshtein verify) vs a textbook Python DP over the naive cross-join.
+    The registered oracle is already an independent DuckDB formulation;
+    this adds ADVERSARIAL vocabularies the fixture lacks: transposition
+    pairs ('abcd'/'bacd' = ed 2 via delete+insert), pairs at exactly ed 2
+    vs 3, shared-variant-but-far pairs (blocking may generate the
+    candidate; the verify must reject), words at the 3/24 length bounds,
+    and dense 1-char-apart ladders."""
+    from hadoop_web_browsing_logs_spark.operators.dedup import fuzzy_vocab_pairs
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(34000 + t)
+        hostile = t % 2 == 0
+        vocab = set()
+        alpha = "abcd" if hostile else "abcdefgh"
+        for _ in range(rng.randint(5, 40)):
+            vocab.add("".join(rng.choice(alpha) for _ in range(rng.randint(3, 8))))
+        if hostile:
+            base = "".join(rng.choice(alpha) for _ in range(6))
+            vocab.add(base)
+            vocab.add(base[1] + base[0] + base[2:])  # transposition: ed <= 2
+            vocab.add(base + "xy")                    # ed 2 suffix
+            vocab.add(base + "xyz")                   # ed 3: must NOT pair with base
+            vocab.add("abc")                          # min length bound
+            vocab.add("a" * 24)                       # max length bound
+            vocab.add("a" * 23)
+        vocab = sorted(vocab)
+        vdf = spark.createDataFrame([(w,) for w in vocab], ["term"])
+        got = sorted(
+            (r.term_a, r.term_b, r.dist) for r in fuzzy_vocab_pairs(vdf).collect()
+        )
+        want = sorted(
+            (a, b, lev(a, b))
+            for ai, a in enumerate(vocab)
+            for b in vocab[ai + 1 :]
+            if lev(a, b) <= 2
+        )
+        if got != want:
+            fails += 1
+            ge, gb = set(got), set(want)
+            print(f"  fuzzy trial {t}: MISMATCH only-engine={sorted(ge-gb)[:4]} only-brute={sorted(gb-ge)[:4]}")
+    return fails
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("fuzz13")
@@ -1670,6 +1880,18 @@ def main() -> None:
     if which in ("int8", "all"):
         f = fuzz_int8(spark)
         ran.append(("int8", 8, f))
+        total += f
+    if which in ("langid", "all"):
+        f = fuzz_langid(spark)
+        ran.append(("langid", 8, f))
+        total += f
+    if which in ("funnel", "all"):
+        f = fuzz_funnel(spark)
+        ran.append(("funnel", 8, f))
+        total += f
+    if which in ("fuzzy", "all"):
+        f = fuzz_fuzzy(spark)
+        ran.append(("fuzzy", 6, f))
         total += f
     for name, trials, f in ran:
         print(f"{name}: {trials} trials, {f} failures")
