@@ -126,11 +126,22 @@ Targets:
   fuzzy    fuzzy_vocab_pairs     vs a textbook Levenshtein DP cross-join
                                  (transpositions, exactly-ed-2-vs-3,
                                  3/24 length bounds, dense ladders).
+  latency  q_events_conversion_  vs a Python first-touch recount
+           latency               (purchase AT the first view, purchase-
+                                 only users, zero converters; exact
+                                 percentiles in the engines' two-product
+                                 lerp form — see _pct_linear).
+  zscore   q_events_anomaly_     vs a Python integer-cent moment recount
+           zscore                (n=1 and zero-variance NULLs, NaN/Inf
+                                 skip, NULL-ts hourly group).
+  robust   q_events_robust_      vs a Python median/MAD recount
+           zscore                (even/odd interpolation, zero-MAD
+                                 exclusion, single-row types).
 
 Run:  python docs/fuzz_round13.py
       [pack|bpe|bpe_train|gapfill|path|ewma|wsample|bm25|leakage|hh|
        diff|chunk|rollup|canonical|substring|tfidf|budget|tempmix|int8|
-       langid|funnel|fuzzy|all]
+       langid|funnel|fuzzy|latency|zscore|robust|all]
 
 Results land in SCALE.md's sweep ledger; canonical hostile shapes get
 promoted to committed regression tests.
@@ -1800,6 +1811,213 @@ def fuzz_fuzzy(spark, trials: int = 6) -> int:
     return fails
 
 
+# ---------------------------------------------------------------------------
+# latency: q_events_conversion_latency vs a Python first-touch recount
+# ---------------------------------------------------------------------------
+
+
+def _pct_linear(sorted_vals, q):
+    """Exact linear-interpolation percentile in the Spark percentile() /
+    DuckDB quantile_cont IEEE form: lower*(1-frac) + upper*frac. NOT the
+    algebraically-equal a + (b-a)*frac — the two differ at the last ulp
+    (first caught live by this very sweep: 40047.399999999994 vs
+    40047.4 on a 3-element p90), and the engines use the two-product
+    form."""
+    n = len(sorted_vals)
+    if n == 0:
+        return None
+    pos = q * (n - 1)
+    lo = int(pos)
+    frac = pos - lo
+    if lo + 1 >= n:
+        return float(sorted_vals[-1])
+    a, b = float(sorted_vals[lo]), float(sorted_vals[lo + 1])
+    return a * (1 - frac) + b * frac
+
+
+def fuzz_latency(spark, trials: int = 8) -> int:
+    """q_events_conversion_latency (first view -> first subsequent
+    purchase, exact median/p90) vs a Python first-touch recount. Axes:
+    purchase exactly AT the first view's ts (>= includes it, delta 0),
+    purchases strictly BEFORE the first view only (not converted),
+    purchasers with no view at all (excluded), zero converting users
+    (n=0, NULL percentiles), single converter (median == p90), null
+    user/ts rows."""
+    q = get_query("q_events_conversion_latency").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(35000 + t)
+        hostile = t % 2 == 0
+        rows = []
+        for i in range(rng.randint(2, 140)):
+            uid = rng.randint(1, 12)
+            et = rng.choice(["view", "purchase", "click"])
+            ts = BASE + timedelta(minutes=rng.randint(0, 2000), seconds=rng.randint(0, 59))
+            if hostile and rng.random() < 0.05:
+                ts = None
+            if hostile and rng.random() < 0.05:
+                uid = None
+            rows.append((i, ts, uid, et, 1.0))
+        if hostile:
+            # planted: purchase exactly at first view; purchase-only user;
+            # purchase strictly before the user's only view
+            n0 = len(rows)
+            rows.append((n0, BASE, 100, "view", 1.0))
+            rows.append((n0 + 1, BASE, 100, "purchase", 1.0))
+            rows.append((n0 + 2, BASE, 101, "purchase", 1.0))
+            rows.append((n0 + 3, BASE + timedelta(hours=2), 102, "purchase", 1.0))
+            rows.append((n0 + 4, BASE + timedelta(hours=3), 102, "view", 1.0))
+        d = _write_events(rows)
+        got = [(r.n_converted, r.median_secs, r.p90_secs) for r in q(spark, d).collect()]
+
+        ev = [(u, et, ts) for _i, ts, u, et, _v in rows if u is not None and ts is not None]
+        vts = {}
+        for u, et, ts in ev:
+            if et == "view" and (u not in vts or ts < vts[u]):
+                vts[u] = ts
+        deltas = []
+        for u, first_view in vts.items():
+            purchases = [ts for (uu, et, ts) in ev if uu == u and et == "purchase" and ts >= first_view]
+            if purchases:
+                deltas.append(
+                    int((min(purchases) - datetime(1970, 1, 1)).total_seconds() // 1)
+                    - int((first_view - datetime(1970, 1, 1)).total_seconds() // 1)
+                )
+        deltas.sort()
+        want = [(len(deltas), _pct_linear(deltas, 0.5), _pct_linear(deltas, 0.9))]
+        if got != want:
+            fails += 1
+            print(f"  latency trial {t}: MISMATCH engine={got} brute={want}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# zscore: q_events_anomaly_zscore vs a Python moment recount
+# ---------------------------------------------------------------------------
+
+
+def fuzz_zscore(spark, trials: int = 8) -> int:
+    """q_events_anomaly_zscore (hourly dsum -> exact integer-cent moments
+    -> z + flag) vs a Python recount in the same IEEE op order. Axes:
+    single-hour types (n=1 -> NULL z), constant types (variance exactly 0
+    -> NULL), NaN/Inf values (TRY_CAST -> NULL, skipped), NULL-ts rows
+    (date_trunc(NULL) is its own hourly group and participates in the
+    stats), values crossing zero."""
+    import math
+
+    q = get_query("q_events_anomaly_zscore").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(36000 + t)
+        hostile = t % 2 == 0
+        rows = []
+        for i in range(rng.randint(2, 150)):
+            et = rng.choice(["a", "b", "c"])
+            h = rng.randint(0, 2 if hostile else 15)
+            ts = BASE + timedelta(hours=h, minutes=rng.randint(0, 59))
+            val = 7.0 if (hostile and et == "c") else round(rng.uniform(-40, 40), 2)
+            if hostile and rng.random() < 0.05:
+                ts = None
+            if hostile and rng.random() < 0.04:
+                val = rng.choice([float("nan"), float("inf")])
+            rows.append((i, ts, rng.randint(1, 5), et, val))
+        d = _write_events(rows)
+        got = {
+            (r.event_type, r.hour): (r.sum_value, r.zscore, r.is_anomaly)
+            for r in q(spark, d).collect()
+        }
+
+        hourly: dict = {}
+        for _i, ts, _u, et, v in rows:
+            h = ts.replace(minute=0, second=0, microsecond=0) if ts else None
+            cents = hourly.get((et, h), 0)
+            if v is not None and math.isfinite(v):
+                cents += int(round(v * 100))
+            hourly[(et, h)] = cents
+        want = {}
+        stats: dict = {}
+        for (et, h), cents in hourly.items():
+            n, s1c, s2c = stats.get(et, (0, 0, 0))
+            stats[et] = (n + 1, s1c + cents, s2c + cents * cents)
+        for (et, h), cents in hourly.items():
+            n, s1c, s2c = stats[et]
+            s1 = s1c / 100
+            s2 = s2c / 10000
+            x = cents / 100
+            z = flag = None
+            if n > 1:
+                var = (s2 - s1 * s1 / n) / (n - 1)
+                if var > 0:
+                    z = (x - s1 / n) / math.sqrt(var)
+                    flag = 1 if abs(z) > 2.0 else 0
+            want[(et, h)] = (x, z, flag)
+        if got != want:
+            fails += 1
+            bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
+            print(f"  zscore trial {t}: MISMATCH {[(k, got.get(k), want.get(k)) for k in sorted(bad, key=str)][:3]}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# robust: q_events_robust_zscore vs a Python median/MAD recount
+# ---------------------------------------------------------------------------
+
+
+def fuzz_robust(spark, trials: int = 8) -> int:
+    """q_events_robust_zscore (exact median -> MAD -> Iglewicz-Hoberg 3.5
+    flag count, zero-MAD types excluded) vs a Python recount using the
+    same linear-interpolation percentile formula. Axes: even/odd counts
+    (interpolated vs exact-element medians), >=50%-constant types (MAD
+    exactly 0 -> excluded), all-constant, single-row types, NaN/Inf/null
+    excluded, negative-heavy distributions."""
+    import math
+
+    q = get_query("q_events_robust_zscore").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(37000 + t)
+        hostile = t % 2 == 0
+        rows = []
+        i = 0
+        for et, kind in (("a", "normal"), ("b", "halfconst"), ("c", "const"), ("d", "single")):
+            n = {"normal": rng.randint(2, 80), "halfconst": rng.randint(6, 30),
+                 "const": rng.randint(2, 10), "single": 1}[kind]
+            if not hostile and kind != "normal":
+                continue
+            for k in range(n):
+                if kind == "const" or (kind == "halfconst" and k % 2 == 0):
+                    v = 5.0
+                else:
+                    v = round(rng.uniform(-60, 60), 2)
+                if hostile and rng.random() < 0.04:
+                    v = rng.choice([None, float("nan"), float("-inf")])
+                rows.append((i, BASE + timedelta(minutes=i), rng.randint(1, 5), et, v))
+                i += 1
+        d = _write_events(rows)
+        got = {
+            r.event_type: (r.med, r.mad, r.n, r.n_outliers)
+            for r in q(spark, d).collect()
+        }
+
+        byt: dict = {}
+        for _i, _ts, _u, et, v in rows:
+            if et is not None and v is not None and math.isfinite(v):
+                byt.setdefault(et, []).append(v)
+        want = {}
+        for et, vals in byt.items():
+            med = _pct_linear(sorted(vals), 0.5)
+            mad = _pct_linear(sorted(abs(v - med) for v in vals), 0.5)
+            if mad is None or mad <= 0:
+                continue
+            n_out = sum(1 for v in vals if abs(0.6745 * (v - med) / mad) > 3.5)
+            want[et] = (med, mad, len(vals), n_out)
+        if got != want:
+            fails += 1
+            bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
+            print(f"  robust trial {t}: MISMATCH {[(k, got.get(k), want.get(k)) for k in sorted(bad)][:3]}")
+    return fails
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("fuzz13")
@@ -1892,6 +2110,18 @@ def main() -> None:
     if which in ("fuzzy", "all"):
         f = fuzz_fuzzy(spark)
         ran.append(("fuzzy", 6, f))
+        total += f
+    if which in ("latency", "all"):
+        f = fuzz_latency(spark)
+        ran.append(("latency", 8, f))
+        total += f
+    if which in ("zscore", "all"):
+        f = fuzz_zscore(spark)
+        ran.append(("zscore", 8, f))
+        total += f
+    if which in ("robust", "all"):
+        f = fuzz_robust(spark)
+        ran.append(("robust", 8, f))
         total += f
     for name, trials, f in ran:
         print(f"{name}: {trials} trials, {f} failures")
