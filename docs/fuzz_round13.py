@@ -137,11 +137,21 @@ Targets:
   robust   q_events_robust_      vs a Python median/MAD recount
            zscore                (even/odd interpolation, zero-MAD
                                  exclusion, single-row types).
+  quality  q_llm_quality_rules   vs a Python Gopher-rule recount (exact
+                                 BETWEEN and <= boundaries on double
+                                 ratios, empty/null docs, null lang).
+  winsorize q_events_winsorize   vs a Python [p05,p99] clamp recount
+                                 (single-value/constant types, values AT
+                                 the bounds, dsum(4) sums).
+  novelty  q_text_novelty        vs a Python trigram-df recount (3-token
+                                 docs, intra-doc duplicate shingles,
+                                 all-unique and boilerplate corpora,
+                                 micro-nat mean log df).
 
 Run:  python docs/fuzz_round13.py
       [pack|bpe|bpe_train|gapfill|path|ewma|wsample|bm25|leakage|hh|
        diff|chunk|rollup|canonical|substring|tfidf|budget|tempmix|int8|
-       langid|funnel|fuzzy|latency|zscore|robust|all]
+       langid|funnel|fuzzy|latency|zscore|robust|quality|winsorize|novelty|all]
 
 Results land in SCALE.md's sweep ledger; canonical hostile shapes get
 promoted to committed regression tests.
@@ -1817,12 +1827,19 @@ def fuzz_fuzzy(spark, trials: int = 6) -> int:
 
 
 def _pct_linear(sorted_vals, q):
-    """Exact linear-interpolation percentile in the Spark percentile() /
-    DuckDB quantile_cont IEEE form: lower*(1-frac) + upper*frac. NOT the
-    algebraically-equal a + (b-a)*frac — the two differ at the last ulp
-    (first caught live by this very sweep: 40047.399999999994 vs
-    40047.4 on a 3-element p90), and the engines use the two-product
-    form."""
+    """Exact linear-interpolation percentile mirroring SPARK's
+    percentile() semantics, established by live probes from this sweep:
+
+    - unequal neighbors: the two-product IEEE form lower*(1-f) + upper*f
+      (NOT the algebraically-equal a + (b-a)*f, which differs at the last
+      ulp — 40047.399999999994 vs 40047.4 on a 3-element p90);
+    - EQUAL neighbors: the value itself, exactly. Spark aggregates counts
+      per DISTINCT value, so a position inside a duplicate run never
+      interpolates — where DuckDB's quantile_cont lerps two equal array
+      slots with the two-product form and lands 1 ulp off for doubles
+      like 14.81 (14.809999999999999). The engines genuinely diverge at
+      that ulp; the oracle gate's 6-decimal float canonicalization
+      absorbs it (SCALE.md round-13 ledger)."""
     n = len(sorted_vals)
     if n == 0:
         return None
@@ -1832,6 +1849,8 @@ def _pct_linear(sorted_vals, q):
     if lo + 1 >= n:
         return float(sorted_vals[-1])
     a, b = float(sorted_vals[lo]), float(sorted_vals[lo + 1])
+    if a == b:
+        return a
     return a * (1 - frac) + b * frac
 
 
@@ -2018,6 +2037,208 @@ def fuzz_robust(spark, trials: int = 8) -> int:
     return fails
 
 
+# ---------------------------------------------------------------------------
+# quality: q_llm_quality_rules vs a Python rule recount
+# ---------------------------------------------------------------------------
+
+
+def fuzz_quality(spark, trials: int = 8) -> int:
+    """q_llm_quality_rules (Gopher-style length / mean-word-length /
+    repetition rules, per-language pass counts) vs a Python recount.
+    Axes: docs at exactly 10 / 5000 / 9 tokens, mean word length exactly
+    2.0 and 12.0 (inclusive BETWEEN bounds on a double ratio),
+    repetition ratio exactly 0.2 (<=), empty and null-text docs (count
+    in n_docs, NULL ratios fail every rule), null lang group."""
+    q = get_query("q_llm_quality_rules").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(38000 + t)
+        hostile = t % 2 == 0
+        rows = []
+        for i in range(rng.randint(3, 120)):
+            lang = rng.choice(["en", "de", None] if hostile else ["en", "de", "fr"])
+            r = rng.random()
+            if hostile and r < 0.08:
+                text = None
+            elif hostile and r < 0.16:
+                text = ""
+            elif hostile and r < 0.28:
+                n = rng.choice([9, 10, 11, 5000])
+                text = " ".join(f"w{j}" for j in range(n))  # mean_wlen 2-5ish
+            elif hostile and r < 0.4:
+                # mean word length exactly 2.0 ('aa' x k) or 12.0
+                w = "aa" if rng.random() < 0.5 else "a" * 12
+                text = " ".join([w] * rng.randint(10, 40))
+            elif hostile and r < 0.5:
+                # repetition ratio exactly 0.2: 'dup' twice among 10 tokens
+                text = "dup dup " + " ".join(f"u{j}" for j in range(8))
+            else:
+                text = " ".join(f"x{rng.randint(0, 50)}" for _ in range(rng.randint(0, 80)))
+            rows.append((i, text, lang, "s"))
+        d = _write_documents(rows)
+        got = {
+            r.lang: (r.n_docs, r.pass_length, r.pass_word_len, r.pass_repetition, r.pass_all)
+            for r in q(spark, d).collect()
+        }
+
+        agg: dict = {}
+        for _i, text, lang, _s in rows:
+            nd, pl, pw, pr, pa = agg.get(lang, (0, 0, 0, 0, 0))
+            nd += 1
+            toks = _tokens(text) if text is not None else None
+            if toks:
+                n_tok = len(toks)
+                mean_wlen = sum(len(w) for w in toks) / n_tok
+                counts: dict = {}
+                for w in toks:
+                    counts[w] = counts.get(w, 0) + 1
+                rep = max(counts.values()) / n_tok
+                a = 10 <= n_tok <= 5000
+                b = 2 <= mean_wlen <= 12
+                c = rep <= 0.2
+                pl += a
+                pw += b
+                pr += c
+                pa += a and b and c
+            agg[lang] = (nd, pl, pw, pr, pa)
+        if got != agg:
+            fails += 1
+            bad = {k for k in set(got) | set(agg) if got.get(k) != agg.get(k)}
+            print(f"  quality trial {t}: MISMATCH {[(k, got.get(k), agg.get(k)) for k in sorted(bad, key=str)][:3]}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# winsorize: q_events_winsorize vs a Python clamp recount
+# ---------------------------------------------------------------------------
+
+
+def fuzz_winsorize(spark, trials: int = 8) -> int:
+    """q_events_winsorize (exact [p05,p99] bounds, clamp counts, dsum(4)
+    winsorized sum) vs a Python recount using the engines' two-product
+    percentile lerp. Axes: single-value types (lo == hi == v, zero
+    clamps), constant types, values exactly AT the bounds (strict < / >
+    comparisons), negative-heavy, NaN/Inf/null excluded."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = get_query("q_events_winsorize").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(39000 + t)
+        hostile = t % 2 == 0
+        rows = []
+        i = 0
+        kinds = [("a", "normal"), ("b", "single"), ("c", "const"), ("d", "two")]
+        for et, kind in kinds:
+            if not hostile and kind != "normal":
+                continue
+            n = {"normal": rng.randint(3, 120), "single": 1, "const": rng.randint(2, 9), "two": 2}[kind]
+            cval = round(rng.uniform(-20, 20), 2)
+            for _ in range(n):
+                if kind in ("const",):
+                    v = cval
+                else:
+                    v = round(rng.uniform(-80, 80), 2)
+                if hostile and rng.random() < 0.04:
+                    v = rng.choice([None, float("nan"), float("inf")])
+                rows.append((i, BASE + timedelta(minutes=i), rng.randint(1, 5), et, v))
+                i += 1
+        d = _write_events(rows)
+        got = {
+            r.event_type: (r.lo, r.hi, r.n, r.n_clamped_lo, r.n_clamped_hi, r.winsorized_sum)
+            for r in q(spark, d).collect()
+        }
+
+        def rhu(x):
+            return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+        byt: dict = {}
+        for _i, _ts, _u, et, v in rows:
+            if et is not None and v is not None and math.isfinite(v):
+                byt.setdefault(et, []).append(v)
+        want = {}
+        for et, vals in byt.items():
+            s = sorted(vals)
+            lo, hi = _pct_linear(s, 0.05), _pct_linear(s, 0.99)
+            nlo = sum(1 for v in vals if v < lo)
+            nhi = sum(1 for v in vals if v > hi)
+            wsum = sum(rhu(min(max(v, lo), hi) * 10000) for v in vals) / 10000
+            want[et] = (lo, hi, len(vals), nlo, nhi, wsum)
+        if got != want:
+            fails += 1
+            bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
+            print(f"  winsorize trial {t}: MISMATCH {[(k, got.get(k), want.get(k)) for k in sorted(bad)][:3]}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# novelty: q_text_novelty vs a Python trigram-df recount
+# ---------------------------------------------------------------------------
+
+
+def fuzz_novelty(spark, trials: int = 8) -> int:
+    """q_text_novelty (distinct trigram shingles, corpus df, unique
+    fraction, micro-nat mean log df) vs a Python recount. Axes: docs of
+    exactly 3 tokens (one shingle), sub-3-token docs (excluded),
+    duplicate shingles INSIDE one doc (distinct-ed before df), all-unique
+    corpora (mean_log_df exactly 0), heavy boilerplate (one shingle in
+    every doc), tab/newline whitespace."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = get_query("q_text_novelty").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(40000 + t)
+        hostile = t % 2 == 0
+        boiler = "b0 b1 b2"
+        rows = []
+        for i in range(rng.randint(3, 100)):
+            r = rng.random()
+            if hostile and r < 0.1:
+                text = " ".join(f"t{i}x{j}" for j in range(3))  # exactly 3
+            elif hostile and r < 0.2:
+                text = rng.choice(["", "one", "one two", "  \t "])  # excluded
+            elif hostile and r < 0.35:
+                text = f"{boiler} t{i}a t{i}b"  # shared boilerplate shingle
+            elif hostile and r < 0.45:
+                rep = f"r{i}a r{i}b r{i}c"
+                text = f"{rep} {rep}"  # intra-doc duplicate shingles
+            else:
+                text = " ".join(f"w{rng.randint(0, 60)}" for _ in range(rng.randint(0, 25)))
+            rows.append((i, text, "en", "s"))
+        d = _write_documents(rows)
+        got = {
+            r.doc_id: (r.n_shingles, r.n_unique, r.unique_pct, r.mean_log_df)
+            for r in q(spark, d).collect()
+        }
+
+        def rhu(x):
+            return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+        sets = {}
+        for i, text, _l, _s in rows:
+            tk = _tokens(text)
+            if len(tk) >= 3:
+                sets[i] = {" ".join(tk[j : j + 3]) for j in range(len(tk) - 2)}
+        df: dict = {}
+        for ss in sets.values():
+            for sh in ss:
+                df[sh] = df.get(sh, 0) + 1
+        want = {}
+        for i, ss in sets.items():
+            n = len(ss)
+            uniq = sum(1 for sh in ss if df[sh] == 1)
+            micro = sum(rhu(math.log(df[sh]) * 1000000) for sh in ss)
+            want[i] = (n, uniq, uniq / n, (micro / 1000000) / n)
+        if got != want:
+            fails += 1
+            bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
+            print(f"  novelty trial {t}: MISMATCH {[(k, got.get(k), want.get(k)) for k in sorted(bad)][:3]}")
+    return fails
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("fuzz13")
@@ -2122,6 +2343,18 @@ def main() -> None:
     if which in ("robust", "all"):
         f = fuzz_robust(spark)
         ran.append(("robust", 8, f))
+        total += f
+    if which in ("quality", "all"):
+        f = fuzz_quality(spark)
+        ran.append(("quality", 8, f))
+        total += f
+    if which in ("winsorize", "all"):
+        f = fuzz_winsorize(spark)
+        ran.append(("winsorize", 8, f))
+        total += f
+    if which in ("novelty", "all"):
+        f = fuzz_novelty(spark)
+        ran.append(("novelty", 8, f))
         total += f
     for name, trials, f in ran:
         print(f"{name}: {trials} trials, {f} failures")

@@ -775,8 +775,11 @@ def _winsorize_oracle() -> str:
         "[p05, p99] band and report bounds, clamp counts, and the "
         "winsorized sum — the outlier-robust metric prep before any "
         "mean-based monitoring. Exact linear-interpolated percentiles "
-        "(Spark percentile() ≡ DuckDB quantile_cont(), probed "
-        "bit-identical on this data) gate the oracle; at 100 TB swap the "
+        "(Spark percentile() ≡ DuckDB quantile_cont() on this data; in "
+        "general the engines diverge 1 ulp inside duplicate-value runs — "
+        "Spark buckets per distinct value, DuckDB lerps equal slots — "
+        "absorbed by the 6-decimal float canonicalization, SCALE.md r13) "
+        "gate the oracle; at 100 TB swap the "
         "BOUND computation to the mergeable approx_percentile sketch "
         "(same clamp join, and the sketch's error envelope is already "
         "gated by q_agg_approx_percentile_gate) — exact per-group "
@@ -851,8 +854,10 @@ def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(0.6745·(x-med)/MAD, flagged beyond 3.5 — Iglewicz-Hoberg), the "
         "mean/stddev-free twin of q_events_anomaly_zscore that a single "
         "corrupted burst cannot drag. Two exact-percentile passes (median, "
-        "then median absolute deviation) — each bit-identical to DuckDB "
-        "quantile_cont (probed parity) — then a counting aggregate; the "
+        "then median absolute deviation) — matching DuckDB quantile_cont "
+        "(probed parity; 1-ulp divergence inside duplicate-value runs is "
+        "absorbed at 6 decimals, SCALE.md r13) — then a counting "
+        "aggregate; the "
         "median/MAD tables are |types|-sized so both joins back are AQE "
         "broadcasts. Zero-MAD types (>=50% constant values) are excluded "
         "on both sides rather than dividing by zero. Same 100 TB note as "
@@ -996,7 +1001,7 @@ def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(MIN per user) make the metric deterministic; the latency is "
         "integer epoch-second arithmetic (the retention idiom, "
         "engine-exact); the percentiles are exact linear interpolation "
-        "(probed bit-identical to DuckDB quantile_cont; approx_percentile "
+        "(probed equal to DuckDB quantile_cont at 6 decimals; approx_percentile "
         "is the documented 100 TB swap). Both aggregations ride the "
         "user_id exchange; the final reduction sees one bigint per "
         "converting user."
