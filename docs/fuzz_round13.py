@@ -147,11 +147,21 @@ Targets:
                                  docs, intra-doc duplicate shingles,
                                  all-unique and boilerplate corpora,
                                  micro-nat mean log df).
+  affinity q_events_type_        vs a Python set-overlap recount
+           affinity              (disjoint bases emit NO row, identical
+                                 bases jaccard 1.0, repeats distinct-ed).
+  welch    q_events_ab_welch     vs a Python moment recount with the
+                                 try_divide NULL rules (empty/single/
+                                 zero-variance cohorts, GREATEST clamp).
+  spearman q_events_spearman     vs a Python fractional-rank recount
+                                 (heavy ties, constant series -> NULL,
+                                 monotone pairs, single-shared-hour).
 
 Run:  python docs/fuzz_round13.py
       [pack|bpe|bpe_train|gapfill|path|ewma|wsample|bm25|leakage|hh|
        diff|chunk|rollup|canonical|substring|tfidf|budget|tempmix|int8|
-       langid|funnel|fuzzy|latency|zscore|robust|quality|winsorize|novelty|all]
+       langid|funnel|fuzzy|latency|zscore|robust|quality|winsorize|novelty|
+       affinity|welch|spearman|all]
 
 Results land in SCALE.md's sweep ledger; canonical hostile shapes get
 promoted to committed regression tests.
@@ -2239,6 +2249,249 @@ def fuzz_novelty(spark, trials: int = 8) -> int:
     return fails
 
 
+# ---------------------------------------------------------------------------
+# affinity: q_events_type_affinity vs a Python set-overlap recount
+# ---------------------------------------------------------------------------
+
+
+def fuzz_affinity(spark, trials: int = 8) -> int:
+    """q_events_type_affinity (distinct (user,type) -> pair join ->
+    Jaccard) vs a Python set recount. Axes: disjoint user bases (no row
+    at all — the inner join never emits zero-intersection pairs),
+    identical bases (jaccard exactly 1.0), single-user types, null
+    user/type rows excluded, heavy repeat events (distinct-ed)."""
+    q = get_query("q_events_type_affinity").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(41000 + t)
+        hostile = t % 2 == 0
+        types = ["a", "b", "c", "d"]
+        rows = []
+        for i in range(rng.randint(4, 160)):
+            et = rng.choice(types)
+            if hostile and et == "d":
+                uid = rng.randint(100, 103)  # d's base disjoint from a/b/c
+            elif hostile and et in ("a", "b"):
+                uid = rng.randint(1, 3)  # a and b share a tiny base
+            else:
+                uid = rng.randint(1, 10)
+            if hostile and rng.random() < 0.05:
+                uid = None
+            if hostile and rng.random() < 0.05:
+                et = None
+            rows.append((i, BASE + timedelta(minutes=i), uid, et, 1.0))
+        d = _write_events(rows)
+        got = {
+            (r.type_a, r.type_b): (r.n_a, r.n_b, r.n_both, r.jaccard)
+            for r in q(spark, d).collect()
+        }
+
+        bases: dict = {}
+        for _i, _ts, uid, et, _v in rows:
+            if uid is not None and et is not None:
+                bases.setdefault(et, set()).add(uid)
+        want = {}
+        ts_ = sorted(bases)
+        for ai in range(len(ts_)):
+            for bi in range(ai + 1, len(ts_)):
+                a, b = ts_[ai], ts_[bi]
+                both = len(bases[a] & bases[b])
+                if both:
+                    want[(a, b)] = (
+                        len(bases[a]), len(bases[b]), both,
+                        both / (len(bases[a]) + len(bases[b]) - both),
+                    )
+        if got != want:
+            fails += 1
+            bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
+            print(f"  affinity trial {t}: MISMATCH {[(k, got.get(k), want.get(k)) for k in sorted(bad)][:3]}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# welch: q_events_ab_welch vs a Python moment recount with try_divide rules
+# ---------------------------------------------------------------------------
+
+
+def fuzz_welch(spark, trials: int = 8) -> int:
+    """q_events_ab_welch (per-type parity-cohort Welch t + Satterthwaite
+    df from exact dsum moments) vs a Python recount in the same IEEE op
+    order with the try_divide NULL rules. Axes: one-sided types (a cohort
+    empty -> NULL mean/t/df), single-sample cohorts (n=1 -> NULL
+    variance), zero-variance cohorts on BOTH sides (t and df divide by
+    zero -> NULL), GREATEST clamping float-cancellation negatives,
+    negative values."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = get_query("q_events_ab_welch").fn
+
+    def rhu(x):
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    def tdiv(a, b):
+        if a is None or b is None or b == 0:
+            return None
+        return a / b
+
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(42000 + t)
+        hostile = t % 2 == 0
+        rows = []
+        i = 0
+        plans = [("a", "normal"), ("b", "oneside"), ("c", "constboth"), ("d", "single")]
+        for et, kind in plans:
+            if not hostile and kind != "normal":
+                continue
+            n = {"normal": rng.randint(4, 120), "oneside": rng.randint(3, 20),
+                 "constboth": rng.randint(4, 16), "single": 2}[kind]
+            for k in range(n):
+                if kind == "oneside":
+                    uid = 2 * rng.randint(1, 9)  # only even users: cohort B empty
+                elif kind == "single":
+                    uid = k  # one even + one odd user -> n=1 cohorts
+                else:
+                    uid = rng.randint(1, 20)
+                v = 3.14 if kind == "constboth" else round(rng.uniform(-50, 50), 2)
+                rows.append((i, BASE + timedelta(minutes=i), uid, et, v))
+                i += 1
+        d = _write_events(rows)
+        got = {
+            r.event_type: (r.n_a, r.n_b, r.mean_a, r.mean_b, r.t_stat, r.df_welch)
+            for r in q(spark, d).collect()
+        }
+
+        byt: dict = {}
+        for _i, _ts, uid, et, v in rows:
+            if uid is None or v is None:
+                continue
+            byt.setdefault(et, {"a": [], "b": []})["a" if uid % 2 == 0 else "b"].append(v)
+        want = {}
+        for et, co in byt.items():
+            A, B = co["a"], co["b"]
+            na, nb = float(len(A)), float(len(B))
+            sa = sum(rhu(v * 100) for v in A) / 100 if A else None
+            sb = sum(rhu(v * 100) for v in B) / 100 if B else None
+            sa2 = sum(rhu(v * v * 10000) for v in A) / 10000 if A else None
+            sb2 = sum(rhu(v * v * 10000) for v in B) / 10000 if B else None
+            va = vb = None
+            if na > 1:
+                x = (sa2 - sa * sa / na) / (na - 1.0)
+                va = x if x > 0.0 else 0.0
+            if nb > 1:
+                x = (sb2 - sb * sb / nb) / (nb - 1.0)
+                vb = x if x > 0.0 else 0.0
+            se2 = None if (va is None or vb is None) else va / na + vb / nb
+            mean_a, mean_b = tdiv(sa, na), tdiv(sb, nb)
+            t_stat = None
+            if mean_a is not None and mean_b is not None and se2 is not None:
+                t_stat = tdiv(mean_a - mean_b, math.sqrt(se2))
+            dfw = None
+            if se2 is not None:
+                denom = (va / na) * (va / na) / (na - 1.0) + (vb / nb) * (vb / nb) / (nb - 1.0)
+                dfw = tdiv(se2 * se2, denom)
+            want[et] = (int(na), int(nb), mean_a, mean_b, t_stat, dfw)
+        if got != want:
+            fails += 1
+            bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
+            print(f"  welch trial {t}: MISMATCH {[(k, got.get(k), want.get(k)) for k in sorted(bad)][:3]}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# spearman: q_events_spearman vs a Python fractional-rank recount
+# ---------------------------------------------------------------------------
+
+
+def fuzz_spearman(spark, trials: int = 8) -> int:
+    """q_events_spearman (fractional average ranks on the dsum grid,
+    Pearson on ranks) vs a Python recount. Axes: heavy ties (few distinct
+    hourly sums), constant series (rank variance 0 -> NULL rho via
+    try_divide on sqrt(0)*sqrt(.)), perfectly monotone pairs (rho exactly
+    +-1 modulo the fixed-point grid), single-shared-hour pairs, null-ts
+    hourly rows never joining."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = get_query("q_events_spearman").fn
+
+    def rhu(x):
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(43000 + t)
+        hostile = t % 2 == 0
+        rows = []
+        i = 0
+        n_hours = rng.randint(2, 18)
+        for h in range(n_hours):
+            for et in ("a", "b", "c"):
+                r = rng.random()
+                if hostile and et == "c":
+                    v = 4.0  # constant series: zero rank variance
+                elif hostile and r < 0.4:
+                    v = float(rng.randint(0, 2))  # heavy ties
+                else:
+                    v = round(rng.uniform(-30, 30), 2)
+                if rng.random() < 0.85:  # some missing hours
+                    rows.append((i, BASE + timedelta(hours=h, minutes=rng.randint(0, 59)), 1, et, v))
+                    i += 1
+        if hostile:
+            rows.append((i, None, 1, "a", 9.9)); i += 1
+        d = _write_events(rows)
+        got = {
+            (r.type_a, r.type_b): (r.n_hours, r.rho) for r in q(spark, d).collect()
+        }
+
+        hourly: dict = {}
+        for _i, ts, _u, et, v in rows:
+            if ts is None:
+                continue
+            h = ts.replace(minute=0, second=0, microsecond=0)
+            hourly[(et, h)] = hourly.get((et, h), 0) + rhu(v * 100)
+        series: dict = {}
+        for (et, h), cents in hourly.items():
+            series.setdefault(et, {})[h] = cents / 100
+        want = {}
+        ts_ = sorted(series)
+        for ai in range(len(ts_)):
+            for bi in range(ai + 1, len(ts_)):
+                a, b = ts_[ai], ts_[bi]
+                hs = sorted(set(series[a]) & set(series[b]))
+                if not hs:
+                    continue
+                va = [series[a][h] for h in hs]
+                vb = [series[b][h] for h in hs]
+
+                def ranks(vals):
+                    return [
+                        (1 + sum(1 for w in vals if w < v))
+                        + (sum(1 for w in vals if w == v) - 1) / 2.0
+                        for v in vals
+                    ]
+
+                rx, ry = ranks(va), ranks(vb)
+                n = float(len(hs))
+                sx = sum(rhu(r * 10) for r in rx) / 10
+                sy = sum(rhu(r * 10) for r in ry) / 10
+                sxy = sum(rhu(x * y * 100) for x, y in zip(rx, ry)) / 100
+                sx2 = sum(rhu(x * x * 100) for x in rx) / 100
+                sy2 = sum(rhu(y * y * 100) for y in ry) / 100
+                dx = n * sx2 - sx * sx
+                dy = n * sy2 - sy * sy
+                denom = math.sqrt(dx if dx > 0.0 else 0.0) * math.sqrt(dy if dy > 0.0 else 0.0)
+                num = n * sxy - sx * sy
+                rho = None if denom == 0 else num / denom
+                want[(a, b)] = (int(n), rho)
+        if got != want:
+            fails += 1
+            bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
+            print(f"  spearman trial {t}: MISMATCH {[(k, got.get(k), want.get(k)) for k in sorted(bad)][:3]}")
+    return fails
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("fuzz13")
@@ -2355,6 +2608,18 @@ def main() -> None:
     if which in ("novelty", "all"):
         f = fuzz_novelty(spark)
         ran.append(("novelty", 8, f))
+        total += f
+    if which in ("affinity", "all"):
+        f = fuzz_affinity(spark)
+        ran.append(("affinity", 8, f))
+        total += f
+    if which in ("welch", "all"):
+        f = fuzz_welch(spark)
+        ran.append(("welch", 8, f))
+        total += f
+    if which in ("spearman", "all"):
+        f = fuzz_spearman(spark)
+        ran.append(("spearman", 8, f))
         total += f
     for name, trials, f in ran:
         print(f"{name}: {trials} trials, {f} failures")
