@@ -156,12 +156,19 @@ Targets:
   spearman q_events_spearman     vs a Python fractional-rank recount
                                  (heavy ties, constant series -> NULL,
                                  monotone pairs, single-shared-hour).
+  lm       q_llm_unigram_logprob vs Python corpus-LM recounts (micro-nat
+           q_llm_bigram_logprob  dsums; single-token docs -> 0 bigrams
+                                 NULL score, whole-corpus duplicates ->
+                                 exactly 0, word-salad ordering).
+  split    q_llm_split           vs a Python hashlib recount of the
+                                 md5-prefix 80/10/10 rule (null text,
+                                 duplicate texts, null lang).
 
 Run:  python docs/fuzz_round13.py
       [pack|bpe|bpe_train|gapfill|path|ewma|wsample|bm25|leakage|hh|
        diff|chunk|rollup|canonical|substring|tfidf|budget|tempmix|int8|
        langid|funnel|fuzzy|latency|zscore|robust|quality|winsorize|novelty|
-       affinity|welch|spearman|all]
+       affinity|welch|spearman|lm|split|all]
 
 Results land in SCALE.md's sweep ledger; canonical hostile shapes get
 promoted to committed regression tests.
@@ -2492,6 +2499,145 @@ def fuzz_spearman(spark, trials: int = 8) -> int:
     return fails
 
 
+# ---------------------------------------------------------------------------
+# unigram/bigram LM scores + split: CCNet filters and the hash split rule
+# ---------------------------------------------------------------------------
+
+
+def fuzz_lm(spark, trials: int = 8) -> int:
+    """q_llm_unigram_logprob + q_llm_bigram_logprob (corpus-own LM MLE
+    scores, micro-nat dsum accumulation) vs Python recounts. Axes:
+    single-token docs (0 bigrams -> n_bigrams 0, NULL score), empty/null
+    docs (row kept, n 0, NULL), whole-corpus-duplicate docs (ctf == total
+    -> ln(1) = 0 exactly; mean exactly 0), word-salad docs (common words,
+    impossible order — the bigram score must drop), repeated-bigram docs
+    (bf > 1 weighting)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    qu = get_query("q_llm_unigram_logprob").fn
+    qb = get_query("q_llm_bigram_logprob").fn
+
+    def rhu(x):
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(44000 + t)
+        hostile = t % 2 == 0
+        rows = []
+        for i in range(rng.randint(3, 90)):
+            r = rng.random()
+            if hostile and r < 0.08:
+                text = None
+            elif hostile and r < 0.16:
+                text = rng.choice(["", "solo"])  # empty / single-token
+            elif hostile and r < 0.3:
+                text = "same same same"  # self-duplicating tokens/bigrams
+            elif hostile and r < 0.45:
+                # word salad: corpus-common words, shuffled order
+                ws = ["the", "of", "and", "to", "in"] * 2
+                rng.shuffle(ws)
+                text = " ".join(ws)
+            else:
+                text = " ".join(
+                    rng.choice(["the", "of", "and", "quick", "fox", f"r{rng.randint(0,20)}"])
+                    for _ in range(rng.randint(1, 25))
+                )
+            rows.append((i, text, "en", "s"))
+        d = _write_documents(rows)
+        gu = {r.doc_id: (r.n_tokens, r.mean_logprob) for r in qu(spark, d).collect()}
+        gb = {r.doc_id: (r.n_bigrams, r.mean_logprob) for r in qb(spark, d).collect()}
+
+        toks = {i: _tokens(txt) for i, txt, _l, _s in rows}
+        ctf: dict = {}
+        for v in toks.values():
+            for w in v:
+                ctf[w] = ctf.get(w, 0) + 1
+        total = sum(ctf.values())
+        wu = {}
+        for i, v in toks.items():
+            n = len(v)
+            if n == 0:
+                wu[i] = (0, None)
+                continue
+            tf: dict = {}
+            for w in v:
+                tf[w] = tf.get(w, 0) + 1
+            micro = sum(rhu(c * math.log(ctf[w] / total) * 1000000) for w, c in tf.items())
+            wu[i] = (n, (micro / 1000000) / n)
+        if gu != wu:
+            fails += 1
+            bad = {k for k in set(gu) | set(wu) if gu.get(k) != wu.get(k)}
+            print(f"  lm(uni) trial {t}: MISMATCH {[(k, gu.get(k), wu.get(k)) for k in sorted(bad)][:3]}")
+
+        cbf: dict = {}
+        ctx: dict = {}
+        for v in toks.values():
+            for a, b in zip(v, v[1:]):
+                cbf[(a, b)] = cbf.get((a, b), 0) + 1
+                ctx[a] = ctx.get(a, 0) + 1
+        wb = {}
+        for i, v in toks.items():
+            bigs = list(zip(v, v[1:]))
+            if not bigs:
+                wb[i] = (0, None)
+                continue
+            bf: dict = {}
+            for g in bigs:
+                bf[g] = bf.get(g, 0) + 1
+            micro = sum(
+                rhu(c * math.log(cbf[g] / ctx[g[0]]) * 1000000) for g, c in bf.items()
+            )
+            wb[i] = (len(bigs), (micro / 1000000) / len(bigs))
+        if gb != wb:
+            fails += 1
+            bad = {k for k in set(gb) | set(wb) if gb.get(k) != wb.get(k)}
+            print(f"  lm(bi) trial {t}: MISMATCH {[(k, gb.get(k), wb.get(k)) for k in sorted(bad)][:3]}")
+    return fails
+
+
+def fuzz_split(spark, trials: int = 8) -> int:
+    """q_llm_split (md5-prefix 80/10/10 hash split on text, per-lang
+    counts) vs a Python hashlib recount of the declared bucket rule.
+    Axes: null text (COALESCE '' hashes), duplicate texts (identical
+    buckets — determinism IS the contract), null lang groups, texts
+    engineered across all three splits."""
+    import hashlib
+
+    q = get_query("q_llm_split").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(45000 + t)
+        hostile = t % 2 == 0
+        rows = []
+        dup_pool = []
+        for i in range(rng.randint(3, 150)):
+            lang = rng.choice(["en", "de", None] if hostile else ["en", "de", "fr"])
+            r = rng.random()
+            if hostile and r < 0.08:
+                text = None
+            elif hostile and r < 0.3 and dup_pool:
+                text = rng.choice(dup_pool)
+            else:
+                text = " ".join(f"s{rng.randint(0, 99)}" for _ in range(rng.randint(0, 12)))
+                dup_pool.append(text)
+            rows.append((i, text, lang, "s"))
+        d = _write_documents(rows)
+        got = {(r.lang, r.split): r.n for r in q(spark, d).collect()}
+
+        want: dict = {}
+        for _i, text, lang, _s in rows:
+            b = int(hashlib.md5((text or "").encode()).hexdigest()[:4], 16) % 10
+            split = "train" if b < 8 else ("val" if b == 8 else "test")
+            want[(lang, split)] = want.get((lang, split), 0) + 1
+        if got != want:
+            fails += 1
+            bad = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
+            print(f"  split trial {t}: MISMATCH {[(k, got.get(k), want.get(k)) for k in sorted(bad, key=str)][:4]}")
+    return fails
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("fuzz13")
@@ -2620,6 +2766,14 @@ def main() -> None:
     if which in ("spearman", "all"):
         f = fuzz_spearman(spark)
         ran.append(("spearman", 8, f))
+        total += f
+    if which in ("lm", "all"):
+        f = fuzz_lm(spark)
+        ran.append(("lm", 8, f))
+        total += f
+    if which in ("split", "all"):
+        f = fuzz_split(spark)
+        ran.append(("split", 8, f))
         total += f
     for name, trials, f in ran:
         print(f"{name}: {trials} trials, {f} failures")
