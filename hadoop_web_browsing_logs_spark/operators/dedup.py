@@ -284,6 +284,15 @@ def containment_report(
         .distinct()
     )
     if max_shingle_df is not None:
+        # Collision caveat: df is counted over xxhash64 fingerprints (shh)
+        # while the DuckDB oracle counts raw shingle strings, so a 64-bit
+        # collision would merge two shingles' dfs ENGINE-SIDE ONLY and
+        # could flip the <= cap for those keys, breaking oracle parity.
+        # Before the default-on cap, collisions only touched pair-join
+        # keys; now df itself is semantic. Accepted as a documented
+        # residual risk at ~2^-64 per shingle pair — counting df
+        # pre-fingerprint would ship the wide shingle strings through the
+        # exchange instead of 8-byte keys, the wrong trade at 100 TB.
         # ONE shh-keyed exchange: count-over-window (no orderBy — unbounded
         # frame, no sort) then filter. The groupBy-count + semi-join-back
         # alternative re-exchanges the full corpus-sized shingle table for

@@ -778,7 +778,9 @@ def _winsorize_oracle() -> str:
         "(Spark percentile() ≡ DuckDB quantile_cont() on this data; in "
         "general the engines diverge 1 ulp inside duplicate-value runs — "
         "Spark buckets per distinct value, DuckDB lerps equal slots — "
-        "absorbed by the 6-decimal float canonicalization, SCALE.md r13) "
+        "absorbed by the 6-decimal float canonicalization on all probed "
+        "data — a 1-ulp value straddling a 0.5e-6 rounding boundary "
+        "remains a theoretical parity gap, SCALE.md r13) "
         "gate the oracle; at 100 TB swap the "
         "BOUND computation to the mergeable approx_percentile sketch "
         "(same clamp join, and the sketch's error envelope is already "
@@ -856,7 +858,8 @@ def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corrupted burst cannot drag. Two exact-percentile passes (median, "
         "then median absolute deviation) — matching DuckDB quantile_cont "
         "(probed parity; 1-ulp divergence inside duplicate-value runs is "
-        "absorbed at 6 decimals, SCALE.md r13) — then a counting "
+        "absorbed at 6 decimals on all probed data; boundary-straddling "
+        "values stay a theoretical gap, SCALE.md r13) — then a counting "
         "aggregate; the "
         "median/MAD tables are |types|-sized so both joins back are AQE "
         "broadcasts. Zero-MAD types (>=50% constant values) are excluded "

@@ -113,9 +113,11 @@ def brute_force_topk(
     query) and the forced hint bakes that contract in, bypassing AQE's
     size check (ADVICE r12) — a caller whose query set is itself
     corpus-scale must pass ``broadcast_queries=False`` (the unhinted plan
-    then goes through AQE's broadcast-threshold check and fails loudly to
-    a non-broadcast strategy instead of OOMing the driver), and should
-    partition the query set and loop rather than flip the broadcast."""
+    then falls back to AQE's size-checked strategy — typically a
+    BroadcastNestedLoopJoin only while the chosen build side fits the
+    threshold, a cartesian product otherwise — instead of a forced
+    driver-side broadcast), and should partition the query set and loop
+    rather than flip the broadcast."""
     from ..functions.vector import norm
 
     q = queries.withColumn("q_norm", norm("q_vec"))
