@@ -142,6 +142,12 @@ HEADLINE = [
     # keyed on RAW shingle fingerprints (no banding), so its cost curve
     # vs q_dedup_minhash_lsh shows what the banded family saves.
     "q_dedup_containment",
+    # round-14 addition, tracked from birth: the second hybrid-RRF query
+    # point (different lexical terms + different dense point through the
+    # same hybrid_rrf kernel) — benched beside q_sim_hybrid_rrf so a cost
+    # divergence between the two isolates data-dependent skew in one
+    # query's lists rather than a kernel regression.
+    "q_sim_hybrid_rrf2",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal
@@ -216,6 +222,46 @@ def _detect_regressions(
                 "gate": gate,
             }
     return out
+
+
+def _ambient_shift(
+    trend: dict[str, dict[str, float]],
+    min_queries: int = 8,
+    min_last_sec: float = 0.05,
+    flag_ratio: float = 1.2,
+) -> dict[str, float | int | bool] | None:
+    """Machine-wide ambient-shift discriminator (VERDICT r13 item 5).
+
+    The tiered per-query gate compares each query against its own committed
+    median, so a UNIFORM machine-wide slowdown (post-suite page-cache
+    pressure, a contended box, a session-conf change) either hides under
+    every per-query gate or fires them all at once — the r13 driver
+    snapshot moved +13.7% uniformly and the gate rightly stayed quiet, but
+    a real all-query regression would have looked identical. This computes
+    the MEDIAN now/last-committed ratio across every headline query with a
+    committed same-SF history (the median is robust: fewer than half the
+    queries being genuinely code-touched cannot move it past the flag on
+    their own) and flags when it exceeds ``flag_ratio`` = 1.2x — just
+    outside SCALE.md's measured ±15-20% ambient band. Interpretation when
+    flagged: the shift is machine-wide — if the code is untouched, rerun
+    idle (ambient); if a session-level change landed, bisect THAT, not the
+    individual queries. Returns ``{"median_ratio", "n", "flagged"}`` or
+    ``None`` when fewer than ``min_queries`` queries have both a committed
+    median above ``min_last_sec`` (sub-50 ms queries are timer jitter) and
+    a current sample."""
+    ratios: list[float] = []
+    for hist in trend.values():
+        rounds = sorted((k for k in hist if k != "now"), key=lambda k: int(k[1:]))
+        now = hist.get("now")
+        if not rounds or now is None:
+            continue
+        last = hist[rounds[-1]]
+        if last >= min_last_sec:
+            ratios.append(now / last)
+    if len(ratios) < min_queries:
+        return None
+    med = statistics.median(ratios)
+    return {"median_ratio": round(med, 3), "n": len(ratios), "flagged": med > flag_ratio}
 
 
 def main() -> None:
@@ -300,6 +346,25 @@ def main() -> None:
         regressions = _detect_regressions(trend)
         detail["regressions"] = regressions
         detail["regression_count"] = len(regressions)
+        # Ambient-shift discriminator (VERDICT r13 item 5): the median
+        # now/last ratio across all historied queries separates a
+        # machine-wide shift (rerun idle / bisect the session conf) from
+        # isolated per-query regressions (bisect the query's kernel).
+        ambient = _ambient_shift(trend)
+        detail["ambient_shift"] = ambient
+        if ambient is not None:
+            line["ambient_shift_ratio"] = ambient["median_ratio"]
+            line["ambient_shift_flag"] = ambient["flagged"]
+            if ambient["flagged"]:
+                print(
+                    f"AMBIENT SHIFT: median now/last ratio "
+                    f"{ambient['median_ratio']}x across {ambient['n']} "
+                    f"historied queries — machine-wide, not per-query; if "
+                    f"the code is untouched rerun idle, else bisect the "
+                    f"session-level change (per-query flags above are "
+                    f"suspect until then)",
+                    file=sys.stderr,
+                )
         for qn, r in sorted(regressions.items()):
             print(
                 f"REGRESSION {qn}: {r['last_committed']}s (r{r['round']}) -> "

@@ -1,0 +1,734 @@
+"""Round-14 randomized differential sweep — the graph family.
+
+Extends the fuzz-differential program (docs/fuzz_round12b.py,
+docs/fuzz_round13.py, SCALE.md sweep ledger) to the graph kernels VERDICT
+r13 item 2 ranked top: the unrolled-CTE PageRank/LPA/BFS oracles share
+their DERIVATION with the engine (the DuckDB CTE chain is a
+transliteration of the same recurrence), which is exactly the class that
+hid connected_components' one-hop fragmentation for 9 rounds. Each family
+replays the LIBRARY KERNEL the registered query calls (the registered
+queries themselves are pinned to the SF purchase/co-order graphs; the
+kernel is where the recurrence lives) on randomized hostile graphs against
+an INDEPENDENT reference built from a DIFFERENT formulation of the
+declared semantics:
+
+  pagerank  pagerank() both       vs a dense numpy power iteration
+            variants (inside      (adjacency MATRIX form — no per-edge
+            q_graph_pagerank /    ratio table, no dsum quantization; the
+            _dangling)            engine's per-iteration dsum(15) is
+                                  absorbed by a 1e-9 tolerance, ~6 orders
+                                  above the quantization error and ~6
+                                  below any semantic bug). Axes: dangling
+                                  nodes (dst-only), ZERO-SUM out-weights
+                                  (cancelling +/- w: ratio NULL -> mass
+                                  leaks, and the node is NOT in the
+                                  redistribution set — it has out-edges),
+                                  zero-weight edges, self-loops, varying
+                                  iteration counts 1-4.
+  lpa       label_propagation()   vs a Python vote-dict fold (argmax by
+            (inside q_graph_      max weight, tie -> smallest label) on
+            label_propagation)    SYMMETRIZED random graphs per the
+                                  documented contract. Axes: massive vote
+                                  ties (all-equal weights on small label
+                                  domains), zero- and negative-weight
+                                  edges, self-loops, star/clique motifs,
+                                  iterations 1-4.
+  bfs       bfs_frontier()        vs a Python queue BFS (dict of min
+            (inside q_graph_      dists, plain FIFO — no frontier/visited
+            bfs_frontier)         DataFrame algebra). Axes: directed
+                                  cycles, adjacent seeds, seeds with no
+                                  edges, disconnected components,
+                                  max_hops 1-4, duplicate seed rows.
+  reach     the _REACH_BODY       vs a Python walk-count DP (walks[h][v]
+            recursive CTE         fold over h<=2 — counts every length-<=K
+            (inside q_graph_      walk, not just reachability; dist=MIN
+            reachability)         hop). Axes: multi-seed tables (the
+                                  registered query runs one seed; the
+                                  recursion body is generic), cycles
+                                  through the seed, diamond fan-in
+                                  (walk counts > 1), self-loops.
+  triangles triangle_             vs a Python neighbor-set intersection
+            participation()       recount. Axes: adversarial degree skew
+            (inside q_graph_      (celebrity hub + chords), overlapping
+            triangles)            cliques K4-K6, triangle-free stars and
+                                  bipartite graphs (empty result), degree
+                                  ties everywhere (the orientation's
+                                  (deg, id) tie-break is load-bearing).
+
+Run:  python docs/fuzz_round14.py [pagerank|lpa|bfs|reach|triangles|all]
+
+Results land in SCALE.md's sweep ledger; canonical hostile shapes get
+promoted to committed regression tests.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from collections import defaultdict, deque
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hadoop_web_browsing_logs_spark.session import get_spark  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# graph generators
+# ---------------------------------------------------------------------------
+
+
+def _rand_digraph(rng: random.Random, weighted: bool = True):
+    """Random directed (src, dst, w) edge list with hostile structure mixed
+    in: dangling sinks, zero-sum out-weights, self-loops, zero weights."""
+    n = rng.randint(3, 28)
+    nodes = list(range(1, n + 1))
+    edges: dict[tuple[int, int], int] = {}
+    # random base edges
+    for _ in range(rng.randint(n, 4 * n)):
+        u, v = rng.choice(nodes), rng.choice(nodes)
+        if u == v and rng.random() < 0.7:
+            continue  # keep self-loops, but rarer than the draw
+        w = rng.choice([0, 1, 1, 2, 3, 5, -2, -1]) if weighted else 1
+        edges[(u, v)] = edges.get((u, v), 0) + w  # pre-summed multi-edges
+    # force a dangling sink: a node that appears only as dst
+    sink = n + 1
+    edges[(rng.choice(nodes), sink)] = 3
+    # force a zero-sum out-weight node (cancelling +/-): has out-edges, so
+    # it is NOT dangling, but its ratio is NULL and its mass leaks
+    if weighted and n >= 4 and rng.random() < 0.7:
+        z = rng.choice(nodes)
+        others = [x for x in nodes if x != z]
+        a, b = rng.sample(others, 2)
+        # overwrite z's existing out-edges so the sum is exactly zero
+        for (u, v) in [k for k in edges if k[0] == z]:
+            del edges[(u, v)]
+        edges[(z, a)] = 4
+        edges[(z, b)] = -4
+    return [(u, v, w) for (u, v), w in edges.items()]
+
+
+def _rand_undirected(rng: random.Random):
+    """Random undirected (a, b) a<b simple edge list with triangle-hostile
+    motifs: a celebrity hub, overlapping cliques, and tie-heavy degrees."""
+    n = rng.randint(4, 26)
+    nodes = list(range(1, n + 1))
+    edges: set[tuple[int, int]] = set()
+    shape = rng.choice(["random", "hub", "cliques", "bipartite", "mixed"])
+    if shape in ("random", "mixed"):
+        for _ in range(rng.randint(n, 3 * n)):
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+    if shape in ("hub", "mixed"):
+        hub = nodes[0]
+        for v in nodes[1:]:
+            edges.add((min(hub, v), max(hub, v)))
+        # chords among the hub's neighbors -> triangles THROUGH the hub
+        for _ in range(rng.randint(0, n)):
+            a, b = rng.sample(nodes[1:], 2)
+            edges.add((min(a, b), max(a, b)))
+    if shape in ("cliques", "mixed"):
+        for _ in range(rng.randint(1, 3)):
+            k = rng.randint(3, min(6, n))
+            clique = rng.sample(nodes, k)
+            for i in range(k):
+                for j in range(i + 1, k):
+                    a, b = clique[i], clique[j]
+                    edges.add((min(a, b), max(a, b)))
+    if shape == "bipartite":  # triangle-free by construction
+        left = nodes[: n // 2]
+        right = nodes[n // 2:]
+        for _ in range(rng.randint(n, 3 * n)):
+            a, b = rng.choice(left), rng.choice(right)
+            edges.add((min(a, b), max(a, b)))
+    return sorted(edges)
+
+
+# ---------------------------------------------------------------------------
+# pagerank: both variants vs a dense numpy power iteration
+# ---------------------------------------------------------------------------
+
+
+def fuzz_pagerank(spark, trials: int = 8) -> int:
+    import numpy as np
+
+    from hadoop_web_browsing_logs_spark.operators.graph import pagerank
+
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(1400 + t)
+        el = _rand_digraph(rng)
+        iters = rng.randint(1, 4)
+        redistribute = t % 2 == 1
+        nodes = sorted({u for u, _, _ in el} | {v for _, v, _ in el})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        # independent formulation: dense transition MATRIX, float ratios —
+        # never the engine's per-edge ratio table or dsum quantization
+        ow = defaultdict(int)
+        for u, _, w in el:
+            ow[u] += w
+        m = np.zeros((n, n))
+        for u, v, w in el:
+            if ow[u] != 0:  # zero-sum out-weight -> NULL ratio -> no mass
+                m[idx[u], idx[v]] += w / ow[u]
+        has_out = {u for u, _, _ in el}
+        dang_mask = np.array([v not in has_out for v in nodes])
+        d = 0.85
+        pr = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            contrib = m.T @ pr
+            dm = pr[dang_mask].sum() if redistribute else 0.0
+            pr = (1 - d) / n + d * (contrib + dm / n)
+        expected = {v: pr[idx[v]] for v in nodes}
+
+        df = spark.createDataFrame(el, ["src", "dst", "w"])
+        got = {
+            r["node"]: r["pr"]
+            for r in pagerank(
+                df, iterations=iters, redistribute_dangling=redistribute
+            ).collect()
+        }
+        ok = set(got) == set(expected) and all(
+            abs(got[v] - expected[v]) < 1e-9 for v in expected
+        )
+        if not ok:
+            fails += 1
+            diffs = {
+                v: (got.get(v), expected.get(v))
+                for v in set(got) | set(expected)
+                if v not in got
+                or v not in expected
+                or abs(got[v] - expected[v]) >= 1e-9
+            }
+            print(f"  pagerank trial {t} (redist={redistribute}, K={iters}) "
+                  f"FAIL: {dict(list(diffs.items())[:4])}")
+    print(f"fuzz_pagerank: {trials - fails}/{trials} ok")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# lpa: label_propagation vs a Python vote-dict fold on symmetrized graphs
+# ---------------------------------------------------------------------------
+
+
+def fuzz_lpa(spark, trials: int = 8) -> int:
+    from hadoop_web_browsing_logs_spark.operators.graph import label_propagation
+
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(2400 + t)
+        base = _rand_digraph(rng)
+        iters = rng.randint(1, 4)
+        if rng.random() < 0.4:
+            # massive-tie axis: unit weights over a dense small graph
+            base = [(u, v, 1) for u, v, _ in base]
+        # documented contract: symmetrize for undirected semantics
+        # (self-loops delivered once)
+        sym: dict[tuple[int, int], int] = {}
+        for u, v, w in base:
+            sym[(u, v)] = sym.get((u, v), 0) + w
+            if u != v:
+                sym[(v, u)] = sym.get((v, u), 0) + w
+        el = [(u, v, w) for (u, v), w in sym.items()]
+
+        # independent reference: per-iteration defaultdict vote fold
+        labels = {v: v for v in {u for u, _, _ in el} | {v for _, v, _ in el}}
+        for _ in range(iters):
+            votes: dict[int, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+            for u, v, w in el:
+                if u in labels:
+                    votes[v][labels[u]] += w
+            labels = {
+                v: min(lw.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                for v, lw in votes.items()
+            }
+        df = spark.createDataFrame(el, ["src", "dst", "w"])
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iterations=iters).collect()
+        }
+        if got != labels:
+            fails += 1
+            diffs = {
+                v: (got.get(v), labels.get(v))
+                for v in set(got) | set(labels)
+                if got.get(v) != labels.get(v)
+            }
+            print(f"  lpa trial {t} (K={iters}) FAIL: {dict(list(diffs.items())[:5])}")
+    print(f"fuzz_lpa: {trials - fails}/{trials} ok")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# bfs: bfs_frontier vs a Python queue BFS
+# ---------------------------------------------------------------------------
+
+
+def fuzz_bfs(spark, trials: int = 8) -> int:
+    from hadoop_web_browsing_logs_spark.operators.graph import bfs_frontier
+
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(3400 + t)
+        el = [(u, v) for u, v, _ in _rand_digraph(rng, weighted=False)]
+        max_hops = rng.randint(1, 4)
+        nodes = sorted({u for u, _ in el} | {v for _, v in el})
+        n_seeds = rng.randint(1, max(1, len(nodes) // 4))
+        seeds = rng.sample(nodes, n_seeds)
+        if rng.random() < 0.4:
+            seeds.append(10_000 + t)  # a seed with no edges at all
+        seed_rows = seeds + ([seeds[0]] if rng.random() < 0.5 else [])  # dup rows
+
+        # independent reference: plain FIFO multi-source BFS
+        adj = defaultdict(list)
+        for u, v in el:
+            adj[u].append(v)
+        dist = {s: 0 for s in seeds}
+        q = deque(seeds)
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+
+        edges = spark.createDataFrame(el, ["src", "dst"])
+        seed_df = spark.createDataFrame([(s,) for s in seed_rows], ["node"])
+        got = {
+            r["node"]: r["dist"]
+            for r in bfs_frontier(edges, seed_df, max_hops=max_hops).collect()
+        }
+        if got != dist:
+            fails += 1
+            diffs = {
+                v: (got.get(v), dist.get(v))
+                for v in set(got) | set(dist)
+                if got.get(v) != dist.get(v)
+            }
+            print(f"  bfs trial {t} (hops={max_hops}) FAIL: "
+                  f"{dict(list(diffs.items())[:5])}")
+    print(f"fuzz_bfs: {trials - fails}/{trials} ok")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# reach: the _REACH_BODY recursive CTE vs a Python walk-count DP
+# ---------------------------------------------------------------------------
+
+
+def fuzz_reach(spark, trials: int = 8) -> int:
+    from hadoop_web_browsing_logs_spark.operators.graph import (
+        REACH_MAX_HOPS,
+        _REACH_BODY,
+    )
+
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(4400 + t)
+        el = sorted({(u, v) for u, v, _ in _rand_digraph(rng, weighted=False)})
+        nodes = sorted({u for u, _ in el} | {v for _, v in el})
+        seeds = sorted(rng.sample(nodes, rng.randint(1, 3)))
+        if rng.random() < 0.5 and seeds:
+            # cycle through a seed: guarantees the seed is re-entered at
+            # hop <= 2, so its n_walks > 1 while its dist stays 0
+            s = seeds[0]
+            back = rng.choice(nodes)
+            el = sorted(set(el) | {(s, back), (back, s)})
+
+        # independent reference: walks[h][v] DP over h <= REACH_MAX_HOPS —
+        # counts every length-<=K walk (multiplicities), dist = min hop
+        adj = defaultdict(list)
+        for u, v in el:
+            adj[u].append(v)
+        walks = [defaultdict(int)]
+        for s in seeds:
+            walks[0][s] += 1
+        for h in range(REACH_MAX_HOPS):
+            nxt: dict[int, int] = defaultdict(int)
+            for u, c in walks[h].items():
+                for v in adj[u]:
+                    nxt[v] += c
+            walks.append(nxt)
+        expected = {}
+        for h, layer in enumerate(walks):
+            for v, c in layer.items():
+                if v not in expected:
+                    expected[v] = [h, 0]
+                expected[v][1] += c
+        exp = {v: (d, c) for v, (d, c) in expected.items()}
+
+        edges = spark.createDataFrame(el, ["src", "dst"])
+        seed_df = spark.createDataFrame([(s,) for s in seeds], ["node"])
+        res = spark.sql(
+            f"WITH RECURSIVE {_REACH_BODY}", seeds=seed_df, edges=edges
+        ).collect()
+        got = {r["node"]: (r["dist"], r["n_walks"]) for r in res}
+        if got != exp:
+            fails += 1
+            diffs = {
+                v: (got.get(v), exp.get(v))
+                for v in set(got) | set(exp)
+                if got.get(v) != exp.get(v)
+            }
+            print(f"  reach trial {t} FAIL: {dict(list(diffs.items())[:5])}")
+    print(f"fuzz_reach: {trials - fails}/{trials} ok")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# triangles: triangle_participation vs a neighbor-set intersection recount
+# ---------------------------------------------------------------------------
+
+
+def fuzz_triangles(spark, trials: int = 8) -> int:
+    from hadoop_web_browsing_logs_spark.operators.graph import triangle_participation
+
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(5400 + t)
+        el = _rand_undirected(rng)
+        if not el:
+            continue
+
+        # independent reference: per-node neighbor-set intersections
+        adj = defaultdict(set)
+        for a, b in el:
+            adj[a].add(b)
+            adj[b].add(a)
+        tri = defaultdict(int)
+        for a, b in el:
+            for c in adj[a] & adj[b]:
+                tri[a] += 1  # each (a,b,c) triangle counted once per edge
+        # each triangle has 3 edges; the loop above credits endpoint a of
+        # every edge once per closing vertex -> node participation =
+        # (sum over its incident triangle-edge-closings) / 2
+        part = defaultdict(int)
+        for a, b in el:
+            for c in adj[a] & adj[b]:
+                part[a] += 1
+                part[b] += 1
+        expected = {v: c // 2 for v, c in part.items() if c}
+
+        df = spark.createDataFrame(el, ["a", "b"])
+        got = {
+            r["node"]: r["n_triangles"] for r in triangle_participation(df).collect()
+        }
+        if got != expected:
+            fails += 1
+            diffs = {
+                v: (got.get(v), expected.get(v))
+                for v in set(got) | set(expected)
+                if got.get(v) != expected.get(v)
+            }
+            print(f"  triangles trial {t} FAIL: {dict(list(diffs.items())[:5])}")
+    print(f"fuzz_triangles: {trials - fails}/{trials} ok")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# streaming equivalence fuzz (VERDICT r13 item 3): randomized hostile event
+# TAPES — multiple parquet files, one file per micro-batch under
+# maxFilesPerTrigger=1 — replayed through readStream and compared against the
+# batch twin, exactly the claim the five registered equiv gates make on the
+# fixed fixture. Hostile axes the fixture never exercises: late data exactly
+# AT the watermark, sessions merging across >=3 micro-batches, a user whose
+# entire history is one micro-batch, same-ts state-change ties, unmatched
+# purchases flushing only via the far-future sentinel.
+# ---------------------------------------------------------------------------
+
+BASE_TS = 1704067200  # 2024-01-01 00:00:00 UTC, epoch seconds
+
+
+def _write_event_tape(batches) -> str:
+    """batches: list of row lists; each inner list becomes ONE parquet file
+    (= one micro-batch). Rows: (event_id, ts_epoch_s|None, user_id|None,
+    event_type, value). Returns an sf_dir-shaped tmp root whose
+    events.parquet is a DIRECTORY of sequentially-named, mtime-ordered
+    files — the layout both load_table and the file stream source accept."""
+    import os
+    import tempfile
+    import time as _time
+
+    import duckdb
+
+    root = tempfile.mkdtemp(prefix="fuzz14_stream_")
+    d = os.path.join(root, "events.parquet")
+    os.mkdir(d)
+    t0 = _time.time() - 1000
+    for i, rows in enumerate(batches):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+            " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+        )
+        con.executemany(
+            "INSERT INTO e VALUES (?, to_timestamp(?), ?, ?, ?, ?)",
+            [(r[0], r[1], r[2], r[3], r[4], None) for r in rows],
+        )
+        p = os.path.join(d, f"part-{i:03d}.parquet")
+        con.execute(f"COPY e TO '{p}' (FORMAT PARQUET)")
+        con.close()
+        os.utime(p, (t0 + i, t0 + i))  # file source orders by (mtime, path)
+    return root
+
+
+def _rows_set(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _split_tape(rng: random.Random, rows, n_batches: int):
+    """Split ts-sorted rows into sequential micro-batches at ts boundaries
+    (equal-ts rows never straddle a batch — the SCD2 cross-batch-order
+    contract), then inject bounded lateness: move a few rows one batch LATER
+    while keeping them within the 2h watermark allowance of that batch's
+    maximum — including some exactly AT the boundary."""
+    rows = sorted(rows, key=lambda r: (r[1], r[0]))
+    cuts = sorted(rng.sample(range(1, len(rows)), min(n_batches - 1, len(rows) - 1)))
+    batches = []
+    prev = 0
+    for c in cuts + [len(rows)]:
+        # slide the cut right so equal-ts runs stay together
+        while c < len(rows) and c > prev and rows[c][1] == rows[c - 1][1]:
+            c += 1
+        if c > prev:
+            batches.append(rows[prev:c])
+            prev = c
+    return [b for b in batches if b]
+
+
+def fuzz_stream_win(spark, trials: int = 6) -> int:
+    """Tumbling (2h watermark) + session (30min gap, 1h watermark) streamed
+    in complete mode vs the batch builders — the q_stream_equiv_gate /
+    q_stream_session_equiv_gate claim on hostile random tapes."""
+    from pyspark.sql import functions as F
+
+    from hadoop_web_browsing_logs_spark.sources.readers import load_table
+    from hadoop_web_browsing_logs_spark.streaming.windows import (
+        _replay_events_stream,
+        session_agg,
+        tumbling_agg,
+    )
+
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(6400 + t)
+        rows = []
+        eid = 0
+        # several users; sessions engineered to span >=3 micro-batches via
+        # 20-25 min hops (inside the 30 min gap); occasional exact-gap hops
+        for u in range(1, rng.randint(3, 7)):
+            ts = BASE_TS + rng.randint(0, 3600)
+            for _ in range(rng.randint(1, 12)):
+                rows.append((eid, ts, u, rng.choice(["view", "click", "purchase"]),
+                             round(rng.uniform(-50, 50), 2)))
+                eid += 1
+                hop = rng.choice([60, 300, 1200, 1500, 1800, 1800, 2700, 7200])
+                ts += hop  # 1800 = exactly the 30-min gap boundary
+        if rng.random() < 0.5:
+            rows.append((eid, None, 1, "view", 1.0))  # null ts: excluded
+            eid += 1
+        if rng.random() < 0.5:
+            rows.append((eid, BASE_TS + 100, None, "view", 2.0))  # null user
+            eid += 1
+        batches = _split_tape(rng, [r for r in rows if r[1] is not None],
+                              rng.randint(3, 6))
+        # late-at-the-watermark probe: duplicate-shift one event into the
+        # NEXT batch with ts exactly (that batch's max - watermark)
+        if len(batches) >= 2 and rng.random() < 0.7:
+            wm = 7200  # tumbling watermark
+            mx = max(r[1] for r in batches[-1])
+            batches[-1].append((eid, mx - wm, 99, "view", 3.0))
+            eid += 1
+        nulls = [r for r in rows if r[1] is None]
+        if nulls:
+            batches[0] = nulls + batches[0]
+        d = _write_event_tape(batches)
+
+        ev = load_table(spark, d, "events")
+        for which, build, keys, vals in (
+            ("tumbling", tumbling_agg, ["window_start", "event_type"],
+             ["n_events", "sum_value"]),
+            ("session", session_agg, ["session_start", "user_id"],
+             ["session_end", "n_events"]),
+        ):
+            batch = build(ev.filter(F.col("ts").isNotNull()))
+            streamed = _replay_events_stream(
+                spark, d, build, f"fz14_{which}_{t}"
+            )
+            b = _rows_set(batch, keys + vals)
+            s = _rows_set(streamed, keys + vals)
+            if b != s:
+                fails += 1
+                only_b = [r for r in b if r not in s][:3]
+                only_s = [r for r in s if r not in b][:3]
+                print(f"  stream_win trial {t} {which} MISMATCH "
+                      f"batch-only={only_b} stream-only={only_s}")
+    print(f"fuzz_stream_win: {2 * trials - fails}/{2 * trials} ok")
+    return fails
+
+
+def fuzz_stream_scd2(spark, trials: int = 6) -> int:
+    """The applyInPandasWithState SCD2 state machine (append mode) vs the
+    batch twin's closed intervals — q_stream_scd2_equiv_gate's claim on
+    hostile tapes: same-ts state-change ties (event_id tie-break),
+    single-batch whole histories, users spanning every batch, zero-length
+    intervals from two changes at one timestamp."""
+    from pyspark.sql import functions as F
+
+    from hadoop_web_browsing_logs_spark.operators.events_analytics import (
+        q_events_scd2,
+    )
+    from hadoop_web_browsing_logs_spark.streaming.windows import (
+        _replay_events_stream,
+        streaming_scd2,
+    )
+
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(7400 + t)
+        rows = []
+        eid = 0
+        for u in range(1, rng.randint(3, 8)):
+            ts = BASE_TS + rng.randint(0, 600)
+            burst = rng.random() < 0.3  # whole history inside one second run
+            for _ in range(rng.randint(1, 14)):
+                rows.append((eid, ts, u,
+                             rng.choice(["view", "click", "purchase", "view"]),
+                             1.0))
+                eid += 1
+                if burst:
+                    ts += rng.choice([0, 0, 1])  # same-ts ties: event_id order
+                else:
+                    ts += rng.randint(0, 4000)
+        batches = _split_tape(rng, rows, rng.randint(3, 6))
+        d = _write_event_tape(batches)
+
+        batch = q_events_scd2(spark, d).filter(F.col("valid_to").isNotNull())
+        streamed = _replay_events_stream(
+            spark, d,
+            lambda s: streaming_scd2(
+                s.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+            ),
+            f"fz14_scd2_{t}", mode="append",
+        )
+        cols = ["user_id", "valid_from", "state", "valid_to"]
+        b, s = _rows_set(batch, cols), _rows_set(streamed, cols)
+        if b != s:
+            fails += 1
+            only_b = [r for r in b if r not in s][:3]
+            only_s = [r for r in s if r not in b][:3]
+            print(f"  scd2 trial {t} MISMATCH batch-only={only_b} "
+                  f"stream-only={only_s}")
+    print(f"fuzz_stream_scd2: {trials - fails}/{trials} ok")
+    return fails
+
+
+def fuzz_stream_interval(spark, trials: int = 6) -> int:
+    """Stream-stream interval joins, inner AND left-outer (the
+    watermark-gated shape: unmatched purchases flush only after the
+    sentinel advances the watermark) vs the batch twins — the
+    q_stream_interval_/left_equiv_gate claims on hostile tapes: matches
+    exactly AT the 1h interval bound, view exactly at the purchase ts,
+    purchases with zero views, NULL-user purchases surviving as unmatched
+    rows, tail-of-tape purchases whose flush IS the sentinel's job."""
+    from pyspark.sql import functions as F
+
+    from hadoop_web_browsing_logs_spark.sources.readers import load_table
+    from hadoop_web_browsing_logs_spark.streaming.windows import (
+        _replay_events_stream,
+        interval_join_purchases_left,
+        interval_join_views_purchases,
+    )
+
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(8400 + t)
+        rows = []
+        eid = 0
+        for u in range(1, rng.randint(3, 7)):
+            ts = BASE_TS + rng.randint(0, 1200)
+            for _ in range(rng.randint(1, 10)):
+                et = rng.choice(["view", "purchase", "view", "click"])
+                rows.append((eid, ts, u, et, round(rng.uniform(0, 99), 2)))
+                eid += 1
+                ts += rng.choice([0, 1, 600, 3599, 3600, 3601, 5000])
+                # 3600 = exactly the 1h interval bound; 0 = view at purchase ts
+        if rng.random() < 0.6:  # NULL-user purchase: unmatched on both sides
+            rows.append((eid, BASE_TS + 500, None, "purchase", 7.0))
+            eid += 1
+        if rng.random() < 0.6:  # tail purchase: flushes only via sentinel
+            mx = max(r[1] for r in rows)
+            rows.append((eid, mx + 100, 1, "purchase", 8.0))
+            eid += 1
+        batches = _split_tape(rng, rows, rng.randint(3, 6))
+        d = _write_event_tape(batches)
+
+        ev = load_table(spark, d, "events").filter(F.col("ts").isNotNull())
+        views = ev.filter(F.col("event_type") == "view")
+        purchases = ev.filter(F.col("event_type") == "purchase")
+        cols = ["purchase_id", "view_id", "p_user", "purchase_ts", "view_ts", "value"]
+
+        # inner
+        batch = interval_join_views_purchases(views, purchases)
+        streamed = _replay_events_stream(
+            spark, d,
+            lambda s: interval_join_views_purchases(
+                s.filter(F.col("event_type") == "view"),
+                s.filter(F.col("event_type") == "purchase"),
+            ),
+            f"fz14_ivl_{t}", mode="append",
+        )
+        b, s = _rows_set(batch, cols), _rows_set(streamed, cols)
+        if b != s:
+            fails += 1
+            print(f"  interval trial {t} inner MISMATCH "
+                  f"batch-only={[r for r in b if r not in s][:3]} "
+                  f"stream-only={[r for r in s if r not in b][:3]}")
+
+        # left-outer with watermark sentinel
+        batch = interval_join_purchases_left(purchases, views)
+        streamed = _replay_events_stream(
+            spark, d,
+            lambda s: interval_join_purchases_left(
+                s.filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull()),
+                s.filter((F.col("event_type") == "view") & F.col("ts").isNotNull()),
+            ),
+            f"fz14_ivll_{t}", mode="append", watermark_sentinel=True,
+        ).filter(~F.col("p_user").eqNullSafe(-999))
+        b, s = _rows_set(batch, cols), _rows_set(streamed, cols)
+        if b != s:
+            fails += 1
+            print(f"  interval trial {t} LEFT MISMATCH "
+                  f"batch-only={[r for r in b if r not in s][:3]} "
+                  f"stream-only={[r for r in s if r not in b][:3]}")
+    print(f"fuzz_stream_interval: {2 * trials - fails}/{2 * trials} ok")
+    return fails
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    override = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    spark = get_spark("fuzz14")
+    total = 0
+    ran = []
+    for name, fn, trials in (
+        ("pagerank", fuzz_pagerank, 8),
+        ("lpa", fuzz_lpa, 8),
+        ("bfs", fuzz_bfs, 8),
+        ("reach", fuzz_reach, 8),
+        ("triangles", fuzz_triangles, 8),
+    ):
+        if which in (name, "all"):
+            f = fn(spark, override or trials)
+            ran.append((name, override or trials, f))
+            total += f
+    print(f"TOTAL failures: {total} across {ran}")
+    sys.exit(1 if total else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -750,9 +750,17 @@ def rrf_fuse(
     return out.limit(top_k) if top_k is not None else out
 
 
-def _hybrid_rrf_oracle() -> str:
+RRF2_QUERY_TERMS = ("filter", "scan", "batch", "stream")
+RRF2_QUERY_VEC = 7  # second fixed dense query point (exists at every SF)
+
+
+def _hybrid_rrf_oracle(
+    terms: tuple[str, ...] | None = None, query_vec: int = RRF_QUERY_VEC
+) -> str:
     from .text import _BM25_MICRO_SQL, BM25_QUERY_TERMS
 
+    if terms is None:
+        terms = BM25_QUERY_TERMS
     return f"""
     WITH tok AS (
         SELECT d.doc_id, u.token AS term
@@ -764,7 +772,7 @@ def _hybrid_rrf_oracle() -> str:
     tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tot FROM tok),
     tf AS (
         SELECT doc_id, term, COUNT(*) AS tf FROM tok
-        WHERE term IN {BM25_QUERY_TERMS!r}
+        WHERE term IN {terms!r}
         GROUP BY doc_id, term
     ),
     df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
@@ -788,7 +796,7 @@ def _hybrid_rrf_oracle() -> str:
                        ORDER BY {duck_cosine_similarity('q.embedding', 'c.embedding')} DESC,
                                 c.vec_id) AS r_vec
             FROM {DUCK_VECTORS} q CROSS JOIN {DUCK_VECTORS} c
-            WHERE q.vec_id = {RRF_QUERY_VEC} AND c.vec_id <> {RRF_QUERY_VEC}
+            WHERE q.vec_id = {query_vec} AND c.vec_id <> {query_vec}
         ) WHERE r_vec <= {RRF_LIST_K}
     )
     SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
@@ -817,14 +825,29 @@ def _hybrid_rrf_oracle() -> str:
     tags=("similarity", "retrieval"),
 )
 def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .text import BM25_QUERY_TERMS, bm25_rank
+    from .text import BM25_QUERY_TERMS
+
+    return hybrid_rrf(spark, sf_dir, BM25_QUERY_TERMS, RRF_QUERY_VEC)
+
+
+def hybrid_rrf(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...],
+    query_vec: int,
+) -> DataFrame:
+    """One hybrid-retrieval request: BM25 top-RRF_LIST_K for ``terms`` fused
+    with cosine top-RRF_LIST_K around embedding ``query_vec`` via exact
+    BIGINT micro-RRF. Shared by both registered query points (round 14) so
+    an accidental point-specific green in one can't hide in the kernel."""
+    from .text import bm25_rank
     from ._util import one_group
 
     docs = t(spark, sf_dir, "documents")
     # rank on the exact BIGINT micro the kernel orders by (ADVICE r12) —
     # no float hop between bm25_rank's ordering and this window's
     lex = bm25_rank(
-        docs, BM25_QUERY_TERMS, top_k=RRF_LIST_K, include_micro=True
+        docs, terms, top_k=RRF_LIST_K, include_micro=True
     ).select("doc_id", "micro")
     # asc_nulls_last: DuckDB's ASC default puts NULLs last, Spark's first —
     # the same guard bm25_rank itself applies to this tie-break
@@ -834,7 +857,7 @@ def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = lex.select("doc_id", F.row_number().over(wl).alias("rank"))
 
     e = load_vectors(spark, sf_dir)
-    qv = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+    qv = e.filter(F.col("vec_id") == query_vec).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     cv = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
@@ -843,3 +866,22 @@ def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return rrf_fuse({"lex": lex, "vec": vec}, k=RRF_K, top_k=RRF_TOP_K)
+
+
+@query(
+    "q_sim_hybrid_rrf2",
+    oracle=_hybrid_rrf_oracle(terms=RRF2_QUERY_TERMS, query_vec=RRF2_QUERY_VEC),
+    category="similarity",
+    description=(
+        "Second hybrid-RRF query point (VERDICT r13 item 8): the same "
+        "fused kernel as q_sim_hybrid_rrf — bm25_rank / brute_force_topk / "
+        "rrf_fuse generics via the shared hybrid_rrf driver — evaluated at "
+        "a DIFFERENT fixed lexical query (filter/scan/batch/stream) and a "
+        "DIFFERENT dense query point (vec_id=7), guarding the kernel "
+        "against point-specific accidental greens. Same scale shape: two "
+        "K-row lists fused by an integer full-outer fold."
+    ),
+    tags=("similarity", "retrieval"),
+)
+def q_sim_hybrid_rrf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hybrid_rrf(spark, sf_dir, RRF2_QUERY_TERMS, RRF2_QUERY_VEC)

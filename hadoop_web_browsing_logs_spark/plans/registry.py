@@ -70,62 +70,75 @@ _REGISTRY: dict[str, Query] = {}
 #: q1_pricing_summary … q_graph_reachability, skipping the demoted
 #: q_dedup_embedding; the 27-row tail rolls to r14). After a green
 #: round no oracled query's last driver-green row predates round 10.
+#:
+#: Round 14 (VERDICT r13 item 1): slot 1 seats the only oracled query
+#: with no driver row ever — the round-14 registration q_sim_hybrid_rrf2
+#: (second fixed hybrid-RRF query point through the shared hybrid_rrf
+#: kernel). Slots 2-27 are the round-10 cohort TAIL (26 rows,
+#: alphabetical q_join_inner … q_window_ntile, skipping the demoted
+#: q_dedup_embedding — the oldest driver rows in the system, including
+#: q_text_bm25, whose kernel gained include_micro in round 13 without a
+#: driver re-seat). Slots 28-50 take the round-11 cohort head
+#: oldest-green-first (23 of 49, alphabetical q_agg_bool_bit …
+#: q_merge_upsert). After a green round no oracled query's last
+#: driver-green row predates round 11 — the fourth full rotation closes.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never driver-certified (registered round 12) ---
-    "q_dedup_containment",
-    "q_llm_contamination_span",
-    "q_sim_hybrid_rrf",
-    # --- round-9 cohort tail (last driver-green r9, oldest in system) ---
-    "q_events_winsorize",
-    "q_filter_project",
-    "q_graph_pagerank",
-    "q_graph_pagerank_dangling",
-    "q_graph_triangles",
-    "q_incremental_agg_refresh",
-    "q_join_anti",
-    "q_join_bloom_prefilter",
-    "q_join_full",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_theta",
-    "q_llm_bpe_first_merge",
-    "q_llm_bpe_merges_gate",
-    "q_llm_chunk",
-    "q_llm_quality_filter_mix",
-    "q_llm_quality_rules",
-    "q_llm_repetition_rules",
-    "q_llm_scrub",
-    "q_llm_weighted_sample",
-    "q_ref_pipeline_unstemmed",
-    "q_snapshot_diff",
-    "q_stream_interval_left_equiv_gate",
-    "q_text_inverted_index",
-    "q_text_tfidf",
-    "q_udf_cogrouped_map",
-    "q_udf_python_row",
-    "q_udtf_context_windows",
-    # --- round-10 cohort head (oldest-green-first, 19 of 46
-    # alphabetical, q_dedup_embedding skipped — demoted for good; the
-    # 27-row tail — q_join_inner … q_window_ntile — rolls to r14) ---
-    "q1_pricing_summary",
-    "q_agg_approx_distinct_gate",
-    "q_agg_approx_percentile_gate",
-    "q_agg_histogram",
-    "q_dedup_embedding_bucketed",
-    "q_dedup_exact",
-    "q_dedup_simhash",
-    "q_dedup_simhash_pairs",
-    "q_events_ab_welch",
-    "q_events_anomaly_zscore",
-    "q_events_attribution",
-    "q_events_ewma",
-    "q_events_gapfill",
-    "q_events_retention",
-    "q_events_rollup_multires",
-    "q_events_spearman",
-    "q_events_type_affinity",
-    "q_graph_label_propagation",
-    "q_graph_reachability",
+    # --- never driver-certified (registered round 14) ---
+    "q_sim_hybrid_rrf2",
+    # --- round-10 cohort tail (last driver-green r10, oldest in system;
+    # q_dedup_embedding skipped — demoted for good) ---
+    "q_join_inner",
+    "q_join_nullsafe",
+    "q_llm_bpe_encode_gate",
+    "q_llm_corpus_funnel",
+    "q_llm_mix_stratified",
+    "q_llm_split",
+    "q_llm_split_leakage_safe",
+    "q_llm_temperature_mix",
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    "q_profile_documents",
+    "q_quality_expectations",
+    "q_scalar_array2",
+    "q_scalar_map",
+    "q_scalar_string",
+    "q_scalar_string2",
+    "q_set_ops",
+    "q_sim_cosine_topk",
+    "q_text_bm25",
+    "q_topk_per_group",
+    "q_unpivot",
+    "q_vec_covariance",
+    "q_vec_covariance_fast_gate",
+    "q_window_frames",
+    "q_window_lag_lead",
+    "q_window_ntile",
+    # --- round-11 cohort head (oldest-green-first, 23 of 49
+    # alphabetical; the 26-row tail — q_pivot … q_window_rank_salted —
+    # rolls to r15) ---
+    "q_agg_bool_bit",
+    "q_agg_conditional",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_rollup",
+    "q_agg_salted_hotkey",
+    "q_agg_stats",
+    "q_agg_variance",
+    "q_cte_pipeline",
+    "q_events_scd2",
+    "q_exists_priority",
+    "q_graph_bfs_frontier",
+    "q_join_multiway",
+    "q_join_range",
+    "q_join_right",
+    "q_join_sixway",
+    "q_llm_bigram_logprob",
+    "q_llm_domain_cap",
+    "q_llm_pack_sequences",
+    "q_llm_shard_manifest",
+    "q_llm_token_budget",
+    "q_llm_unigram_logprob",
+    "q_merge_upsert",
 )
 
 

@@ -123,33 +123,31 @@ def test_driver_priority_window():
     assert names[:50] == list(DRIVER_PRIORITY)
     # every priority name actually resolves to a registered query
     assert set(DRIVER_PRIORITY) <= set(names)
-    # round-13 allocation (registry.py comment, VERDICT r12 item 1):
-    # slots 1-3 = the never-certified round-12 registrations (the
-    # containment report — now carrying the default-on hot-shingle df
-    # cap — the contamination-span severity report, and hybrid RRF with
-    # the ADVICE r12 exact-micro/list-dedupe fixes), then the round-9
-    # cohort tail (the oldest driver rows in the system), then the
-    # round-10 cohort head
+    # round-14 allocation (registry.py comment, VERDICT r13 item 1):
+    # slot 1 = the never-certified round-14 registration (the second
+    # hybrid-RRF query point), then the round-10 cohort tail (26 rows,
+    # the oldest driver rows in the system, incl. q_text_bm25 whose
+    # kernel gained include_micro in round 13), then the round-11
+    # cohort head (23 of 49)
     window = set(DRIVER_PRIORITY)
-    assert DRIVER_PRIORITY[0] == "q_dedup_containment"
-    assert DRIVER_PRIORITY[1] == "q_llm_contamination_span"
-    assert DRIVER_PRIORITY[2] == "q_sim_hybrid_rrf"
-    assert DRIVER_PRIORITY[3] == "q_events_winsorize"
-    assert DRIVER_PRIORITY[30] == "q_udtf_context_windows"
-    assert DRIVER_PRIORITY[31] == "q1_pricing_summary"
+    assert DRIVER_PRIORITY[0] == "q_sim_hybrid_rrf2"
+    assert DRIVER_PRIORITY[1] == "q_join_inner"
+    assert DRIVER_PRIORITY[26] == "q_window_ntile"
+    assert DRIVER_PRIORITY[27] == "q_agg_bool_bit"
+    assert DRIVER_PRIORITY[49] == "q_merge_upsert"
     for core in (
-                 # round-9 cohort tail (oldest driver rows in the system)
-                 "q_filter_project", "q_graph_pagerank",
-                 "q_graph_pagerank_dangling", "q_graph_triangles",
-                 "q_join_anti", "q_join_bloom_prefilter", "q_join_full",
-                 "q_llm_bpe_merges_gate", "q_llm_chunk", "q_llm_scrub",
-                 "q_ref_pipeline_unstemmed", "q_snapshot_diff",
-                 "q_text_inverted_index", "q_text_tfidf",
-                 "q_udf_cogrouped_map", "q_udtf_context_windows",
-                 # round-10 cohort head
-                 "q_agg_histogram", "q_dedup_embedding_bucketed",
-                 "q_dedup_exact", "q_dedup_simhash",
-                 "q_events_gapfill", "q_graph_reachability"):
+                 # round-10 cohort tail (oldest driver rows in the system)
+                 "q_join_nullsafe", "q_llm_bpe_encode_gate",
+                 "q_llm_corpus_funnel", "q_llm_split_leakage_safe",
+                 "q_multimodal_features", "q_profile_documents",
+                 "q_scalar_map", "q_set_ops", "q_sim_cosine_topk",
+                 "q_text_bm25", "q_topk_per_group", "q_vec_covariance",
+                 "q_vec_covariance_fast_gate", "q_window_lag_lead",
+                 # round-11 cohort head
+                 "q_agg_cube", "q_agg_salted_hotkey", "q_cte_pipeline",
+                 "q_events_scd2", "q_graph_bfs_frontier",
+                 "q_join_sixway", "q_llm_bigram_logprob",
+                 "q_llm_pack_sequences", "q_merge_upsert"):
         assert core in window, core
     # the demoted quadratic all-pairs baseline must NEVER be re-seated
     # (VERDICT r10 item 1); its bucketed twin carries the driver proof
@@ -327,6 +325,9 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark):
         # <=1 row at any SF (same caller-bounded-probe contract as the
         # rest of the similarity family)
         "q_sim_hybrid_rrf",
+        # round 14: the second fixed query point — same shape, a Filter
+        # on the literal RRF2_QUERY_VEC key through the shared kernel
+        "q_sim_hybrid_rrf2",
     }
     # broadcast of a GROUPED aggregate over an SF-scaled scan is allowed only
     # here, each with a hard cardinality bound independent of SF:

@@ -1276,3 +1276,116 @@ def test_retention_matches_python_replay(spark, tmp_path):
             key = (cohort, w - cohort if (w is not None and cohort is not None) else None)
             cells[key] = cells.get(key, 0) + 1
     assert got == cells
+
+
+def test_percentile_duplicate_run_and_lerp_form_contract(spark):
+    """Promoted round-13 fuzz shapes (VERDICT r13 item 7) — the two
+    percentile parity contracts every exact-percentile query rests on.
+
+    (a) Duplicate-run divergence (REAL, benign at the gate): Spark's
+    percentile() aggregates counts per DISTINCT value, so an interpolation
+    position inside a run of duplicates returns the value EXACTLY, while
+    DuckDB's quantile_cont lerps the two equal array slots and lands 1 ulp
+    off for doubles with inexact binary forms (9x14.81 at q=0.95). The
+    oracle gate survives because the 6-decimal canonicalization renders
+    both sides "14.810000" — pinned here so a future canonicalizer or
+    kernel change can't regress it silently.
+
+    (b) Interpolation FORM: both engines compute the lerp as the
+    two-product lower*(1-f) + upper*f; the algebraically-equal
+    a + (b-a)*f differs at the last ulp (caught live in round 13 when the
+    fuzz brute-force used it). Pinned on a 3-element p90 whose two forms
+    genuinely differ in IEEE doubles."""
+    import duckdb
+
+    # (a) duplicate run: 9 copies of 14.81, q=0.95 -> pos 7.6 inside the run
+    got = spark.sql(
+        "SELECT percentile(v, 0.95) AS p FROM VALUES "
+        + ", ".join(["(CAST(14.81 AS DOUBLE))"] * 9)
+        + " AS t(v)"
+    ).collect()[0].p
+    assert got == 14.81  # exact: distinct-value bucket semantics
+    duck = duckdb.connect().execute(
+        "SELECT quantile_cont(v, 0.95) FROM (SELECT 14.81::DOUBLE AS v FROM range(9))"
+    ).fetchone()[0]
+    assert duck != 14.81 and abs(duck - 14.81) < 1e-13  # 1-ulp lerp artifact
+    assert f"{got:.6f}" == f"{duck:.6f}" == "14.810000"  # gate absorbs it
+
+    # (b) lerp form: sorted [100.0, 24353.25, 29585.72], p90 -> lo=1, f=0.8
+    a, b, f = 24353.25, 29585.72, 0.8
+    two_product = a * (1 - f) + b * f
+    algebraic = a + (b - a) * f
+    assert two_product != algebraic  # the forms genuinely differ here
+    got = spark.sql(
+        "SELECT percentile(v, 0.9) AS p FROM VALUES (CAST(100.0 AS DOUBLE)),"
+        " (CAST(24353.25 AS DOUBLE)), (CAST(29585.72 AS DOUBLE)) AS t(v)"
+    ).collect()[0].p
+    duck = duckdb.connect().execute(
+        "SELECT quantile_cont(v, 0.9) FROM (VALUES (100.0::DOUBLE),"
+        " (24353.25::DOUBLE), (29585.72::DOUBLE)) t(v)"
+    ).fetchone()[0]
+    assert got == two_product == duck
+    assert got != algebraic
+
+
+def test_bm25_boundary_tie_break_duplicate_docs(spark):
+    """Promoted round-13 fuzz shape (VERDICT r13 item 7): exact duplicate
+    docs produce IDENTICAL micro-BIGINT BM25 scores; when the duplicate run
+    straddles the top-k boundary, the (micro DESC, doc_id ASC) tie-break —
+    not float luck or partition order — decides which survive. 10 distinct
+    high scorers + 20 identical mid scorers with top_k=20 forces the cut
+    inside the tie run; differential vs the textbook Okapi recount."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hadoop_web_browsing_logs_spark.operators.text import (
+        BM25_QUERY_TERMS,
+        bm25_rank,
+    )
+
+    rows = []
+    for i in range(10):  # distinct scorers: several query terms, short docs
+        rows.append((i, "spark hash window merge spark " + " ".join(f"f{j}" for j in range(i + 1))))
+    dup_text = "spark " + " ".join(f"g{j}" for j in range(12))
+    for i in range(10, 30):  # 20 exact duplicates -> identical micro
+        rows.append((i, dup_text))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(7)
+
+    got = [
+        (r.doc_id, r.n_terms, r.micro)
+        for r in bm25_rank(docs, BM25_QUERY_TERMS, top_k=20, include_micro=True).collect()
+    ]
+
+    # textbook recount (fuzz_round13 fuzz_bm25 formulation)
+    tk = {i: text.lower().split() for i, text in rows}
+    n = float(len(rows))
+    tot = float(sum(len(v) for v in tk.values()))
+    df = {t: sum(1 for v in tk.values() if t in v) for t in BM25_QUERY_TERMS}
+    scored = []
+    for i, v in tk.items():
+        dl, micro, n_terms = len(v), 0, 0
+        for t in BM25_QUERY_TERMS:
+            tf = v.count(t)
+            if not tf:
+                continue
+            n_terms += 1
+            x = (
+                math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                * (tf * 2.2)
+                / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (tot / n)))
+                * 1_000_000
+            )
+            micro += int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+        if n_terms:
+            scored.append((i, n_terms, micro))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    want = scored[:20]
+
+    assert got == want
+    # the boundary genuinely cut inside the duplicate tie run: the last
+    # kept row and the first dropped row carry the SAME micro score
+    assert want[-1][2] == scored[20][2]
+    # and the survivors of the tie run are exactly the smallest doc_ids
+    tie_micro = want[-1][2]
+    kept_tied = [i for i, _n, m in want if m == tie_micro]
+    assert kept_tied == sorted(kept_tied) and min(kept_tied) == 10
