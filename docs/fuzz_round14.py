@@ -430,6 +430,87 @@ def fuzz_triangles(spark, trials: int = 8) -> int:
 
 
 # ---------------------------------------------------------------------------
+# lloyd: lloyd_kmeans vs an independent Python recount. The registered
+# q_vec_kmeans_lloyd oracle UNROLLS the identical recurrence as a CTE chain
+# — the same shared-derivation class as the graph oracles. The reference
+# mirrors only the DECLARED mechanisms (dsum(6) fixed point, left-to-right
+# in-order L2 fold, (dist, center_id) struct-min tie-break, per-dimension
+# carry-forward) from the docstrings, not the DataFrame plan.
+# ---------------------------------------------------------------------------
+
+
+def fuzz_lloyd(spark, trials: int = 8) -> int:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hadoop_web_browsing_logs_spark.operators.vectors import lloyd_kmeans
+
+    def q6(x: float) -> int:
+        return int(Decimal(x * 1e6).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(9400 + t)
+        dim = rng.randint(2, 6)
+        n = rng.randint(6, 40)
+        k = rng.randint(2, min(5, n))
+        iters = rng.randint(1, 3)
+        vecs = {
+            i: [round(rng.uniform(-5, 5), 3) for _ in range(dim)] for i in range(n)
+        }
+        if rng.random() < 0.6 and n > k:
+            # exact-tie axis: a non-seed duplicate of seed 0 — equidistant
+            # rows must break ties to the SMALLEST center_id
+            vecs[k] = list(vecs[0])
+        if rng.random() < 0.6:
+            # empty-cluster axis: seeds 0 and 1 identical — every row ties
+            # them and goes to center 0, so center 1 carries forward with 0
+            vecs[1] = list(vecs[0])
+
+        # independent reference
+        seed_ids = sorted(vecs)[:k]
+        centers = {ci: list(vecs[vid]) for ci, vid in enumerate(seed_ids)}
+        n_members = {ci: 0 for ci in centers}
+        for _ in range(iters):
+            assign = {}
+            for vid, e in vecs.items():
+                best = min(
+                    (sum((e[j] - c[j]) ** 2 for j in range(dim)), ci)
+                    for ci, c in centers.items()
+                )
+                assign[vid] = best[1]
+            new_centers = {}
+            for ci in centers:
+                members = [vecs[v] for v, a in assign.items() if a == ci]
+                n_members[ci] = len(members)
+                if members:
+                    new_centers[ci] = [
+                        (sum(q6(e[j]) for e in members) / 1e6) / len(members)
+                        for j in range(dim)
+                    ]
+                else:
+                    new_centers[ci] = centers[ci]  # carry forward
+            centers = new_centers
+        expected = sorted(
+            (ci, tuple(c), n_members[ci]) for ci, c in centers.items()
+        )
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in sorted(vecs.items())], ["vec_id", "embedding"]
+        )
+        got = sorted(
+            (r["center_id"], tuple(r["c"]), r["n_members"])
+            for r in lloyd_kmeans(df, k, iterations=iters).collect()
+        )
+        if got != expected:
+            fails += 1
+            diffs = [(g, e) for g, e in zip(got, expected) if g != e]
+            print(f"  lloyd trial {t} (k={k}, K={iters}, d={dim}) FAIL: "
+                  f"{diffs[:2]}")
+    print(f"fuzz_lloyd: {trials - fails}/{trials} ok")
+    return fails
+
+
+# ---------------------------------------------------------------------------
 # streaming equivalence fuzz (VERDICT r13 item 3): randomized hostile event
 # TAPES — multiple parquet files, one file per micro-batch under
 # maxFilesPerTrigger=1 — replayed through readStream and compared against the
@@ -721,6 +802,10 @@ def main() -> None:
         ("bfs", fuzz_bfs, 8),
         ("reach", fuzz_reach, 8),
         ("triangles", fuzz_triangles, 8),
+        ("lloyd", fuzz_lloyd, 8),
+        ("stream_win", fuzz_stream_win, 6),
+        ("stream_scd2", fuzz_stream_scd2, 6),
+        ("stream_interval", fuzz_stream_interval, 6),
     ):
         if which in (name, "all"):
             f = fn(spark, override or trials)

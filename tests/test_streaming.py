@@ -544,3 +544,117 @@ def test_transform_with_state_gate_is_honest(spark):
     stream_like = spark.createDataFrame([(1, 1)], ["event_id", "user_id"])
     with pytest.raises(NotImplementedError, match="protobuf"):
         SW.running_user_counts_tws(stream_like)
+
+
+def _write_tape(batches) -> str:
+    """Promoted round-14 fuzz machinery (docs/fuzz_round14.py): each inner
+    row list becomes one parquet file = one micro-batch (mtime-ordered).
+    Rows: (event_id, ts_epoch_s, user_id, event_type, value)."""
+    import duckdb
+
+    d = tempfile.mkdtemp(prefix="tape_")
+    t0 = time.time() - 1000
+    for i, rows in enumerate(batches):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+            " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+        )
+        con.executemany(
+            "INSERT INTO e VALUES (?, to_timestamp(?), ?, ?, ?, NULL)", rows
+        )
+        p = os.path.join(d, f"part-{i:03d}.parquet")
+        con.execute(f"COPY e TO '{p}' (FORMAT PARQUET)")
+        con.close()
+        os.utime(p, (t0 + i, t0 + i))
+    return d
+
+
+def test_session_merge_across_three_microbatches(spark):
+    """Promoted round-14 fuzz shape (VERDICT r13 item 3): one user's session
+    spans THREE micro-batches via 20-min hops (inside the 30-min gap) and
+    must merge into ONE session row; a second user hops exactly 1800 s — the
+    gap boundary — and MERGES too (probed here: Spark's session merge bound
+    is INCLUSIVE — an event AT session_end extends the session, in both the
+    streaming state store and the batch session_window, so the equivalence
+    holds at the boundary); a third user's whole history lands in a single
+    micro-batch."""
+    t0 = 1704067200  # 2024-01-01 UTC
+    batches = [
+        [(1, t0, 1, "view", 1.0),            # u1 session starts
+         (10, t0, 2, "view", 1.0),           # u2 starts
+         (20, t0 + 10, 3, "view", 1.0),      # u3: whole history this batch
+         (21, t0 + 500, 3, "click", 1.0)],
+        [(2, t0 + 1200, 1, "click", 1.0),    # u1 +20min: merges
+         (11, t0 + 1800, 2, "view", 1.0)],   # u2 exactly at the gap: MERGES
+        [(3, t0 + 2400, 1, "view", 1.0)],    # u1 +20min again: still one
+    ]
+    d = _write_tape(batches)
+    # _replay_events_stream expects the sf_dir/events.parquet layout
+    root = tempfile.mkdtemp(prefix="tape_root_")
+    os.rename(d, os.path.join(root, "events.parquet"))
+    try:
+        streamed = SW._replay_events_stream(
+            spark, root, SW.session_agg, f"tape_sess_{time.time()}"
+        )
+        got = {
+            (r.user_id, r.session_start.timestamp(), r.session_end.timestamp(), r.n_events)
+            for r in streamed.collect()
+        }
+        gap = 1800
+        want = {
+            (1, t0, t0 + 2400 + gap, 3),            # merged across 3 batches
+            (2, t0, t0 + 1800 + gap, 2),            # exact-gap event merges
+            (3, t0 + 10, t0 + 500 + gap, 2),        # single-batch history
+        }
+        assert got == want
+        # and the batch twin agrees row-for-row (the equiv-gate claim)
+        from hadoop_web_browsing_logs_spark.sources.readers import load_table
+
+        batch = {
+            (r.user_id, r.session_start.timestamp(), r.session_end.timestamp(), r.n_events)
+            for r in SW.session_agg(load_table(spark, root, "events")).collect()
+        }
+        assert batch == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_scd2_same_ts_ties_and_zero_length_intervals(spark):
+    """Promoted round-14 fuzz shape: two state changes at ONE timestamp
+    (event_id tie-break -> a zero-length closed interval) and a user whose
+    entire history is one micro-batch; streamed closed intervals must equal
+    the batch twin's exactly."""
+    from pyspark.sql import functions as F
+    from hadoop_web_browsing_logs_spark.operators.events_analytics import q_events_scd2
+
+    t0 = 1704067200
+    batches = [
+        [(1, t0, 1, "view", 1.0),
+         (2, t0 + 100, 1, "click", 1.0),     # closes view@[t0, t0+100)
+         (3, t0 + 100, 1, "purchase", 1.0)], # same ts: zero-length click run
+        [(4, t0 + 900, 1, "view", 1.0),      # closes purchase
+         (10, t0 + 50, 2, "view", 1.0),      # u2: single-batch history
+         (11, t0 + 60, 2, "purchase", 1.0)],
+    ]
+    root = tempfile.mkdtemp(prefix="tape_root_")
+    d = _write_tape(batches)
+    os.rename(d, os.path.join(root, "events.parquet"))
+    try:
+        streamed = SW._replay_events_stream(
+            spark, root,
+            lambda s: SW.streaming_scd2(
+                s.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+            ),
+            f"tape_scd2_{time.time()}", mode="append",
+        )
+        cols = ("user_id", "state", "valid_from", "valid_to")
+        got = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
+        batch = q_events_scd2(spark, root).filter(F.col("valid_to").isNotNull())
+        want = sorted(tuple(r[c] for c in cols) for r in batch.collect())
+        assert got == want and len(got) == 4
+        # the same-ts tie produced a ZERO-LENGTH click interval
+        zl = [r for r in got if r[1] == "click"]
+        assert len(zl) == 1 and zl[0][2] == zl[0][3]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
