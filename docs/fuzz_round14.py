@@ -430,6 +430,267 @@ def fuzz_triangles(spark, trials: int = 8) -> int:
 
 
 # ---------------------------------------------------------------------------
+# events moment kernels left unfuzzed by round 13: attribution (time-band
+# argmax), correlation (five dsum moments -> one double expression), trend
+# (integer hour moments + dsum'd y moments). Each vs an independent Python
+# recount with the declared dsum/HALF_UP/try_divide rules.
+# ---------------------------------------------------------------------------
+
+
+def _write_events14(rows) -> str:
+    """rows: (event_id, ts_datetime|None, user_id|None, event_type, value)."""
+    import tempfile
+
+    import duckdb
+
+    d = tempfile.mkdtemp(prefix="fuzz14_events_")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO e VALUES (?,?,?,?,?,?)", [r + (None,) for r in rows])
+    con.execute(f"COPY e TO '{d}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+    return d
+
+
+def _q(x: float, digits: int) -> int | None:
+    """dsum contribution: ROUND_HALF_UP of x*10^digits as int; None for
+    non-finite (TRY_CAST skip)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if x is None or not math.isfinite(x):
+        return None
+    return int(Decimal(x * 10**digits).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def _dsum(vals, digits: int) -> float | None:
+    cs = [c for c in (_q(v, digits) for v in vals) if c is not None]
+    if not cs:
+        return None
+    return sum(cs) / float(10**digits)
+
+
+def fuzz_attribution(spark, trials: int = 8) -> int:
+    """q_events_attribution vs a per-purchase Python scan. Axes: view ties
+    at one ts (argmax -> highest view_id), views exactly AT p.ts and AT
+    p.ts - 1h (both inclusive), null-user and null-ts purchases (kept,
+    unmatched), null-ts views (never match), duplicate purchases."""
+    from datetime import datetime, timedelta
+
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    BASE = datetime(2024, 1, 1)
+    q = get_query("q_events_attribution").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(10400 + t)
+        rows = []
+        eid = 0
+        for _ in range(rng.randint(5, 120)):
+            u = rng.choice([None] + list(range(1, 9)))
+            ts = BASE + timedelta(minutes=rng.randint(0, 600))
+            if rng.random() < 0.05:
+                ts = None
+            et = rng.choice(["view", "view", "purchase", "click"])
+            rows.append((eid, ts, u, et, round(rng.uniform(0, 50), 2)))
+            eid += 1
+        # planted: two views at ONE ts (tie), views exactly at p.ts and at
+        # p.ts - 1h, a purchase with zero views
+        p_ts = BASE + timedelta(hours=20)
+        rows += [
+            (eid, p_ts, 50, "purchase", 9.0),
+            (eid + 1, p_ts, 50, "view", 1.0),                      # at p.ts
+            (eid + 2, p_ts - timedelta(hours=1), 50, "view", 1.0), # at -1h
+            (eid + 3, p_ts - timedelta(minutes=30), 50, "view", 1.0),
+            (eid + 4, p_ts - timedelta(minutes=30), 50, "view", 1.0),  # tie
+            (eid + 5, p_ts, 51, "purchase", 3.0),                  # no views
+        ]
+        eid += 6
+        d = _write_events14(rows)
+        got = sorted(
+            (r.purchase_id, r.user_id, r.purchase_ts, r.value,
+             r.attributed_view_ts, r.attributed_view_id, r.n_candidate_views)
+            for r in q(spark, d).collect()
+        )
+        views = [(u, ts, i) for (i, ts, u, et, _v) in rows
+                 if et == "view" and ts is not None and u is not None]
+        want = []
+        for (i, ts, u, et, v) in rows:
+            if et != "purchase":
+                continue
+            cand = [] if (ts is None or u is None) else [
+                (vts, vi) for (vu, vts, vi) in views
+                if vu == u and vts <= ts and vts >= ts - timedelta(hours=1)
+            ]
+            best = max(cand) if cand else (None, None)
+            want.append((i, u, ts, v, best[0], best[1], len(cand)))
+        want.sort(key=lambda r: (r[0],))
+        got.sort(key=lambda r: (r[0],))
+        if got != want:
+            fails += 1
+            diffs = [(a, b) for a, b in zip(got, want) if a != b]
+            print(f"  attribution trial {t} MISMATCH {diffs[:3]}")
+    print(f"fuzz_attribution: {trials - fails}/{trials} ok")
+    return fails
+
+
+def fuzz_corr(spark, trials: int = 8) -> int:
+    """q_events_correlation vs a Python five-moment recount (dsum(2) hourly,
+    dsum(2)/dsum(4) moments, GREATEST clamp, try_divide NULL). Axes:
+    zero-variance (constant) series -> NULL corr, perfectly correlated and
+    anti-correlated pairs, single-shared-hour pairs, NaN/Inf values
+    (TRY_CAST-skipped), null-ts hours (join-excluded), all-non-finite
+    hours (v NULL -> filtered)."""
+    import math
+    from datetime import datetime, timedelta
+
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    BASE = datetime(2024, 1, 1)
+    q = get_query("q_events_correlation").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(11400 + t)
+        hostile = t % 2 == 0
+        rows = []
+        eid = 0
+        types = ["a", "b", "c", "d"][: rng.randint(2, 4)]
+        for et in types:
+            for h in range(rng.randint(2, 10)):
+                if rng.random() < 0.2:
+                    continue  # missing hour for this type
+                for _ in range(rng.randint(1, 3)):
+                    v = round(rng.uniform(-80, 80), 2)
+                    if hostile and rng.random() < 0.06:
+                        v = rng.choice([float("nan"), float("inf"), -float("inf")])
+                    if et == "c":
+                        v = 7.0  # constant series: zero variance -> NULL
+                    if et == "d":
+                        v = float(h)  # linear in hour: corr +/-1 vs others
+                    ts = BASE + timedelta(hours=h, minutes=rng.randint(0, 59))
+                    rows.append((eid, ts, 1, et, v))
+                    eid += 1
+        if hostile:
+            rows.append((eid, None, 1, types[0], 5.0))  # null ts hour
+            eid += 1
+        d = _write_events14(rows)
+        got = sorted(
+            (r.type_a, r.type_b, r.n_hours,
+             None if r.corr is None else round(r.corr, 10))
+            for r in q(spark, d).collect()
+        )
+        # reference
+        hourly: dict = {}
+        for (_i, ts, _u, et, v) in rows:
+            h = ts.replace(minute=0, second=0, microsecond=0) if ts is not None else None
+            hourly.setdefault((et, h), []).append(v)
+        hv = {
+            k: _dsum(vs, 2) for k, vs in hourly.items()
+        }
+        hv = {k: v for k, v in hv.items() if v is not None and k[1] is not None}
+        want = []
+        for ta in types:
+            for tb in types:
+                if not ta < tb:
+                    continue
+                shared = sorted(
+                    h for (et, h) in hv if et == ta and (tb, h) in hv
+                )
+                if not shared:
+                    continue
+                xs = [hv[(ta, h)] for h in shared]
+                ys = [hv[(tb, h)] for h in shared]
+                n = float(len(shared))
+                sx, sy = _dsum(xs, 2), _dsum(ys, 2)
+                sxy = _dsum([x * y for x, y in zip(xs, ys)], 4)
+                sx2 = _dsum([x * x for x in xs], 4)
+                sy2 = _dsum([y * y for y in ys], 4)
+                den = math.sqrt(max(n * sx2 - sx * sx, 0.0)) * math.sqrt(
+                    max(n * sy2 - sy * sy, 0.0)
+                )
+                corr = None if den == 0.0 else (n * sxy - sx * sy) / den
+                want.append((ta, tb, len(shared),
+                             None if corr is None else round(corr, 10)))
+        want.sort()
+        if got != want:
+            fails += 1
+            diffs = [(a, b) for a, b in zip(got, want) if a != b]
+            print(f"  corr trial {t} MISMATCH {diffs[:3]} "
+                  f"len={len(got)}/{len(want)}")
+    print(f"fuzz_corr: {trials - fails}/{trials} ok")
+    return fails
+
+
+def fuzz_trend(spark, trials: int = 8) -> int:
+    """q_events_trend vs a Python least-squares recount on exact integer
+    hour moments + dsum'd y moments, same double-expression order. Axes:
+    single-hour types (excluded by n > 1), two-hour minimal fits, null ts,
+    NaN/Inf values, negative values, types whose every hour is non-finite."""
+    from datetime import datetime, timedelta
+
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    BASE = datetime(2024, 1, 1)
+    q = get_query("q_events_trend").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(12400 + t)
+        hostile = t % 2 == 0
+        rows = []
+        eid = 0
+        types = ["t1", "t2", "t3", "t4"][: rng.randint(2, 4)]
+        for k, et in enumerate(types):
+            n_hours = 1 if k == 1 else rng.randint(1, 12)  # t2: single hour
+            for h in range(n_hours):
+                for _ in range(rng.randint(1, 3)):
+                    v = round(rng.uniform(-90, 90), 2)
+                    if hostile and rng.random() < 0.06:
+                        v = rng.choice([float("nan"), float("inf")])
+                    ts = BASE + timedelta(hours=h, minutes=rng.randint(0, 59))
+                    if hostile and rng.random() < 0.04:
+                        ts = None
+                    rows.append((eid, ts, 1, et, v))
+                    eid += 1
+        d = _write_events14(rows)
+        got = sorted(
+            (r.event_type, r.n_hours, round(r.slope_per_hour, 9),
+             round(r.intercept, 6))
+            for r in q(spark, d).collect()
+        )
+        hourly: dict = {}
+        for (_i, ts, _u, et, v) in rows:
+            if ts is None:
+                continue
+            hx = int(ts.timestamp()) // 3600
+            hourly.setdefault((et, hx), []).append(v)
+        hv = {k: _dsum(vs, 2) for k, vs in hourly.items()}
+        hv = {k: v for k, v in hv.items() if v is not None}
+        want = []
+        for et in types:
+            pts = sorted((hx, v) for (e2, hx), v in hv.items() if e2 == et)
+            if len(pts) <= 1:
+                continue
+            n = float(len(pts))
+            sx = float(sum(hx for hx, _ in pts))
+            sy = _dsum([v for _, v in pts], 2)
+            sx2 = float(sum(hx * hx for hx, _ in pts))
+            sxy = _dsum([hx * v for hx, v in pts], 2)
+            slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+            intercept = (sy - slope * sx) / n
+            want.append((et, len(pts), round(slope, 9), round(intercept, 6)))
+        want.sort()
+        if got != want:
+            fails += 1
+            diffs = [(a, b) for a, b in zip(got, want) if a != b]
+            print(f"  trend trial {t} MISMATCH {diffs[:3]}")
+    print(f"fuzz_trend: {trials - fails}/{trials} ok")
+    return fails
+
+
+# ---------------------------------------------------------------------------
 # lloyd: lloyd_kmeans vs an independent Python recount. The registered
 # q_vec_kmeans_lloyd oracle UNROLLS the identical recurrence as a CTE chain
 # — the same shared-derivation class as the graph oracles. The reference
@@ -803,6 +1064,9 @@ def main() -> None:
         ("reach", fuzz_reach, 8),
         ("triangles", fuzz_triangles, 8),
         ("lloyd", fuzz_lloyd, 8),
+        ("attribution", fuzz_attribution, 8),
+        ("corr", fuzz_corr, 8),
+        ("trend", fuzz_trend, 8),
         ("stream_win", fuzz_stream_win, 6),
         ("stream_scd2", fuzz_stream_scd2, 6),
         ("stream_interval", fuzz_stream_interval, 6),
