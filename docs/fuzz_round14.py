@@ -690,6 +690,226 @@ def fuzz_trend(spark, trials: int = 8) -> int:
     return fails
 
 
+def fuzz_chisq(spark, trials: int = 8) -> int:
+    """q_events_chisq vs a Python contingency recount. Axes: NEGATIVE
+    user_ids (Spark/DuckDB % truncates toward zero; Python's %% floors —
+    the reference must use int-truncation), single-cohort and single-type
+    tables (dof 0), null user/type exclusions, sparse cells."""
+    from datetime import datetime, timedelta
+
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    BASE = datetime(2024, 1, 1)
+    q = get_query("q_events_chisq").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(13400 + t)
+        shape = rng.choice(["normal", "one_cohort", "one_type", "negative"])
+        rows = []
+        eid = 0
+        for _ in range(rng.randint(10, 200)):
+            u = rng.randint(1, 50)
+            if shape == "one_cohort":
+                u = 10 * rng.randint(1, 5)  # every user_id % 10 == 0
+            if shape == "negative" and rng.random() < 0.5:
+                u = -u
+            et = rng.choice(["a", "b", "c"]) if shape != "one_type" else "a"
+            if rng.random() < 0.05:
+                u = None
+            if rng.random() < 0.05:
+                et = None
+            rows.append((eid, BASE + timedelta(minutes=eid), u, et, 1.0))
+            eid += 1
+        d = _write_events14(rows)
+        got = [(r.n, r.dof, None if r.chi2 is None else round(r.chi2, 9))
+               for r in q(spark, d).collect()]
+
+        cells: dict = {}
+        for (_i, _ts, u, et, _v) in rows:
+            if u is None or et is None:
+                continue
+            # Spark/DuckDB % truncates toward zero (-23 % 10 = -3); Python's
+            # % floors (-23 % 10 = 7) — mirror the engines, not Python
+            cohort = u - int(u / 10) * 10
+            cells[(cohort, et)] = cells.get((cohort, et), 0) + 1
+        n = sum(cells.values())
+        rt: dict = {}
+        ct: dict = {}
+        for (c, e2), o in cells.items():
+            rt[c] = rt.get(c, 0) + o
+            ct[e2] = ct.get(e2, 0) + o
+        contribs = []
+        for (c, e2), o in cells.items():
+            exp = (float(rt[c]) * float(ct[e2])) / float(n)
+            contribs.append(((float(o) - exp) * (float(o) - exp)) / exp)
+        chi2 = _dsum(contribs, 6)
+        want = [(n, (len(rt) - 1) * (len(ct) - 1),
+                 None if chi2 is None else round(chi2, 9))]
+        if not cells:
+            want = got  # empty table: trust whatever both sides agree on
+        if got != want:
+            fails += 1
+            print(f"  chisq trial {t} ({shape}) MISMATCH got={got} want={want}")
+    print(f"fuzz_chisq: {trials - fails}/{trials} ok")
+    return fails
+
+
+def fuzz_spans(spark, trials: int = 8) -> int:
+    """q_llm_contamination_span vs a Python positioned-shingle scan (bench =
+    doc_id %% 97 == 0, 1-based positions, gaps-and-islands longest run).
+    Axes: exact duplicates of a bench doc (wholesale copy: span = all
+    positions), hits at position 1 and at the last position, intra-doc
+    repeated shingles hitting at multiple positions, docs under 5 tokens
+    (no shingles), corpora with NO bench doc (empty result), adjacent
+    runs separated by exactly one gap."""
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    q = get_query("q_llm_contamination_span").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(14400 + t)
+        vocab = [f"w{j}" for j in range(12)]
+        bench_text = " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 30)))
+        rows = []
+        has_bench = rng.random() < 0.85
+        if has_bench:
+            rows.append((0, bench_text, "en", "s"))  # 0 % 97 == 0 -> bench
+        ids = iter(i for i in range(1, 400) if i % 97 != 0)
+        for _ in range(rng.randint(3, 25)):
+            i = next(ids)
+            r = rng.random()
+            if r < 0.2 and has_bench:
+                rows.append((i, bench_text, "en", "s"))  # wholesale copy
+            elif r < 0.5 and has_bench:
+                bt = bench_text.split()
+                a = rng.randint(0, max(0, len(bt) - 5))
+                b = rng.randint(a + 5, len(bt))
+                quote = " ".join(bt[a:b])
+                filler1 = " ".join(rng.choice(["x1", "x2", "x3"]) for _ in range(rng.randint(0, 8)))
+                filler2 = " ".join(rng.choice(["y1", "y2"]) for _ in range(rng.randint(0, 8)))
+                rows.append((i, f"{filler1} {quote} {filler2}".strip(), "en", "s"))
+            else:
+                rows.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))), "en", "s"))
+        d = _write_documents14(rows)
+        got = sorted(
+            (r.doc_id, r.n_hit_positions, r.max_span_shingles, r.max_span_tokens)
+            for r in q(spark, d).collect()
+        )
+
+        def toks(s):
+            return [w for w in s.lower().strip().split() if w]
+
+        def sh5(ts):
+            return [" ".join(ts[i:i + 5]) for i in range(len(ts) - 4)]
+
+        bench_sh = set()
+        for (i, text, _l, _s) in rows:
+            if i % 97 == 0:
+                bench_sh |= set(sh5(toks(text)))
+        want = []
+        for (i, text, _l, _s) in rows:
+            if i % 97 == 0:
+                continue
+            hits = [p for p, s in enumerate(sh5(toks(text)), start=1) if s in bench_sh]
+            if not hits:
+                continue
+            runs, cur = [], 1
+            for a, b in zip(hits, hits[1:]):
+                if b == a + 1:
+                    cur += 1
+                else:
+                    runs.append(cur)
+                    cur = 1
+            runs.append(cur)
+            want.append((i, len(hits), max(runs), max(runs) + 4))
+        want.sort()
+        if got != want:
+            fails += 1
+            diffs = [(a, b) for a, b in zip(got, want) if a != b]
+            print(f"  spans trial {t} MISMATCH {diffs[:3]} len={len(got)}/{len(want)}")
+    print(f"fuzz_spans: {trials - fails}/{trials} ok")
+    return fails
+
+
+def fuzz_colloc(spark, trials: int = 8) -> int:
+    """q_text_collocations vs a Python bigram/unigram Counter recount with
+    the exact PMI expression order and ROUND_HALF_UP at 6 dp. Axes: bigrams
+    at exactly the min-count boundary (20 kept, 19 dropped), overlapping
+    self-bigram runs ('a a a' -> (a,a) twice), single-token and empty docs,
+    negative-PMI pairs (frequent unigrams, rare-ish pair)."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    q = get_query("q_text_collocations").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(15400 + t)
+        rows = []
+        did = 0
+        # phrase pools engineered around the >=20 boundary
+        reps_a = rng.choice([19, 20, 21])  # 'p q' appears exactly this often
+        for _ in range(reps_a):
+            rows.append((did, "p q", "en", "s"))
+            did += 1
+        for _ in range(rng.randint(20, 30)):  # self-run doc: overlapping (r,r)
+            rows.append((did, "r r r", "en", "s"))
+            did += 1
+        for _ in range(rng.randint(5, 40)):  # noise, single-token, empty
+            k = rng.randint(0, 6)
+            rows.append((did, " ".join(rng.choice(["p", "q", "r", "s", "u"]) for _ in range(k)), "en", "s"))
+            did += 1
+        d = _write_documents14(rows)
+        got = sorted(
+            (r.tok_a, r.tok_b, r.n_ab, r.pmi) for r in q(spark, d).collect()
+        )
+
+        big: Counter = Counter()
+        uni: Counter = Counter()
+        for (_i, text, _l, _s) in rows:
+            ts = [w for w in text.lower().strip().split() if w]
+            uni.update(ts)
+            big.update(zip(ts, ts[1:]))
+        nb = float(sum(big.values()))
+        want = []
+        for (a, b), n_ab in big.items():
+            if n_ab < 20:
+                continue
+            x = math.log(nb * n_ab / float(uni[a] * uni[b]))
+            pmi = float(Decimal(x * 1e6).quantize(Decimal(1), rounding=ROUND_HALF_UP)) / 1e6
+            want.append((a, b, n_ab, pmi))
+        want.sort()
+        if got != want:
+            fails += 1
+            diffs = [(x, y) for x, y in zip(got, want) if x != y]
+            print(f"  colloc trial {t} MISMATCH {diffs[:3]} len={len(got)}/{len(want)}")
+    print(f"fuzz_colloc: {trials - fails}/{trials} ok")
+    return fails
+
+
+def _write_documents14(rows) -> str:
+    """rows: (doc_id, text|None, lang, source)."""
+    import tempfile
+
+    import duckdb
+
+    d = tempfile.mkdtemp(prefix="fuzz14_docs_")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO t VALUES (?,?,?,?,?)",
+        [r + (len(r[1]) if r[1] is not None else 0,) for r in rows],
+    )
+    con.execute(f"COPY t TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+    return d
+
+
 # ---------------------------------------------------------------------------
 # lloyd: lloyd_kmeans vs an independent Python recount. The registered
 # q_vec_kmeans_lloyd oracle UNROLLS the identical recurrence as a CTE chain
@@ -1067,6 +1287,9 @@ def main() -> None:
         ("attribution", fuzz_attribution, 8),
         ("corr", fuzz_corr, 8),
         ("trend", fuzz_trend, 8),
+        ("chisq", fuzz_chisq, 8),
+        ("spans", fuzz_spans, 8),
+        ("colloc", fuzz_colloc, 8),
         ("stream_win", fuzz_stream_win, 6),
         ("stream_scd2", fuzz_stream_scd2, 6),
         ("stream_interval", fuzz_stream_interval, 6),
