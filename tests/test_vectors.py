@@ -278,3 +278,41 @@ def test_kmeans_lloyd_ragged_member_counts(spark):
     assert abs(got[0]["c"][2] - 0.0) < 1e-6
     assert abs(got[1]["c"][0] - 99.5) < 1e-6
     assert abs(got[1]["c"][1] - 1.0) < 1e-6
+
+
+def test_lloyd_identical_seeds_empty_cluster_and_tie_break(spark):
+    """Promoted round-14 fuzz shape (docs/fuzz_round14.py lloyd): when two
+    seeds are IDENTICAL vectors, every point ties them on squared-L2 and the
+    (dist, center_id) struct-min must send ALL members to the smaller
+    center_id — the duplicate center goes EMPTY (n_members=0) and its
+    centroid carries forward bit-unchanged. And the carry-forward is not
+    cosmetic: in the NEXT iteration the untouched (0,0) centroid WINS BACK
+    the points that stayed near the origin (the moved center 0 drifted
+    toward the far point), so a second iteration repopulates it — both
+    dynamics pinned here, as the round-14 fuzz reference modeled them."""
+    from hadoop_web_browsing_logs_spark.operators.vectors import lloyd_kmeans
+
+    rows = [
+        (0, [0.0, 0.0]),   # seed 0
+        (1, [0.0, 0.0]),   # seed 1 — identical: ties everywhere, loses all
+        (2, [0.0, 0.0]),   # non-seed duplicate of seed 0: ties to center 0
+        (3, [0.2, -0.4]),
+        (4, [10.0, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # K=1: every row ties (or is nearer) to center 0; center 1 is empty and
+    # carries (0,0) forward with n_members=0
+    one = {
+        r["center_id"]: (tuple(r["c"]), r["n_members"])
+        for r in lloyd_kmeans(df, 2, iterations=1).collect()
+    }
+    assert one[1] == ((0.0, 0.0), 0)
+    assert one[0] == ((2.04, 1.92), 5)  # mean of all five (exact at 1e-6)
+    # K=2: the carried-forward (0,0) beats the drifted (2.04, 1.92) for the
+    # four origin-cluster rows; the far point stays with center 0
+    two = {
+        r["center_id"]: (tuple(r["c"]), r["n_members"])
+        for r in lloyd_kmeans(df, 2, iterations=2).collect()
+    }
+    assert two[1] == ((0.05, -0.1), 4)
+    assert two[0] == ((10.0, 10.0), 1)
