@@ -889,6 +889,59 @@ def fuzz_colloc(spark, trials: int = 8) -> int:
     return fails
 
 
+def fuzz_domain_cap(spark, trials: int = 8) -> int:
+    """q_llm_domain_cap vs a Python md5-order recount (hashlib md5 hex of
+    the utf-8 text, NULL -> '', tie-break doc_id). Axes: a mega-domain
+    several times the cap, NULL-text docs inside an over-cap source (the
+    round-8 NULLS-FIRST/LAST latent bug class), duplicate texts (hex ties
+    resolved by doc_id), NULL sources (their own partition), under-cap
+    sources kept whole."""
+    import hashlib
+
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import DOMAIN_CAP
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    q = get_query("q_llm_domain_cap").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(16400 + t)
+        rows = []
+        did = 0
+        for src in ["mega", "small", None, "dupes"]:
+            n = rng.randint(DOMAIN_CAP * 2, DOMAIN_CAP * 4) if src == "mega" else rng.randint(1, DOMAIN_CAP)
+            if src == "dupes":
+                n = DOMAIN_CAP + rng.randint(5, 20)
+            for _ in range(n):
+                if src == "dupes":
+                    text = rng.choice(["same text", "same text", "other"])
+                else:
+                    text = " ".join(f"t{rng.randint(0, 50)}" for _ in range(rng.randint(0, 8)))
+                if rng.random() < 0.1:
+                    text = None
+                rows.append((did, text, "en", src))
+                did += 1
+        d = _write_documents14(rows)
+        got = [(r.source, r.doc_id) for r in q(spark, d).collect()]
+
+        per: dict = {}
+        for (i, text, _l, src) in rows:
+            h = hashlib.md5((text or "").encode("utf-8")).hexdigest()
+            per.setdefault(src, []).append((h, i))
+        want = []
+        for src, lst in per.items():
+            for _h, i in sorted(lst)[:DOMAIN_CAP]:
+                want.append((src, i))
+        want.sort(key=lambda r: (r[0] is None, r[0] or "", r[1]))
+        got.sort(key=lambda r: (r[0] is None, r[0] or "", r[1]))
+        if got != want:
+            fails += 1
+            diffs = [(a, b) for a, b in zip(got, want) if a != b]
+            print(f"  domain_cap trial {t} MISMATCH {diffs[:4]} "
+                  f"len={len(got)}/{len(want)}")
+    print(f"fuzz_domain_cap: {trials - fails}/{trials} ok")
+    return fails
+
+
 def _write_documents14(rows) -> str:
     """rows: (doc_id, text|None, lang, source)."""
     import tempfile
@@ -1288,6 +1341,7 @@ def main() -> None:
         ("corr", fuzz_corr, 8),
         ("trend", fuzz_trend, 8),
         ("chisq", fuzz_chisq, 8),
+        ("domain_cap", fuzz_domain_cap, 8),
         ("spans", fuzz_spans, 8),
         ("colloc", fuzz_colloc, 8),
         ("stream_win", fuzz_stream_win, 6),
