@@ -55,7 +55,41 @@ declared semantics:
                                   ties everywhere (the orientation's
                                   (deg, id) tie-break is load-bearing).
 
-Run:  python docs/fuzz_round14.py [pagerank|lpa|bfs|reach|triangles|all]
+Second wave (same round) — the remaining shared-derivation kernels and
+the streaming equivalence machinery (VERDICT r13 item 3):
+
+  lloyd        lloyd_kmeans vs an independent Python recount (in-order L2
+               fold, struct-min tie-break, dsum(6) HALF_UP, per-dimension
+               empty-cluster carry-forward); identical-seed and
+               duplicate-of-seed tie axes.
+  attribution  q_events_attribution vs a per-purchase Python scan (tie ->
+               highest view_id, both interval bounds inclusive, null
+               user/ts purchases kept unmatched).
+  corr         q_events_correlation vs a five-moment recount (dsum(2)/(4),
+               GREATEST clamp, try_divide NULL; constant and linear
+               series, NaN/Inf skips, null-ts hours).
+  trend        q_events_trend vs a least-squares recount on exact integer
+               hour moments (single-hour exclusion, NaN/Inf, null ts).
+  chisq        q_events_chisq vs a contingency recount (NEGATIVE user_ids:
+               engines' % truncates toward zero, Python's floors — the
+               reference mirrors the engines; dof-0 shapes).
+  spans        q_llm_contamination_span vs a positioned-shingle scan
+               (wholesale copies, edge-position hits, one-gap run splits,
+               benchless corpora).
+  colloc       q_text_collocations vs a bigram/unigram Counter recount
+               (exact-min-count boundary, overlapping self-bigrams,
+               HALF_UP PMI at 6 dp).
+  domain_cap   q_llm_domain_cap vs an md5-order recount (mega-domains,
+               NULL text in over-cap sources, hex ties -> doc_id).
+  stream_win / stream_scd2 / stream_interval
+               randomized multi-file event TAPES (one parquet file = one
+               micro-batch) replayed through readStream vs the batch
+               twins — the five registered equiv gates' claim on hostile
+               tapes: sessions merging across >=3 micro-batches, hops
+               exactly at the gap, late rows exactly at the watermark,
+               same-ts SCD2 ties, sentinel-only left-join flushes.
+
+Run:  python docs/fuzz_round14.py [family|all] [trials]
 
 Results land in SCALE.md's sweep ledger; canonical hostile shapes get
 promoted to committed regression tests.
