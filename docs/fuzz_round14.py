@@ -976,6 +976,88 @@ def fuzz_domain_cap(spark, trials: int = 8) -> int:
     return fails
 
 
+def fuzz_expectations(spark, trials: int = 8) -> int:
+    """q_quality_expectations vs a Python recount of all five checks.
+    Axes: values exactly AT the range bounds (quantity 1/50, discount
+    0/0.9 — kept; just outside — violations), NULL quantities/discounts
+    (excluded from the conditional count on both engines), duplicate
+    o_orderkey rows (uniqueness violations AND FK left-join FANOUT — the
+    FK check's n_checked grows past len(lineitem)), NULL l_orderkey rows
+    (unmatched -> FK violations), orphaned lineitems."""
+    import tempfile
+
+    import duckdb
+
+    from hadoop_web_browsing_logs_spark.plans.registry import get_query
+
+    q = get_query("q_quality_expectations").fn
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(17400 + t)
+        okeys = []
+        for i in range(rng.randint(3, 30)):
+            okeys.append(i)
+            if rng.random() < 0.25:
+                okeys.append(i)  # duplicate order key: uniq violation + fanout
+        li = []
+        for _ in range(rng.randint(5, 120)):
+            lk = rng.choice([rng.choice(okeys), 9999, None])  # orphan / null fk
+            qty = rng.choice([0, 1, 25, 50, 51, None])
+            disc = rng.choice([-0.1, 0.0, 0.45, 0.9, 0.91, None])
+            ship = rng.choice(["2024-01-05", None])
+            li.append((lk, qty, disc, ship))
+
+        d = tempfile.mkdtemp(prefix="fuzz14_qe_")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE li (l_orderkey BIGINT, l_quantity DOUBLE,"
+            " l_discount DOUBLE, l_shipdate DATE)"
+        )
+        con.executemany("INSERT INTO li VALUES (?,?,?,?)", li)
+        con.execute(f"COPY li TO '{d}/lineitem.parquet' (FORMAT PARQUET)")
+        con.execute("CREATE TABLE o (o_orderkey BIGINT)")
+        con.executemany("INSERT INTO o VALUES (?)", [(k,) for k in okeys])
+        con.execute(f"COPY o TO '{d}/orders.parquet' (FORMAT PARQUET)")
+        con.close()
+
+        got = {r.check_name: (r.n_checked, r.n_violations)
+               for r in q(spark, d).collect()}
+
+        n_li = len(li)
+        want = {
+            "lineitem_quantity_in_range": (
+                n_li,
+                sum(1 for (_k, qt, _d, _s) in li
+                    if qt is not None and (qt < 1 or qt > 50)),
+            ),
+            "lineitem_discount_in_range": (
+                n_li,
+                sum(1 for (_k, _q, dc, _s) in li
+                    if dc is not None and (dc < 0 or dc > 0.9)),
+            ),
+            "lineitem_shipdate_not_null": (
+                n_li,
+                sum(1 for (_k, _q, _d, s) in li if s is None),
+            ),
+            "orders_orderkey_unique": (len(okeys), len(okeys) - len(set(okeys))),
+        }
+        from collections import Counter
+
+        oc = Counter(okeys)
+        fk_checked = sum(max(oc.get(k, 0), 1) if k is not None else 1
+                         for (k, _q, _d, _s) in li)
+        fk_viol = sum(1 for (k, _q, _d, _s) in li
+                      if k is None or oc.get(k, 0) == 0)
+        want["lineitem_orderkey_fk"] = (fk_checked, fk_viol)
+        if got != want:
+            fails += 1
+            diffs = {k: (got.get(k), want.get(k))
+                     for k in set(got) | set(want) if got.get(k) != want.get(k)}
+            print(f"  expectations trial {t} MISMATCH {diffs}")
+    print(f"fuzz_expectations: {trials - fails}/{trials} ok")
+    return fails
+
+
 def _write_documents14(rows) -> str:
     """rows: (doc_id, text|None, lang, source)."""
     import tempfile
@@ -1376,6 +1458,7 @@ def main() -> None:
         ("trend", fuzz_trend, 8),
         ("chisq", fuzz_chisq, 8),
         ("domain_cap", fuzz_domain_cap, 8),
+        ("expectations", fuzz_expectations, 8),
         ("spans", fuzz_spans, 8),
         ("colloc", fuzz_colloc, 8),
         ("stream_win", fuzz_stream_win, 6),
