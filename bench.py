@@ -148,6 +148,11 @@ HEADLINE = [
     # divergence between the two isolates data-dependent skew in one
     # query's lists rather than a kernel regression.
     "q_sim_hybrid_rrf2",
+    # round-14 late addition, tracked from birth: the prefix-filtered exact
+    # Jaccard join — its cost vs q_dedup_minhash_lsh (probabilistic) and the
+    # candidate count implied by its wall time are the knobs to watch as the
+    # strided pair universe grows with SF.
+    "q_dedup_jaccard_prefix",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal

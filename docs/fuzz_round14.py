@@ -976,6 +976,69 @@ def fuzz_domain_cap(spark, trials: int = 8) -> int:
     return fails
 
 
+def fuzz_jaccard_prefix(spark, trials: int = 8) -> int:
+    """jaccard_prefix_pairs (registered round 14) vs a brute-force Python
+    all-pairs Jaccard — a randomized check of the prefix-filter theorem on
+    shapes the fixture lacks. Axes: token-set sizes at EXACT multiples of
+    1/(1-tau) (the integer-ceil boundary a float prefix length gets wrong),
+    near-identical docs differing in one token, exact duplicates,
+    boilerplate-heavy corpora (hot prefix tokens), single-token docs,
+    varying tau including 2/3 (a non-terminating binary fraction)."""
+    from hadoop_web_browsing_logs_spark.operators.dedup import jaccard_prefix_pairs
+
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(18400 + t)
+        tau = rng.choice([0.9, 0.8, 2 / 3, 0.5])
+        vocab = [f"w{j}" for j in range(30)]
+        rows = []
+        did = 0
+        base_pool = []
+        for _ in range(rng.randint(5, 40)):
+            r = rng.random()
+            if r < 0.25 and base_pool:
+                toks = list(rng.choice(base_pool))
+                if rng.random() < 0.6 and toks:  # one-token edit
+                    toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            else:
+                # sizes hammered onto ceil boundaries: 10/20/30 at tau=0.9 etc.
+                n = rng.choice([1, 2, 3, 9, 10, 11, 20, 30, rng.randint(1, 25)])
+                toks = [rng.choice(vocab) for _ in range(n)]
+            base_pool.append(toks)
+            rows.append((did, " ".join(toks), "en", "s"))
+            did += 1
+        d = _write_documents14(rows)
+        from hadoop_web_browsing_logs_spark.sources.readers import load_table
+
+        docs = load_table(spark, d, "documents")
+        got = sorted(
+            (r.doc_a, r.doc_b, round(r.jaccard, 10))
+            for r in jaccard_prefix_pairs(docs, tau).collect()
+        )
+        sets = {}
+        for (i, text, _l, _s) in rows:
+            s = set(w for w in text.lower().strip().split() if w)
+            if s:
+                sets[i] = s
+        want = []
+        for a in sets:
+            for b in sets:
+                if a < b:
+                    inter = len(sets[a] & sets[b])
+                    jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+                    if jac >= tau:
+                        want.append((a, b, round(jac, 10)))
+        want.sort()
+        if got != want:
+            fails += 1
+            only_g = [r for r in got if r not in want][:3]
+            only_w = [r for r in want if r not in got][:3]
+            print(f"  jaccard_prefix trial {t} (tau={tau}) MISMATCH "
+                  f"extra={only_g} missing={only_w}")
+    print(f"fuzz_jaccard_prefix: {trials - fails}/{trials} ok")
+    return fails
+
+
 def fuzz_expectations(spark, trials: int = 8) -> int:
     """q_quality_expectations vs a Python recount of all five checks.
     Axes: values exactly AT the range bounds (quantity 1/50, discount
@@ -1459,6 +1522,7 @@ def main() -> None:
         ("chisq", fuzz_chisq, 8),
         ("domain_cap", fuzz_domain_cap, 8),
         ("expectations", fuzz_expectations, 8),
+        ("jaccard_prefix", fuzz_jaccard_prefix, 8),
         ("spans", fuzz_spans, 8),
         ("colloc", fuzz_colloc, 8),
         ("stream_win", fuzz_stream_win, 6),
