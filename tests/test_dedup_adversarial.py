@@ -228,3 +228,35 @@ def test_fuzzy_vocab_blocking_complete_on_random_vocab(spark):
         ).collect()
     )
     assert got == expected
+
+
+def test_jaccard_prefix_exact_ceil_boundary_pair(spark):
+    """Promoted round-14 fuzz shape (docs/fuzz_round14.py jaccard_prefix):
+    the fixture that DISCRIMINATES the integer-vs-float prefix-length bug.
+    B (9 tokens) is a subset of A (10 tokens): J = 9/10 = tau exactly, so
+    the pair MUST be emitted. A's correct prefix length is
+    10 - ceil(0.9*10) + 1 = 2 — its df-1 unique token plus the globally
+    rarest shared token (which is also B's 1-token prefix). A float ceil
+    landing one ulp high (ceil(9.000000000000002) = 10) would shorten A's
+    prefix to just the unique token, the prefixes would share nothing, and
+    the boundary pair would silently vanish. Exact integer arithmetic on
+    tau's Fraction keeps it."""
+    from hadoop_web_browsing_logs_spark.operators.dedup import jaccard_prefix_pairs
+
+    shared = [f"s{i}" for i in range(9)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(shared + ["unique_to_a"])),  # |A| = 10
+            (2, " ".join(shared)),                    # |B| = 9, B ⊂ A
+            # background docs inflate the shared tokens' df so A's unique
+            # token is strictly the rarest (prefix slot 1)
+            (3, " ".join(shared[:5]) + " filler1 filler2"),
+            (4, " ".join(shared[4:]) + " filler3"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = [
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_prefix_pairs(docs, 0.9).collect()
+    ]
+    assert got == [(1, 2, 0.9)]
