@@ -694,6 +694,11 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Fixed retrieval query (bounded, engine-constant — like the Porter goldens).
 BM25_QUERY_TERMS = ("spark", "hash", "window", "merge")
+#: Second fixed query point (round 15, VERDICT r14 item 6): the same term
+#: set the second hybrid-RRF point uses (similarity.RRF2_QUERY_TERMS —
+#: equality pinned by test_plans), so the ranker itself is driver-proved at
+#: the point the fused kernel consumes, not only through RRF at RRF_LIST_K.
+BM25_QUERY_TERMS_2 = ("filter", "scan", "batch", "stream")
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP_K = 20
@@ -713,9 +718,11 @@ _BM25_MICRO_SQL = (
 )
 
 
-@query(
-    "q_text_bm25",
-    oracle=f"""
+def _bm25_oracle(terms: tuple[str, ...]) -> str:
+    """The DuckDB twin of ``bm25_rank`` for a fixed term set — ONE builder
+    shared by both registered query points so the oracle text can never
+    drift between them (the _hybrid_rrf_oracle pattern)."""
+    return f"""
     WITH tok AS (
         SELECT d.doc_id, u.token AS term
         FROM documents d, UNNEST(list_transform(string_split_regex(lower(trim(d.text)), '\\s+'), x -> regexp_replace(x, '\\pP', '', 'g'))) AS u(token)
@@ -726,7 +733,7 @@ _BM25_MICRO_SQL = (
     tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tot FROM tok),
     tf AS (
         SELECT doc_id, term, COUNT(*) AS tf FROM tok
-        WHERE term IN {BM25_QUERY_TERMS!r}
+        WHERE term IN {terms!r}
         GROUP BY doc_id, term
     ),
     df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
@@ -740,7 +747,12 @@ _BM25_MICRO_SQL = (
     )
     SELECT doc_id, n_terms, CAST(micro AS DOUBLE) / 1000000 AS bm25
     FROM per ORDER BY micro DESC, doc_id LIMIT {BM25_TOP_K}
-    """,
+    """
+
+
+@query(
+    "q_text_bm25",
+    oracle=_bm25_oracle(BM25_QUERY_TERMS),
     category="text",
     description=(
         "BM25 retrieval: top-20 documents for a fixed 4-term query "
@@ -752,6 +764,25 @@ _BM25_MICRO_SQL = (
 )
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(t(spark, sf_dir, "documents"), BM25_QUERY_TERMS)
+
+
+@query(
+    "q_text_bm25_2",
+    oracle=_bm25_oracle(BM25_QUERY_TERMS_2),
+    category="text",
+    description=(
+        "Second BM25 query point (round 15, VERDICT r14 item 6): the same "
+        "bm25_rank kernel at the term set the second hybrid-RRF point "
+        "consumes (filter/scan/batch/stream), at the full top-20 depth. "
+        "q_sim_hybrid_rrf2 proves this point only through the fused RRF "
+        "fold at RRF_LIST_K; this row pins the ranker's own output — "
+        "scores, tie-order, and the top-k boundary — directly against the "
+        "DuckDB twin, closing the point-specific-green gap the same way "
+        "rrf2 closed it for the fused kernel."
+    ),
+)
+def q_text_bm25_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_rank(t(spark, sf_dir, "documents"), BM25_QUERY_TERMS_2)
 
 
 def bm25_rank(

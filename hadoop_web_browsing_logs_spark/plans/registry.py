@@ -82,63 +82,77 @@ _REGISTRY: dict[str, Query] = {}
 #: oldest-green-first (23 of 49, alphabetical q_agg_bool_bit …
 #: q_merge_upsert). After a green round no oracled query's last
 #: driver-green row predates round 11 — the fourth full rotation closes.
+#:
+#: Round 15 (VERDICT r14 item 1): slots 1-2 seat the never-driver-certified
+#: registrations — q_dedup_jaccard_prefix (registered late in round 14
+#: after the window ran; the only oracled query with no driver row) and
+#: q_text_bm25_2 (round 15, VERDICT r14 item 6: the ranker pinned directly
+#: at the rrf2 term set). Slots 3-28 are the round-11 cohort TAIL (26
+#: rows, alphabetical q_pivot … q_window_rank_salted — the oldest driver
+#: rows in the system). Slots 29-50 take the round-12 cohort head
+#: oldest-green-first (22 of 50, alphabetical q_agg_heavy_hitters …
+#: q_events_path_mining). After a green round no oracled query's last
+#: driver-green row predates round 12 — the fifth full rotation closes
+#: (q_dedup_embedding excepted: demoted for good, never re-seated).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never driver-certified (registered round 14) ---
-    "q_sim_hybrid_rrf2",
-    # --- round-10 cohort tail (last driver-green r10, oldest in system;
-    # q_dedup_embedding skipped — demoted for good) ---
-    "q_join_inner",
-    "q_join_nullsafe",
-    "q_llm_bpe_encode_gate",
-    "q_llm_corpus_funnel",
-    "q_llm_mix_stratified",
-    "q_llm_split",
-    "q_llm_split_leakage_safe",
-    "q_llm_temperature_mix",
-    "q_multimodal_features",
-    "q_multimodal_frame_sample",
-    "q_profile_documents",
-    "q_quality_expectations",
-    "q_scalar_array2",
-    "q_scalar_map",
-    "q_scalar_string",
-    "q_scalar_string2",
-    "q_set_ops",
-    "q_sim_cosine_topk",
-    "q_text_bm25",
-    "q_topk_per_group",
-    "q_unpivot",
-    "q_vec_covariance",
-    "q_vec_covariance_fast_gate",
-    "q_window_frames",
-    "q_window_lag_lead",
-    "q_window_ntile",
-    # --- round-11 cohort head (oldest-green-first, 23 of 49
-    # alphabetical; the 26-row tail — q_pivot … q_window_rank_salted —
-    # rolls to r15) ---
-    "q_agg_bool_bit",
-    "q_agg_conditional",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_rollup",
-    "q_agg_salted_hotkey",
-    "q_agg_stats",
-    "q_agg_variance",
-    "q_cte_pipeline",
-    "q_events_scd2",
-    "q_exists_priority",
-    "q_graph_bfs_frontier",
-    "q_join_multiway",
-    "q_join_range",
-    "q_join_right",
-    "q_join_sixway",
-    "q_llm_bigram_logprob",
-    "q_llm_domain_cap",
-    "q_llm_pack_sequences",
-    "q_llm_shard_manifest",
-    "q_llm_token_budget",
-    "q_llm_unigram_logprob",
-    "q_merge_upsert",
+    # --- never driver-certified: the round-14 late registration (prefix-
+    # filtered exact Jaccard join, oracle = the naive cross-join) and the
+    # round-15 registration (second BM25 query point) ---
+    "q_dedup_jaccard_prefix",
+    "q_text_bm25_2",
+    # --- round-11 cohort tail (last driver-green r11, the oldest rows in
+    # the system; 26 rows, alphabetical) ---
+    "q_pivot",
+    "q_profile_columns",
+    "q_scalar_array",
+    "q_scalar_json",
+    "q_scalar_variant",
+    "q_sim_ivf_ann_gate",
+    "q_sim_ivf_candidates",
+    "q_sim_lsh_ann_gate",
+    "q_sim_lsh_candidates_portable",
+    "q_sim_range_search",
+    "q_stream_equiv_gate",
+    "q_stream_session_batch",
+    "q_stream_session_equiv_gate",
+    "q_stream_sliding_batch",
+    "q_stream_static_join_batch",
+    "q_stream_tumbling_batch",
+    "q_text_collocations",
+    "q_text_quality",
+    "q_topk_global",
+    "q_udf_grouped_map",
+    "q_vec_cluster_groups",
+    "q_vec_kmeans_lloyd",
+    "q_vec_nearest_center",
+    "q_window_ntile_distributed",
+    "q_window_rank",
+    "q_window_rank_salted",
+    # --- round-12 cohort head (oldest-green-first, 22 of 50 alphabetical;
+    # the 28-row tail — q_events_robust_zscore … q_window_range_frame —
+    # rolls to r16) ---
+    "q_agg_heavy_hitters",
+    "q_agg_percentile",
+    "q_agg_sketch_reaggregate",
+    "q_agg_stringagg",
+    "q_asof_join",
+    "q_dedup_components",
+    "q_dedup_fuzzy_vocab",
+    "q_dedup_incremental_lsh",
+    "q_dedup_jaccard_pairs",
+    "q_dedup_keep_canonical",
+    "q_dedup_minhash_gate",
+    "q_dedup_minhash_lsh_gate",
+    "q_dedup_minhash_lsh_portable",
+    "q_dedup_semantic",
+    "q_dedup_semantic_keepfar",
+    "q_dedup_substring",
+    "q_distinct",
+    "q_events_chisq",
+    "q_events_conversion_latency",
+    "q_events_correlation",
+    "q_events_funnel",
+    "q_events_path_mining",
 )
 
 

@@ -123,31 +123,32 @@ def test_driver_priority_window():
     assert names[:50] == list(DRIVER_PRIORITY)
     # every priority name actually resolves to a registered query
     assert set(DRIVER_PRIORITY) <= set(names)
-    # round-14 allocation (registry.py comment, VERDICT r13 item 1):
-    # slot 1 = the never-certified round-14 registration (the second
-    # hybrid-RRF query point), then the round-10 cohort tail (26 rows,
-    # the oldest driver rows in the system, incl. q_text_bm25 whose
-    # kernel gained include_micro in round 13), then the round-11
-    # cohort head (23 of 49)
+    # round-15 allocation (registry.py comment, VERDICT r14 item 1):
+    # slots 1-2 = the never-driver-certified registrations
+    # (q_dedup_jaccard_prefix, registered after the r14 window ran, and
+    # the round-15 second BM25 query point), then the round-11 cohort
+    # tail (26 rows, the oldest driver rows in the system), then the
+    # round-12 cohort head (22 of 50) — the fifth full rotation closes
     window = set(DRIVER_PRIORITY)
-    assert DRIVER_PRIORITY[0] == "q_sim_hybrid_rrf2"
-    assert DRIVER_PRIORITY[1] == "q_join_inner"
-    assert DRIVER_PRIORITY[26] == "q_window_ntile"
-    assert DRIVER_PRIORITY[27] == "q_agg_bool_bit"
-    assert DRIVER_PRIORITY[49] == "q_merge_upsert"
+    assert DRIVER_PRIORITY[0] == "q_dedup_jaccard_prefix"
+    assert DRIVER_PRIORITY[1] == "q_text_bm25_2"
+    assert DRIVER_PRIORITY[2] == "q_pivot"
+    assert DRIVER_PRIORITY[27] == "q_window_rank_salted"
+    assert DRIVER_PRIORITY[28] == "q_agg_heavy_hitters"
+    assert DRIVER_PRIORITY[49] == "q_events_path_mining"
     for core in (
-                 # round-10 cohort tail (oldest driver rows in the system)
-                 "q_join_nullsafe", "q_llm_bpe_encode_gate",
-                 "q_llm_corpus_funnel", "q_llm_split_leakage_safe",
-                 "q_multimodal_features", "q_profile_documents",
-                 "q_scalar_map", "q_set_ops", "q_sim_cosine_topk",
-                 "q_text_bm25", "q_topk_per_group", "q_vec_covariance",
-                 "q_vec_covariance_fast_gate", "q_window_lag_lead",
-                 # round-11 cohort head
-                 "q_agg_cube", "q_agg_salted_hotkey", "q_cte_pipeline",
-                 "q_events_scd2", "q_graph_bfs_frontier",
-                 "q_join_sixway", "q_llm_bigram_logprob",
-                 "q_llm_pack_sequences", "q_merge_upsert"):
+                 # round-11 cohort tail (oldest driver rows in the system)
+                 "q_profile_columns", "q_scalar_json", "q_scalar_variant",
+                 "q_sim_ivf_ann_gate", "q_sim_lsh_candidates_portable",
+                 "q_stream_equiv_gate", "q_stream_session_equiv_gate",
+                 "q_text_collocations", "q_topk_global",
+                 "q_udf_grouped_map", "q_vec_kmeans_lloyd",
+                 "q_window_ntile_distributed", "q_window_rank",
+                 # round-12 cohort head
+                 "q_agg_percentile", "q_asof_join", "q_dedup_components",
+                 "q_dedup_jaccard_pairs", "q_dedup_minhash_lsh_portable",
+                 "q_dedup_semantic", "q_distinct", "q_events_chisq",
+                 "q_events_funnel", "q_events_path_mining"):
         assert core in window, core
     # the demoted quadratic all-pairs baseline must NEVER be re-seated
     # (VERDICT r10 item 1); its bucketed twin carries the driver proof

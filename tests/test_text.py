@@ -190,6 +190,37 @@ def test_bm25_golden_matches_scalar_reference(spark):
     assert got[1][1] == 2 and got[2][1] == 1 and got[4][1] == 4
 
 
+def test_bm25_second_point_terms_pinned_to_rrf2(spark):
+    """Round 15 (VERDICT r14 item 6): q_text_bm25_2 exists to pin the
+    ranker at the SAME term set the second hybrid-RRF point consumes — a
+    silent drift between the two constants would quietly decouple the
+    driver proof from the point rrf2 actually exercises."""
+    from hadoop_web_browsing_logs_spark.operators.similarity import RRF2_QUERY_TERMS
+
+    assert text_ops.BM25_QUERY_TERMS_2 == RRF2_QUERY_TERMS
+    # and the second point stays disjoint from the first (it proves a
+    # genuinely different region of the posting space)
+    assert not set(text_ops.BM25_QUERY_TERMS_2) & set(text_ops.BM25_QUERY_TERMS)
+    # scalar-reference golden at the second term set (same discipline as
+    # test_bm25_golden_matches_scalar_reference at the first)
+    corpus = {
+        1: "filter scan filter batch",
+        2: "scan table stream",
+        3: "table row window",
+        4: "batch stream filter scan scan batch",
+    }
+    docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["bm25"], r["n_terms"])
+        for r in text_ops.bm25_rank(docs, text_ops.BM25_QUERY_TERMS_2).collect()
+    }
+    want = _bm25_reference(corpus, text_ops.BM25_QUERY_TERMS_2)
+    assert set(got) == set(want) == {1, 2, 4}  # doc 3 matches no query term
+    for d, s in want.items():
+        assert got[d][0] == pytest.approx(s, abs=0), f"doc {d} exact micro-quantized score"
+    assert got[1][1] == 3 and got[2][1] == 2 and got[4][1] == 4
+
+
 def test_bm25_ranking_properties(spark):
     # same length, more distinct query-term mass => higher score; top_k caps
     corpus = {
