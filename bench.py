@@ -153,6 +153,12 @@ HEADLINE = [
     # candidate count implied by its wall time are the knobs to watch as the
     # strided pair universe grows with SF.
     "q_dedup_jaccard_prefix",
+    # round-15 addition, tracked from birth: the second BM25 query point
+    # (same bm25_rank kernel, the rrf2 term set at full top-20 depth) —
+    # benched beside q_text_bm25 so a cost divergence between the two
+    # isolates term-frequency skew in one query's postings rather than a
+    # kernel regression (the q_sim_hybrid_rrf/rrf2 pairing, one leg down).
+    "q_text_bm25_2",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal
@@ -269,6 +275,27 @@ def _ambient_shift(
     return {"median_ratio": round(med, 3), "n": len(ratios), "flagged": med > flag_ratio}
 
 
+def _annotate_ambient(
+    regressions: dict[str, dict], ambient: dict | None
+) -> str:
+    """Wire the ambient discriminator INTO the per-query regression lines
+    (VERDICT r14 item 8): when the machine-wide flag fires, every
+    REGRESSION line this run is suspect — annotate it (never suppress it)
+    so a later reader of BENCH_DETAIL.json / the driver log can tell
+    adjudicated-ambient from unexplained at a glance. Mutates each
+    regression record with ``ambient_flagged: True`` and returns the
+    suffix to append to the printed line ('' when the flag is down)."""
+    if not (ambient and ambient.get("flagged")):
+        return ""
+    for r in regressions.values():
+        r["ambient_flagged"] = True
+    return (
+        f" [AMBIENT-FLAGGED: machine-wide median shift "
+        f"{ambient['median_ratio']}x — adjudicate vs an idle rerun "
+        f"before bisecting this query]"
+    )
+
+
 def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
@@ -370,10 +397,12 @@ def main() -> None:
                     f"suspect until then)",
                     file=sys.stderr,
                 )
+        amb_suffix = _annotate_ambient(regressions, ambient)
         for qn, r in sorted(regressions.items()):
             print(
                 f"REGRESSION {qn}: {r['last_committed']}s (r{r['round']}) -> "
-                f"{r['now']}s ({r['ratio']}x; gate {r['gate']}x, noise band ±20%)",
+                f"{r['now']}s ({r['ratio']}x; gate {r['gate']}x, noise band ±20%)"
+                f"{amb_suffix}",
                 file=sys.stderr,
             )
     except Exception as ex:

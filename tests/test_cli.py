@@ -165,6 +165,36 @@ def test_bench_ambient_shift_discriminator():
     assert bench._ambient_shift(tiny) is None
 
 
+def test_bench_ambient_annotates_regression_lines():
+    """Round 15 (VERDICT r14 item 8): when the ambient flag fires, the
+    per-query regression records are ANNOTATED (never suppressed) so a
+    later reader can tell adjudicated-ambient from unexplained.
+    Demonstrated on a synthetic uniform 1.4x slowdown: the same trend
+    drives both the gate and the discriminator, the regression survives,
+    and it carries the ambient marker."""
+    bench = _load_bench_module("bench_under_test4")
+
+    # uniform machine-wide 1.4x: >=1 s queries clear their 1.25x tier gate
+    trend = {f"q_{i}": {"r14": 1.0 + i / 10, "now": (1.0 + i / 10) * 1.4} for i in range(12)}
+    regressions = bench._detect_regressions(trend)
+    ambient = bench._ambient_shift(trend)
+    assert regressions and ambient["flagged"] is True
+    suffix = bench._annotate_ambient(regressions, ambient)
+    assert "AMBIENT-FLAGGED" in suffix and "1.4x" in suffix
+    assert all(r["ambient_flagged"] is True for r in regressions.values())
+
+    # isolated regression, ambient flag down: no annotation, record untouched
+    iso = {f"q_{i}": {"r14": 1.0, "now": 1.02} for i in range(11)}
+    iso["q_hot"] = {"r14": 2.0, "now": 3.6}
+    regressions = bench._detect_regressions(iso)
+    ambient = bench._ambient_shift(iso)
+    assert list(regressions) == ["q_hot"] and ambient["flagged"] is False
+    assert bench._annotate_ambient(regressions, ambient) == ""
+    assert "ambient_flagged" not in regressions["q_hot"]
+    # and a None ambient (no history) is safe
+    assert bench._annotate_ambient(regressions, None) == ""
+
+
 def test_bench_trend_loader_survives_malformed_snapshots(tmp_path, monkeypatch):
     """ADVICE r11: a BENCH_r*.json with an unexpected shape (list-valued
     'queries', non-dict 'parsed') must degrade to 'skip that snapshot',
