@@ -161,6 +161,41 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prefix_threshold_fraction(tau: float):
+    """The exact rational threshold the prefix/size filters run on — a
+    num/den pair with BOTH properties the candidate stage needs:
+
+    1. ``Fraction(num, den) <= Fraction(tau)`` (the exact binary double the
+       final ``jaccard >= tau`` verify compares against). Pruning with a
+       threshold ABOVE the verify's would drop a candidate the quadratic
+       baseline keeps — for taus whose shortest decimal repr exceeds the
+       double (e.g. 0.7: 7/10 > double(0.7)) a pair with exact J in
+       [double(tau), decimal(tau)) diverges. Unreachable below union sizes
+       ~1e16, but provable, so it is closed here rather than documented
+       away (ADVICE r14 item 2). A threshold slightly BELOW only lengthens
+       the prefix — superset candidates, never a dropped one.
+    2. ``num`` small enough that ``num * sz`` stays far inside BIGINT
+       (which rules out the exact binary Fraction(tau) itself: its ~2^52
+       numerator times a document size overflows the integer prefix
+       arithmetic).
+
+    For the common decimal-below-or-equal taus (0.5, 0.8, 0.9, …) this is
+    exactly ``Fraction(str(tau))`` — bit-for-bit the pre-round-15
+    behavior. For decimal-above taus it floors the double's exact decimal
+    expansion at 1e-6 (den <= 10^6, so num*sz <= ~2^51 at INT_MAX doc
+    sizes)."""
+    from decimal import ROUND_FLOOR, Decimal
+    from fractions import Fraction
+
+    frac = Fraction(str(tau))
+    # den > 10^6 (a full-17-digit repr like 1/3) would overflow num*sz on
+    # its own — same floor fallback, same superset-candidates safety
+    if frac > Fraction(tau) or frac.denominator > 10**6:
+        frac = Fraction(Decimal(tau).quantize(Decimal("1e-6"), rounding=ROUND_FLOOR))
+    assert frac <= Fraction(tau)
+    return frac.numerator, frac.denominator
+
+
 def jaccard_prefix_pairs(
     docs: DataFrame, tau: float = JACCARD_THRESHOLD
 ) -> DataFrame:
@@ -183,7 +218,12 @@ def jaccard_prefix_pairs(
     size filter (den*min >= num*max) are computed as exact integer
     arithmetic on tau's Fraction — a float ceil of 0.9*|A| can land one
     ulp high at exact-multiple sizes and silently shorten the prefix,
-    which is a CORRECTNESS bug, not a performance one.
+    which is a CORRECTNESS bug, not a performance one. The fraction comes
+    from _prefix_threshold_fraction, which guarantees it never exceeds the
+    binary double the final verify compares against (ADVICE r14 item 2:
+    for taus like 0.7 the shortest decimal repr sits one float-ulp above
+    the double, and pruning at the higher threshold could in principle —
+    union sizes ~1e16 — drop a pair the quadratic baseline keeps).
 
     Scale shape: the df table is one token-keyed exchange (vocab-sized,
     partial-agg reduced); per-doc ordering is a doc-keyed collect_list
@@ -197,10 +237,7 @@ def jaccard_prefix_pairs(
     At web scale, swap the string token arrays for xxhash64 fingerprints
     as minhash_lsh_pairs does (cheaper intersects, 2^-64 collision
     caveat); strings are kept here so the DuckDB twin is exact."""
-    from fractions import Fraction
-
-    frac = Fraction(str(tau))
-    num, den = frac.numerator, frac.denominator
+    num, den = _prefix_threshold_fraction(tau)
     d = (
         docs.select("doc_id", distinct_tokens().alias("toks"))
         # empty-token docs: same 0/0 exclusion as the quadratic baseline

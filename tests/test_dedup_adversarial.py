@@ -260,3 +260,53 @@ def test_jaccard_prefix_exact_ceil_boundary_pair(spark):
         for r in jaccard_prefix_pairs(docs, 0.9).collect()
     ]
     assert got == [(1, 2, 0.9)]
+
+
+def test_jaccard_prefix_threshold_fraction_never_exceeds_double(spark):
+    """ADVICE r14 item 2: the candidate stage's rational threshold must
+    never exceed the binary double the final `jaccard >= tau` verify
+    compares against — for taus whose shortest decimal repr sits ABOVE
+    the double (0.7, 0.3, …) the old Fraction(str(tau)) did, a
+    theoretical-only under-generation (union sizes ~1e16) now closed by
+    _prefix_threshold_fraction's floor fallback."""
+    from fractions import Fraction
+
+    from hadoop_web_browsing_logs_spark.operators.dedup import (
+        _prefix_threshold_fraction,
+    )
+
+    for tau in (0.5, 0.7, 0.8, 0.9, 0.3, 0.66, 1 / 3, 0.875, 0.999999):
+        num, den = _prefix_threshold_fraction(tau)
+        assert Fraction(num, den) <= Fraction(tau), tau
+        # overflow headroom: num * INT_MAX doc size stays far inside BIGINT
+        assert num * (2**31) < 2**62, tau
+        # short-repr decimal-below-or-equal taus keep the exact
+        # pre-round-15 fraction
+        if Fraction(str(tau)) <= Fraction(tau) and Fraction(str(tau)).denominator <= 10**6:
+            assert (num, den) == (
+                Fraction(str(tau)).numerator,
+                Fraction(str(tau)).denominator,
+            ), tau
+
+    # functional: a decimal-above tau (0.7) still matches the quadratic
+    # baseline on a boundary-heavy fixture (J = 7/10 exactly)
+    from hadoop_web_browsing_logs_spark.operators.dedup import jaccard_prefix_pairs
+
+    shared = [f"s{i}" for i in range(7)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(shared + ["ua1", "ua2", "ua3"])),  # |A| = 10
+            (2, " ".join(shared)),                          # |B| = 7, J = 7/10
+            (3, " ".join(shared[:3]) + " f1 f2"),
+            (4, " ".join(shared[2:]) + " f3"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_prefix_pairs(docs, 0.7).collect()
+    )
+    assert (1, 2, 0.7) in got
+    # and every emitted pair really clears the float threshold (no
+    # over-generation slipped through the verify)
+    assert all(j >= 0.7 for _, _, j in got)
