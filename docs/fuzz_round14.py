@@ -1504,30 +1504,37 @@ def fuzz_stream_interval(spark, trials: int = 6) -> int:
 
 
 def main() -> None:
+    # Defaults below are the RECORDED sweep depth (24 trials per family —
+    # the SCALE.md round-14 ledger; ADVICE r14 item 1: the old 8/6
+    # defaults only reproduced a 138-trial quick pass and the 432-trial
+    # ledger run was reachable solely via the positional override).
+    # `python docs/fuzz_round14.py all` now reproduces the ledger
+    # (~30 min); pass a smaller override for a quick pass, e.g.
+    # `python docs/fuzz_round14.py all 8`.
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     override = int(sys.argv[2]) if len(sys.argv) > 2 else None
     spark = get_spark("fuzz14")
     total = 0
     ran = []
     for name, fn, trials in (
-        ("pagerank", fuzz_pagerank, 8),
-        ("lpa", fuzz_lpa, 8),
-        ("bfs", fuzz_bfs, 8),
-        ("reach", fuzz_reach, 8),
-        ("triangles", fuzz_triangles, 8),
-        ("lloyd", fuzz_lloyd, 8),
-        ("attribution", fuzz_attribution, 8),
-        ("corr", fuzz_corr, 8),
-        ("trend", fuzz_trend, 8),
-        ("chisq", fuzz_chisq, 8),
-        ("domain_cap", fuzz_domain_cap, 8),
-        ("expectations", fuzz_expectations, 8),
-        ("jaccard_prefix", fuzz_jaccard_prefix, 8),
-        ("spans", fuzz_spans, 8),
-        ("colloc", fuzz_colloc, 8),
-        ("stream_win", fuzz_stream_win, 6),
-        ("stream_scd2", fuzz_stream_scd2, 6),
-        ("stream_interval", fuzz_stream_interval, 6),
+        ("pagerank", fuzz_pagerank, 24),
+        ("lpa", fuzz_lpa, 24),
+        ("bfs", fuzz_bfs, 24),
+        ("reach", fuzz_reach, 24),
+        ("triangles", fuzz_triangles, 24),
+        ("lloyd", fuzz_lloyd, 24),
+        ("attribution", fuzz_attribution, 24),
+        ("corr", fuzz_corr, 24),
+        ("trend", fuzz_trend, 24),
+        ("chisq", fuzz_chisq, 24),
+        ("domain_cap", fuzz_domain_cap, 24),
+        ("expectations", fuzz_expectations, 24),
+        ("jaccard_prefix", fuzz_jaccard_prefix, 24),
+        ("spans", fuzz_spans, 24),
+        ("colloc", fuzz_colloc, 24),
+        ("stream_win", fuzz_stream_win, 24),
+        ("stream_scd2", fuzz_stream_scd2, 24),
+        ("stream_interval", fuzz_stream_interval, 24),
     ):
         if which in (name, "all"):
             f = fn(spark, override or trials)
