@@ -658,3 +658,72 @@ def test_scd2_same_ts_ties_and_zero_length_intervals(spark):
         assert len(zl) == 1 and zl[0][2] == zl[0][3]
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_interval_left_sentinel_flush_at_watermark_bound(spark):
+    """Promoted round-14 fuzz machinery + the one shape the harness never
+    committed (VERDICT r14 item 5): the left-outer interval join's
+    watermark-sentinel flush on a hostile tape whose batch 2 carries a
+    late view EXACTLY at the global watermark.
+
+    Batch 1 pushes BOTH sides' max event time to t0+2h, so after it the
+    global watermark (min across the two withWatermark("…", "2 hours")
+    sides) sits exactly at t0. Batch 2 then delivers a view AT t0 —
+    probed here and pinned: Spark keeps a row exactly at the watermark
+    (the drop filter is strictly-less-than), so the view still matches
+    its user's later purchase, identically to the batch twin. Batch 3
+    lands three purchases that can never match (zero-view user,
+    NULL-user, tail-of-tape) whose null-extended rows can only flush
+    once the far-future sentinel advances the watermark past every
+    fixture event — the flush IS the sentinel's job; without it the
+    availableNow replay would terminate with the rows still in state."""
+    from pyspark.sql import functions as F
+
+    from hadoop_web_browsing_logs_spark.sources.readers import load_table
+
+    t0 = 1704067200  # 2024-01-01 UTC
+    batches = [
+        [(1, t0, 1, "view", 1.0),
+         (2, t0 + 3600, 1, "purchase", 10.0),  # exactly 1h after view 1: matches
+         (4, t0 + 7200, 4, "purchase", 1.0),   # push BOTH sides' max to t0+2h
+         (5, t0 + 7200, 4, "view", 1.0)],      # -> global watermark t0 after b1
+        [(3, t0 + 3601, 1, "purchase", 11.0),  # view 1 now outside 1h: unmatched
+         (6, t0, 3, "view", 2.0),              # late row EXACTLY at the watermark
+         (7, t0 + 1800, 3, "purchase", 12.0)], # its match, iff the view survives
+        [(10, t0 + 100, 2, "purchase", 13.0),  # zero-view user
+         (20, t0 + 500, None, "purchase", 14.0),  # NULL user: never equi-joins
+         (30, t0 + 9000, 1, "purchase", 15.0)],   # tail purchase: sentinel's job
+    ]
+    d = _write_tape(batches)
+    root = tempfile.mkdtemp(prefix="tape_root_")
+    os.rename(d, os.path.join(root, "events.parquet"))
+    try:
+        streamed = SW._replay_events_stream(
+            spark, root,
+            lambda s: SW.interval_join_purchases_left(
+                s.filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull()),
+                s.filter((F.col("event_type") == "view") & F.col("ts").isNotNull()),
+            ),
+            f"tape_ivll_{time.time()}", mode="append", watermark_sentinel=True,
+        ).filter(~F.col("p_user").eqNullSafe(-999))
+        cols = ("purchase_id", "view_id", "p_user", "purchase_ts", "view_ts", "value")
+        got = sorted(
+            tuple(str(r[c]) for c in cols) for r in streamed.collect()
+        )
+        # every purchase emits exactly once: 3 matched, 4 null-extended
+        assert len(got) == 7
+        by_pid = {r[0]: r for r in got}
+        assert by_pid["2"][1] == "1"     # exact 1h interval bound matches
+        assert by_pid["7"][1] == "6"     # the at-watermark late view SURVIVED
+        for pid in ("3", "10", "20", "30"):
+            assert by_pid[pid][1] == "None", pid  # flushed null-extended
+        # and the batch twin agrees row-for-row (the equiv-gate claim)
+        ev = load_table(spark, root, "events").filter(F.col("ts").isNotNull())
+        batch = SW.interval_join_purchases_left(
+            ev.filter(F.col("event_type") == "purchase"),
+            ev.filter(F.col("event_type") == "view"),
+        )
+        want = sorted(tuple(str(r[c]) for c in cols) for r in batch.collect())
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
