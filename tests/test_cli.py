@@ -146,10 +146,31 @@ def test_bench_ambient_shift_discriminator():
     assert 1.0 < got["median_ratio"] < 1.2
     assert got["flagged"] is False
 
-    # synthetic machine-wide 1.4x slowdown — flagged
+    # synthetic machine-wide 1.4x slowdown — flagged (and the >=1s queries
+    # also populate the round-15 long-query tier)
     uniform = {f"q_{i}": {"r13": 1.0 + i / 10, "now": (1.0 + i / 10) * 1.4} for i in range(12)}
     got = bench._ambient_shift(uniform)
-    assert got == {"median_ratio": 1.4, "n": 12, "flagged": True}
+    assert got == {
+        "median_ratio": 1.4, "n": 12, "flagged": True,
+        "long_median_ratio": 1.4, "long_n": 12, "long_flagged": True,
+    }
+
+    # round-15 long-query tier (VERDICT r14 item 2, adjudicated by the idle
+    # r12-worktree A/B): duration-correlated load — the four >=1 s queries
+    # slow 1.3x while the sub-second majority holds still. The all-query
+    # median is blind (reads ~1.0); the long tier sees it and flags.
+    duration = {f"q_s{i}": {"r14": 0.2, "now": 0.2} for i in range(10)}
+    duration.update({f"q_l{i}": {"r14": 2.0 + i, "now": (2.0 + i) * 1.3} for i in range(4)})
+    got = bench._ambient_shift(duration)
+    assert got["median_ratio"] < 1.2 and got["long_median_ratio"] == 1.3
+    assert got["long_n"] == 4 and got["long_flagged"] is True
+    assert got["flagged"] is True  # the long tier alone raises the flag
+    # fewer than 3 long queries: tier absent (two jobs are a coincidence,
+    # not a shape)
+    few = {f"q_s{i}": {"r14": 0.2, "now": 0.2} for i in range(10)}
+    few.update({"q_l0": {"r14": 2.0, "now": 2.6}})
+    got = bench._ambient_shift(few)
+    assert "long_median_ratio" not in got and got["flagged"] is False
 
     # robustness: 9 of 20 queries genuinely 2x-touched cannot move the
     # median past the flag on their own (that's the per-query gate's job)
@@ -182,6 +203,18 @@ def test_bench_ambient_annotates_regression_lines():
     suffix = bench._annotate_ambient(regressions, ambient)
     assert "AMBIENT-FLAGGED" in suffix and "1.4x" in suffix
     assert all(r["ambient_flagged"] is True for r in regressions.values())
+
+    # duration-correlated load (the r14 graph-family shape, adjudicated
+    # r15): long tier fires while the all-query median stays quiet — the
+    # annotation names the long tier so the reader reaches for the idle
+    # A/B, not a kernel bisect
+    duration = {f"q_s{i}": {"r14": 0.2, "now": 0.2} for i in range(10)}
+    duration.update({f"q_l{i}": {"r14": 2.0, "now": 2.7} for i in range(4)})
+    regs = bench._detect_regressions(duration)
+    amb = bench._ambient_shift(duration)
+    assert regs and amb["long_flagged"] and amb["median_ratio"] <= 1.2
+    suffix = bench._annotate_ambient(regs, amb)
+    assert "long-query tier" in suffix and "1.35x" in suffix
 
     # isolated regression, ambient flag down: no annotation, record untouched
     iso = {f"q_{i}": {"r14": 1.0, "now": 1.02} for i in range(11)}
