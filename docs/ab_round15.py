@@ -97,29 +97,13 @@ def orchestrate() -> None:
         print(f"  {q}: HEAD {h:.3f}s  r12 {r:.3f}s  ratio {h / r:.3f}x")
 
 
-def jaccard_skew() -> None:
-    """VERDICT r14 item 3: the prefix-join at REAL skew (the containment
-    methodology). A boilerplate-heavy corpus at sf0.1 scale — 2,000 docs,
-    800 sharing a 40-token boilerplate block (so at low tau the prefix
-    reaches into the SHARED tokens and a hot prefix token fans out
-    800-choose-2 candidate rows), 1,100 unique, 100 planted near-dup pairs
-    — measured at tau in {0.9, 0.8, 0.5}: candidate-pair count (the
-    .distinct() output feeding the verify join), emitted pairs, and warm
-    wall-clock, prefix join vs the quadratic twin."""
-    import statistics as st
-
-    from pyspark.sql import functions as F
-
-    from hadoop_web_browsing_logs_spark.operators.dedup import (
-        jaccard_pairs_quadratic_fixture_twin as _quad,  # may not exist; see below
-    )
-
-    print("placeholder — implemented inline in jaccard_skew_run")
-
-
 def _skew_corpus(spark):
-    from pyspark.sql import functions as F
-
+    """VERDICT r14 item 3 fixture: a boilerplate-heavy corpus at sf0.1
+    scale — 800 of 2,000 docs share a 40-token boilerplate block (so at
+    low tau the prefix reaches into the SHARED tokens and a hot prefix
+    token can fan out up to 800-choose-2 candidate rows), 1,100 unique,
+    100 planted near-dup pairs (J = 0.95 and 0.9). Staged as tmp PARQUET
+    (never localCheckpoint — the r14 A/B footgun)."""
     boiler = " ".join(f"legal{i} disclaimer{i}" for i in range(20))  # 40 tokens
     rows = []
     for i in range(800):
@@ -139,8 +123,10 @@ def _skew_corpus(spark):
 
 
 def jaccard_skew_run() -> None:
+    import os
     import time as _t
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import functions as F
 
     from hadoop_web_browsing_logs_spark.operators import dedup as D
@@ -164,9 +150,7 @@ def jaccard_skew_run() -> None:
         )
 
     for tau in (0.9, 0.8, 0.5):
-        n_cand = D._jaccard_prefix_candidates(docs, tau).count() if hasattr(
-            D, "_jaccard_prefix_candidates"
-        ) else -1
+        n_cand = D._jaccard_prefix_candidates(docs, tau)[1].count()
         # warm + 3 timed, interleaved
         D.jaccard_prefix_pairs(docs, tau).write.format("noop").mode("overwrite").save()
         quad(tau).write.format("noop").mode("overwrite").save()

@@ -196,6 +196,90 @@ def _prefix_threshold_fraction(tau: float):
     return frac.numerator, frac.denominator
 
 
+def _jaccard_prefix_candidates(docs: DataFrame, tau: float):
+    """The candidate stage of ``jaccard_prefix_pairs``, factored out so the
+    skew harness (docs/ab_round15.py) can count the candidate set the
+    verify join actually consumes without re-deriving the plan. Returns
+    ``(d, cands)``: the checkpointed (doc_id, toks) table and the distinct
+    (doc_a, doc_b) candidate pairs."""
+    num, den = _prefix_threshold_fraction(tau)
+    d = (
+        docs.select("doc_id", distinct_tokens().alias("toks"))
+        # empty-token docs: same 0/0 exclusion as the quadratic baseline
+        .filter(F.size("toks") > 0)
+        .localCheckpoint(eager=False)  # df build + verify joins (3 consumers)
+    )
+    tok = d.select("doc_id", F.explode("toks").alias("token"))
+    df_tbl = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc global-order sort WITHOUT a global rank table: the order key
+    # (df, token) is carried per row, array_sort gives rarest-first
+    ordered = (
+        tok.join(df_tbl, "token")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "token"))).alias("o"))
+        .select(
+            "doc_id",
+            F.transform("o", lambda s: s["token"]).alias("ord_toks"),
+            F.size("o").alias("sz"),
+        )
+    )
+    # prefix length |A| - ceil(tau*|A|) + 1, ceil as exact integer div
+    plen = (
+        F.col("sz")
+        - F.floor((F.lit(num) * F.col("sz") + F.lit(den - 1)) / F.lit(den))
+        + 1
+    ).cast("int")
+    pt = ordered.select(
+        "doc_id",
+        "sz",
+        F.posexplode(F.slice("ord_toks", 1, plen)).alias("pos0", "token"),
+    ).select(
+        "doc_id", "sz", (F.col("pos0") + 1).alias("pos"), "token"
+    )
+    # PPJoin POSITIONAL filter (round 15, VERDICT r14 item 3 — measured at
+    # real skew first: on a boilerplate corpus at tau=0.8 the plain prefix
+    # join fans a hot shared token out to 319,700 candidates for 100 real
+    # pairs). For a qualifying pair's FIRST common token in the global
+    # order, at positions (pos_a, pos_b) within the ordered docs, every
+    # other common token sits strictly after it on both sides, so
+    #   overlap <= ubound = 1 + min(sz_a - pos_a, sz_b - pos_b),
+    # while J >= tau forces overlap >= tau/(1+tau)*(sz_a+sz_b) — as exact
+    # integers: ubound*(num+den) >= num*(sz_a+sz_b). A pair survives if ANY
+    # of its candidate rows passes (the first-common-token row always does
+    # for a true pair — Xiao et al.'s PPJoin bound), so pruning rows can
+    # only drop pairs the verify would reject: output provably unchanged,
+    # and the existing cross-join oracle keeps proving it.
+    ubound = F.lit(1) + F.least(
+        F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
+    )
+    cands = (
+        pt.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sz").alias("sz_a"),
+            F.col("pos").alias("pos_a"),
+            "token",
+        )
+        .join(
+            pt.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sz").alias("sz_b"),
+                F.col("pos").alias("pos_b"),
+                "token",
+            ),
+            "token",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # size filter, exact: J >= tau forces den*min(|A|,|B|) >= num*max
+        .filter(
+            F.lit(den) * F.least("sz_a", "sz_b") >= F.lit(num) * F.greatest("sz_a", "sz_b")
+        )
+        .filter(F.lit(num + den) * ubound >= F.lit(num) * (F.col("sz_a") + F.col("sz_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return d, cands
+
+
 def jaccard_prefix_pairs(
     docs: DataFrame, tau: float = JACCARD_THRESHOLD
 ) -> DataFrame:
@@ -234,53 +318,18 @@ def jaccard_prefix_pairs(
     blow-up the containment cap guards); the exact verify joins the token
     arrays back for surviving candidates only (AQE broadcasts the
     candidate side while it fits — the minhash_lsh verify discipline).
+    At LOWER tau the prefix lengthens into shared tokens and a
+    boilerplate-heavy corpus CAN fan a hot prefix token out quadratically
+    — measured at real skew in round 15 (SCALE.md: 319,700 candidates
+    for 100 true pairs at tau=0.8) and closed by the PPJoin POSITIONAL
+    filter in _jaccard_prefix_candidates: each candidate row's prefix
+    positions upper-bound the overlap, pruning the junk rows before the
+    verify join with output provably unchanged (same corpus: candidates
+    319,700 -> 100, wall-clock 6.5 s -> 0.7 s).
     At web scale, swap the string token arrays for xxhash64 fingerprints
     as minhash_lsh_pairs does (cheaper intersects, 2^-64 collision
     caveat); strings are kept here so the DuckDB twin is exact."""
-    num, den = _prefix_threshold_fraction(tau)
-    d = (
-        docs.select("doc_id", distinct_tokens().alias("toks"))
-        # empty-token docs: same 0/0 exclusion as the quadratic baseline
-        .filter(F.size("toks") > 0)
-        .localCheckpoint(eager=False)  # df build + verify joins (3 consumers)
-    )
-    tok = d.select("doc_id", F.explode("toks").alias("token"))
-    df_tbl = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    # per-doc global-order sort WITHOUT a global rank table: the order key
-    # (df, token) is carried per row, array_sort gives rarest-first
-    ordered = (
-        tok.join(df_tbl, "token")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "token"))).alias("o"))
-        .select(
-            "doc_id",
-            F.transform("o", lambda s: s["token"]).alias("ord_toks"),
-            F.size("o").alias("sz"),
-        )
-    )
-    # prefix length |A| - ceil(tau*|A|) + 1, ceil as exact integer div
-    plen = (
-        F.col("sz")
-        - F.floor((F.lit(num) * F.col("sz") + F.lit(den - 1)) / F.lit(den))
-        + 1
-    ).cast("int")
-    pt = ordered.select(
-        "doc_id", "sz", F.explode(F.slice("ord_toks", 1, plen)).alias("token")
-    )
-    cands = (
-        pt.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "token")
-        .join(
-            pt.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "token"),
-            "token",
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        # size filter, exact: J >= tau forces den*min(|A|,|B|) >= num*max
-        .filter(
-            F.lit(den) * F.least("sz_a", "sz_b") >= F.lit(num) * F.greatest("sz_a", "sz_b")
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    d, cands = _jaccard_prefix_candidates(docs, tau)
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))

