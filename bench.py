@@ -153,6 +153,11 @@ HEADLINE = [
     # candidate count implied by its wall time are the knobs to watch as the
     # strided pair universe grows with SF.
     "q_dedup_jaccard_prefix",
+    # round-15 addition, tracked from birth: the tau=0.8 prefix-join point
+    # — the threshold where the prefix lengthens into shared tokens and
+    # the PPJoin positional filter carries the candidate bound; benched
+    # beside the tau=0.9 point so their gap tracks the filter's work.
+    "q_dedup_jaccard_prefix_t8",
     # round-15 addition, tracked from birth: the second BM25 query point
     # (same bm25_rank kernel, the rrf2 term set at full top-20 depth) —
     # benched beside q_text_bm25 so a cost divergence between the two

@@ -379,6 +379,47 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_pairs(docs, JACCARD_THRESHOLD)
 
 
+#: Second fixed threshold for the prefix join (round 15): at tau=0.9 the
+#: prefix is short enough that the PPJoin positional filter barely acts;
+#: 0.8 lengthens the prefix into shared-token territory, so THIS query
+#: point drives the positional-filter path through the driver gate.
+JACCARD_THRESHOLD_2 = 0.8
+
+
+@query(
+    "q_dedup_jaccard_prefix_t8",
+    oracle=f"""
+    WITH d0 AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks
+        FROM documents WHERE doc_id % {PAIR_STRIDE} = 0
+    ),
+    d AS (SELECT * FROM d0 WHERE len(toks) > 0)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= {JACCARD_THRESHOLD_2}
+    """,
+    category="dedup",
+    description=(
+        "Prefix-filtered exact Jaccard join at the SECOND fixed threshold "
+        "(tau=0.8, round 15): the q_sim_hybrid_rrf2 argument applied to "
+        "the prefix join — at tau=0.9 the prefix rarely reaches a shared "
+        "token and the PPJoin positional filter is nearly dormant, so "
+        "this point pins the lengthened-prefix + positional-filter path "
+        "(the one the round-15 skew study exercised) against the same "
+        "naive cross-join oracle. ~10x the tau=0.9 output on the organic "
+        "corpus; candidates stay ~2x output thanks to the positional "
+        "bound."
+    ),
+    tags=("dedup",),
+)
+def q_dedup_jaccard_prefix_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % PAIR_STRIDE == 0)
+    return jaccard_prefix_pairs(docs, JACCARD_THRESHOLD_2)
+
+
 CONTAINMENT_TAU = 0.5
 
 #: Default hot-shingle document-frequency cap for containment_report —

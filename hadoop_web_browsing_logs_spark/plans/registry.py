@@ -83,23 +83,27 @@ _REGISTRY: dict[str, Query] = {}
 #: q_merge_upsert). After a green round no oracled query's last
 #: driver-green row predates round 11 — the fourth full rotation closes.
 #:
-#: Round 15 (VERDICT r14 item 1): slots 1-2 seat the never-driver-certified
+#: Round 15 (VERDICT r14 item 1): slots 1-3 seat the never-driver-certified
 #: registrations — q_dedup_jaccard_prefix (registered late in round 14
-#: after the window ran; the only oracled query with no driver row) and
-#: q_text_bm25_2 (round 15, VERDICT r14 item 6: the ranker pinned directly
-#: at the rrf2 term set). Slots 3-28 are the round-11 cohort TAIL (26
-#: rows, alphabetical q_pivot … q_window_rank_salted — the oldest driver
-#: rows in the system). Slots 29-50 take the round-12 cohort head
-#: oldest-green-first (22 of 50, alphabetical q_agg_heavy_hitters …
-#: q_events_path_mining). After a green round no oracled query's last
-#: driver-green row predates round 12 — the fifth full rotation closes
-#: (q_dedup_embedding excepted: demoted for good, never re-seated).
+#: after the window ran), q_text_bm25_2 (round 15, VERDICT r14 item 6:
+#: the ranker pinned directly at the rrf2 term set), and
+#: q_dedup_jaccard_prefix_t8 (round 15: the tau=0.8 point that drives the
+#: PPJoin positional-filter path through the driver gate). Slots 4-29 are
+#: the round-11 cohort TAIL (26 rows, alphabetical q_pivot …
+#: q_window_rank_salted — the oldest driver rows in the system). Slots
+#: 30-50 take the round-12 cohort head oldest-green-first (21 of 50,
+#: alphabetical q_agg_heavy_hitters … q_events_funnel). After a green
+#: round no oracled query's last driver-green row predates round 12 —
+#: the fifth full rotation closes (q_dedup_embedding excepted: demoted
+#: for good, never re-seated).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never driver-certified: the round-14 late registration (prefix-
     # filtered exact Jaccard join, oracle = the naive cross-join) and the
-    # round-15 registration (second BM25 query point) ---
+    # round-15 registrations (second BM25 query point; the tau=0.8 prefix
+    # join that drives the PPJoin positional-filter path) ---
     "q_dedup_jaccard_prefix",
     "q_text_bm25_2",
+    "q_dedup_jaccard_prefix_t8",
     # --- round-11 cohort tail (last driver-green r11, the oldest rows in
     # the system; 26 rows, alphabetical) ---
     "q_pivot",
@@ -128,8 +132,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_window_ntile_distributed",
     "q_window_rank",
     "q_window_rank_salted",
-    # --- round-12 cohort head (oldest-green-first, 22 of 50 alphabetical;
-    # the 28-row tail — q_events_robust_zscore … q_window_range_frame —
+    # --- round-12 cohort head (oldest-green-first, 21 of 50 alphabetical;
+    # the 29-row tail — q_events_path_mining … q_window_range_frame —
     # rolls to r16) ---
     "q_agg_heavy_hitters",
     "q_agg_percentile",
@@ -152,7 +156,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_conversion_latency",
     "q_events_correlation",
     "q_events_funnel",
-    "q_events_path_mining",
 )
 
 

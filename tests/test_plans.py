@@ -124,18 +124,20 @@ def test_driver_priority_window():
     # every priority name actually resolves to a registered query
     assert set(DRIVER_PRIORITY) <= set(names)
     # round-15 allocation (registry.py comment, VERDICT r14 item 1):
-    # slots 1-2 = the never-driver-certified registrations
-    # (q_dedup_jaccard_prefix, registered after the r14 window ran, and
-    # the round-15 second BM25 query point), then the round-11 cohort
-    # tail (26 rows, the oldest driver rows in the system), then the
-    # round-12 cohort head (22 of 50) — the fifth full rotation closes
+    # slots 1-3 = the never-driver-certified registrations
+    # (q_dedup_jaccard_prefix, registered after the r14 window ran; the
+    # round-15 second BM25 query point; the round-15 tau=0.8 prefix join
+    # that drives the PPJoin positional-filter path), then the round-11
+    # cohort tail (26 rows, the oldest driver rows in the system), then
+    # the round-12 cohort head (21 of 50) — the fifth full rotation closes
     window = set(DRIVER_PRIORITY)
     assert DRIVER_PRIORITY[0] == "q_dedup_jaccard_prefix"
     assert DRIVER_PRIORITY[1] == "q_text_bm25_2"
-    assert DRIVER_PRIORITY[2] == "q_pivot"
-    assert DRIVER_PRIORITY[27] == "q_window_rank_salted"
-    assert DRIVER_PRIORITY[28] == "q_agg_heavy_hitters"
-    assert DRIVER_PRIORITY[49] == "q_events_path_mining"
+    assert DRIVER_PRIORITY[2] == "q_dedup_jaccard_prefix_t8"
+    assert DRIVER_PRIORITY[3] == "q_pivot"
+    assert DRIVER_PRIORITY[28] == "q_window_rank_salted"
+    assert DRIVER_PRIORITY[29] == "q_agg_heavy_hitters"
+    assert DRIVER_PRIORITY[49] == "q_events_funnel"
     for core in (
                  # round-11 cohort tail (oldest driver rows in the system)
                  "q_profile_columns", "q_scalar_json", "q_scalar_variant",
@@ -148,7 +150,7 @@ def test_driver_priority_window():
                  "q_agg_percentile", "q_asof_join", "q_dedup_components",
                  "q_dedup_jaccard_pairs", "q_dedup_minhash_lsh_portable",
                  "q_dedup_semantic", "q_distinct", "q_events_chisq",
-                 "q_events_funnel", "q_events_path_mining"):
+                 "q_events_funnel"):
         assert core in window, core
     # the demoted quadratic all-pairs baseline must NEVER be re-seated
     # (VERDICT r10 item 1); its bucketed twin carries the driver proof
