@@ -204,12 +204,79 @@ def fuzz_equiv_faults(spark, trials: int = 24) -> int:
     return fails
 
 
+def fuzz_jaccard_prefix_skew(spark, trials: int = 24) -> int:
+    """The PPJoin positional filter on randomized BOILERPLATE-heavy corpora
+    (the round-15 skew-study shape, randomized): a block of shared tokens
+    carried by a random subset of docs, random unique tails, random
+    near-dup plants, random tau drawn from a hostile set that includes
+    decimal-above-float values (0.7, 0.3 — the _prefix_threshold_fraction
+    guard) and low taus whose prefixes reach deep into the shared block.
+    Oracle: an INDEPENDENT pure-Python brute force over the same texts
+    (set Jaccard, float >= tau — exactly the registered final filter).
+    Checks both directions: no missing pair (the filter never prunes a
+    qualifying pair) and no extra pair (the verify never leaks)."""
+    from hadoop_web_browsing_logs_spark.operators.dedup import jaccard_prefix_pairs
+
+    taus = (0.9, 0.8, 0.75, 0.7, 2 / 3, 0.5, 0.3)
+    fails = 0
+    for t in range(trials):
+        rng = random.Random(15100 + t)
+        tau = taus[t % len(taus)]
+        n_boiler_tok = rng.randint(3, 12)
+        boiler = [f"b{j}" for j in range(n_boiler_tok)]
+        rows = []
+        texts = {}
+        for i in range(rng.randint(20, 50)):
+            if rng.random() < 0.5:  # boilerplate doc: shared block + tail
+                toks = boiler + [f"u{i}x{j}" for j in range(rng.randint(0, 6))]
+            else:  # unique doc
+                toks = [f"v{i}x{j}" for j in range(rng.randint(1, 12))]
+            rng.shuffle(toks)
+            texts[i] = toks
+            rows.append((i, " ".join(toks)))
+        # planted near-dups: clone a doc and perturb 0-2 tokens
+        next_id = len(rows)
+        for _ in range(rng.randint(1, 5)):
+            src_id = rng.randrange(len(texts))
+            toks = list(texts[src_id])
+            for _ in range(rng.randint(0, 2)):
+                if toks and rng.random() < 0.7:
+                    toks[rng.randrange(len(toks))] = f"p{next_id}"
+                else:
+                    toks.append(f"q{next_id}")
+            texts[next_id] = toks
+            rows.append((next_id, " ".join(toks)))
+            next_id += 1
+
+        want = set()
+        sets = {i: set(tk) for i, tk in texts.items() if tk}
+        for a in sets:
+            for b in sets:
+                if a < b:
+                    inter = len(sets[a] & sets[b])
+                    if inter and inter / (len(sets[a]) + len(sets[b]) - inter) >= tau:
+                        want.add((a, b))
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {(r.doc_a, r.doc_b) for r in jaccard_prefix_pairs(docs, tau).collect()}
+        if got != want:
+            fails += 1
+            print(
+                f"  trial {t} tau={tau}: missing={sorted(want - got)[:4]} "
+                f"extra={sorted(got - want)[:4]}"
+            )
+    print(f"fuzz_jaccard_prefix_skew: {trials - fails}/{trials} ok")
+    return fails
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     override = int(sys.argv[2]) if len(sys.argv) > 2 else None
     spark = get_spark("fuzz15")
     total = 0
-    for name, fn, trials in (("equiv_faults", fuzz_equiv_faults, 24),):
+    for name, fn, trials in (
+        ("equiv_faults", fuzz_equiv_faults, 24),
+        ("jaccard_prefix_skew", fuzz_jaccard_prefix_skew, 24),
+    ):
         if which in (name, "all"):
             total += fn(spark, override or trials)
     print(f"TOTAL FAILURES: {total}")
