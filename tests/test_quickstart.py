@@ -35,6 +35,7 @@ def test_quickstart_has_example_per_generic():
         "semantic_dedup",
         "dedup_exact",
         "minhash_lsh_pairs",
+        "jaccard_prefix_pairs",
         "connected_components",
         "fuzzy_vocab_pairs",
         "brute_force_topk",
