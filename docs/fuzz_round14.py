@@ -184,7 +184,7 @@ def _rand_undirected(rng: random.Random):
 # ---------------------------------------------------------------------------
 
 
-def fuzz_pagerank(spark, trials: int = 8) -> int:
+def fuzz_pagerank(spark, trials: int = 24) -> int:
     import numpy as np
 
     from hadoop_web_browsing_logs_spark.operators.graph import pagerank
@@ -247,7 +247,7 @@ def fuzz_pagerank(spark, trials: int = 8) -> int:
 # ---------------------------------------------------------------------------
 
 
-def fuzz_lpa(spark, trials: int = 8) -> int:
+def fuzz_lpa(spark, trials: int = 24) -> int:
     from hadoop_web_browsing_logs_spark.operators.graph import label_propagation
 
     fails = 0
@@ -300,7 +300,7 @@ def fuzz_lpa(spark, trials: int = 8) -> int:
 # ---------------------------------------------------------------------------
 
 
-def fuzz_bfs(spark, trials: int = 8) -> int:
+def fuzz_bfs(spark, trials: int = 24) -> int:
     from hadoop_web_browsing_logs_spark.operators.graph import bfs_frontier
 
     fails = 0
@@ -354,7 +354,7 @@ def fuzz_bfs(spark, trials: int = 8) -> int:
 # ---------------------------------------------------------------------------
 
 
-def fuzz_reach(spark, trials: int = 8) -> int:
+def fuzz_reach(spark, trials: int = 24) -> int:
     from hadoop_web_browsing_logs_spark.operators.graph import (
         REACH_MAX_HOPS,
         _REACH_BODY,
@@ -418,7 +418,7 @@ def fuzz_reach(spark, trials: int = 8) -> int:
 # ---------------------------------------------------------------------------
 
 
-def fuzz_triangles(spark, trials: int = 8) -> int:
+def fuzz_triangles(spark, trials: int = 24) -> int:
     from hadoop_web_browsing_logs_spark.operators.graph import triangle_participation
 
     fails = 0
@@ -507,7 +507,7 @@ def _dsum(vals, digits: int) -> float | None:
     return sum(cs) / float(10**digits)
 
 
-def fuzz_attribution(spark, trials: int = 8) -> int:
+def fuzz_attribution(spark, trials: int = 24) -> int:
     """q_events_attribution vs a per-purchase Python scan. Axes: view ties
     at one ts (argmax -> highest view_id), views exactly AT p.ts and AT
     p.ts - 1h (both inclusive), null-user and null-ts purchases (kept,
@@ -571,7 +571,7 @@ def fuzz_attribution(spark, trials: int = 8) -> int:
     return fails
 
 
-def fuzz_corr(spark, trials: int = 8) -> int:
+def fuzz_corr(spark, trials: int = 24) -> int:
     """q_events_correlation vs a Python five-moment recount (dsum(2) hourly,
     dsum(2)/dsum(4) moments, GREATEST clamp, try_divide NULL). Axes:
     zero-variance (constant) series -> NULL corr, perfectly correlated and
@@ -658,7 +658,7 @@ def fuzz_corr(spark, trials: int = 8) -> int:
     return fails
 
 
-def fuzz_trend(spark, trials: int = 8) -> int:
+def fuzz_trend(spark, trials: int = 24) -> int:
     """q_events_trend vs a Python least-squares recount on exact integer
     hour moments + dsum'd y moments, same double-expression order. Axes:
     single-hour types (excluded by n > 1), two-hour minimal fits, null ts,
@@ -724,7 +724,7 @@ def fuzz_trend(spark, trials: int = 8) -> int:
     return fails
 
 
-def fuzz_chisq(spark, trials: int = 8) -> int:
+def fuzz_chisq(spark, trials: int = 24) -> int:
     """q_events_chisq vs a Python contingency recount. Axes: NEGATIVE
     user_ids (Spark/DuckDB % truncates toward zero; Python's %% floors —
     the reference must use int-truncation), single-cohort and single-type
@@ -788,7 +788,7 @@ def fuzz_chisq(spark, trials: int = 8) -> int:
     return fails
 
 
-def fuzz_spans(spark, trials: int = 8) -> int:
+def fuzz_spans(spark, trials: int = 24) -> int:
     """q_llm_contamination_span vs a Python positioned-shingle scan (bench =
     doc_id %% 97 == 0, 1-based positions, gaps-and-islands longest run).
     Axes: exact duplicates of a bench doc (wholesale copy: span = all
@@ -865,7 +865,7 @@ def fuzz_spans(spark, trials: int = 8) -> int:
     return fails
 
 
-def fuzz_colloc(spark, trials: int = 8) -> int:
+def fuzz_colloc(spark, trials: int = 24) -> int:
     """q_text_collocations vs a Python bigram/unigram Counter recount with
     the exact PMI expression order and ROUND_HALF_UP at 6 dp. Axes: bigrams
     at exactly the min-count boundary (20 kept, 19 dropped), overlapping
@@ -923,7 +923,7 @@ def fuzz_colloc(spark, trials: int = 8) -> int:
     return fails
 
 
-def fuzz_domain_cap(spark, trials: int = 8) -> int:
+def fuzz_domain_cap(spark, trials: int = 24) -> int:
     """q_llm_domain_cap vs a Python md5-order recount (hashlib md5 hex of
     the utf-8 text, NULL -> '', tie-break doc_id). Axes: a mega-domain
     several times the cap, NULL-text docs inside an over-cap source (the
@@ -976,7 +976,7 @@ def fuzz_domain_cap(spark, trials: int = 8) -> int:
     return fails
 
 
-def fuzz_jaccard_prefix(spark, trials: int = 8) -> int:
+def fuzz_jaccard_prefix(spark, trials: int = 24) -> int:
     """jaccard_prefix_pairs (registered round 14) vs a brute-force Python
     all-pairs Jaccard — a randomized check of the prefix-filter theorem on
     shapes the fixture lacks. Axes: token-set sizes at EXACT multiples of
@@ -1039,7 +1039,7 @@ def fuzz_jaccard_prefix(spark, trials: int = 8) -> int:
     return fails
 
 
-def fuzz_expectations(spark, trials: int = 8) -> int:
+def fuzz_expectations(spark, trials: int = 24) -> int:
     """q_quality_expectations vs a Python recount of all five checks.
     Axes: values exactly AT the range bounds (quantity 1/50, discount
     0/0.9 — kept; just outside — violations), NULL quantities/discounts
@@ -1152,7 +1152,7 @@ def _write_documents14(rows) -> str:
 # ---------------------------------------------------------------------------
 
 
-def fuzz_lloyd(spark, trials: int = 8) -> int:
+def fuzz_lloyd(spark, trials: int = 24) -> int:
     from decimal import ROUND_HALF_UP, Decimal
 
     from hadoop_web_browsing_logs_spark.operators.vectors import lloyd_kmeans
@@ -1294,7 +1294,7 @@ def _split_tape(rng: random.Random, rows, n_batches: int):
     return [b for b in batches if b]
 
 
-def fuzz_stream_win(spark, trials: int = 6) -> int:
+def fuzz_stream_win(spark, trials: int = 24) -> int:
     """Tumbling (2h watermark) + session (30min gap, 1h watermark) streamed
     in complete mode vs the batch builders — the q_stream_equiv_gate /
     q_stream_session_equiv_gate claim on hostile random tapes."""
@@ -1365,7 +1365,7 @@ def fuzz_stream_win(spark, trials: int = 6) -> int:
     return fails
 
 
-def fuzz_stream_scd2(spark, trials: int = 6) -> int:
+def fuzz_stream_scd2(spark, trials: int = 24) -> int:
     """The applyInPandasWithState SCD2 state machine (append mode) vs the
     batch twin's closed intervals — q_stream_scd2_equiv_gate's claim on
     hostile tapes: same-ts state-change ties (event_id tie-break),
@@ -1421,7 +1421,7 @@ def fuzz_stream_scd2(spark, trials: int = 6) -> int:
     return fails
 
 
-def fuzz_stream_interval(spark, trials: int = 6) -> int:
+def fuzz_stream_interval(spark, trials: int = 24) -> int:
     """Stream-stream interval joins, inner AND left-outer (the
     watermark-gated shape: unmatched purchases flush only after the
     sentinel advances the watermark) vs the batch twins — the
