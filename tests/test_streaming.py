@@ -727,3 +727,35 @@ def test_interval_left_sentinel_flush_at_watermark_bound(spark):
         assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_equiv_gate_goes_red_under_injected_fault(spark):
+    """Promoted round-15 fuzz shape (docs/fuzz_round15.py equiv_faults,
+    24/24 reds): the equivalence gates' oracles are the constant SELECT
+    TRUE, so only a fault injector can prove the reducer's RED side. The
+    tumbling gate's frames are rebuilt exactly as the registered query
+    does; one row of the batch twin gets (a) a value column NULLed — the
+    three-valued-logic class ~eqNullSafe exists for: plain != evaluates
+    NULL there and when(bad,...) would silently not count it — and (b)
+    dropped entirely (the unmatched row must surface through the
+    full-outer join). Both must flip the verdict."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    batch = SW.tumbling_agg(
+        SW._batch_events(spark, SF_DIR).filter(F.col("ts").isNotNull())
+    )
+    streamed = SW._replay_tumbling_stream(spark, SF_DIR)
+    keys, vals = ["window_start", "event_type"], ["n_events", "sum_value"]
+    assert SW.equiv_ok(batch, streamed, keys, vals).first()["ok"] is True
+
+    rows = [r.asDict() for r in batch.collect()]
+    sch = StructType([StructField(f.name, f.dataType, True) for f in batch.schema.fields])
+
+    nulled = [dict(r) for r in rows]
+    nulled[0]["n_events"] = None
+    faulted = spark.createDataFrame(nulled, sch)
+    assert SW.equiv_ok(faulted, streamed, keys, vals).first()["ok"] is False
+
+    dropped = spark.createDataFrame(rows[1:], sch)
+    assert SW.equiv_ok(dropped, streamed, keys, vals).first()["ok"] is False
