@@ -164,6 +164,13 @@ HEADLINE = [
     # isolates term-frequency skew in one query's postings rather than a
     # kernel regression (the q_sim_hybrid_rrf/rrf2 pairing, one leg down).
     "q_text_bm25_2",
+    # round-16 addition, tracked from birth: the tau=0.7 prefix-join point
+    # — the decimal-above-double tau class running on the floored-fraction
+    # fallback and the LONG-widened filter arithmetic (ADVICE r15 item 1);
+    # the widest registered prefix (the most candidate-stage work), so its
+    # trend vs the tau=0.8 point tracks the positional filter's headroom
+    # as the corpus grows.
+    "q_dedup_jaccard_prefix_t7",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal
@@ -284,6 +291,10 @@ def _ambient_shift(
         "median_ratio": round(med, 3),
         "n": len(ratios),
         "flagged": med > flag_ratio,
+        # the all-query tier's own verdict, preserved before the long-tier
+        # OR below so _annotate_ambient can branch on it instead of
+        # re-stating flag_ratio (ADVICE r15 item 2)
+        "all_flagged": med > flag_ratio,
     }
     # Long-query tier (round 15, VERDICT r14 item 2): a machine under
     # bench-time LOAD slows the longest multi-stage iterative jobs far more
@@ -316,7 +327,7 @@ def _annotate_ambient(
         return ""
     for r in regressions.values():
         r["ambient_flagged"] = True
-    if ambient.get("long_flagged") and ambient["median_ratio"] <= 1.2:
+    if ambient.get("long_flagged") and not ambient.get("all_flagged"):
         # the duration-correlated shape: long jobs slowed, the sub-second
         # majority did not — bench-time load, per the r15 adjudication
         return (

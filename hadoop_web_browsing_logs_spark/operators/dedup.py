@@ -203,6 +203,16 @@ def _jaccard_prefix_candidates(docs: DataFrame, tau: float):
     ``(d, cands)``: the checkpointed (doc_id, toks) table and the distinct
     (doc_a, doc_b) candidate pairs."""
     num, den = _prefix_threshold_fraction(tau)
+    # All fraction-literal arithmetic below is widened to LONG: num/den go
+    # up to 10^6 (the decimal-floor fallback), sz is int32, and Spark
+    # multiplies IntegerType columns in 32-bit — num*sz overflows at
+    # ~2148 distinct tokens for tau=0.7 (ANSI: ARITHMETIC_OVERFLOW;
+    # non-ANSI: silent wrap dropping qualifying pairs). After widening,
+    # every product is <= ~2*10^6 * 2^31 < 2^52, and the floor-division
+    # quotient's distance from any integer is >= 1/den > half-ulp, so the
+    # integer arithmetic stays exact.
+    num_l = F.lit(num).cast("long")
+    den_l = F.lit(den).cast("long")
     d = (
         docs.select("doc_id", distinct_tokens().alias("toks"))
         # empty-token docs: same 0/0 exclusion as the quadratic baseline
@@ -226,7 +236,7 @@ def _jaccard_prefix_candidates(docs: DataFrame, tau: float):
     # prefix length |A| - ceil(tau*|A|) + 1, ceil as exact integer div
     plen = (
         F.col("sz")
-        - F.floor((F.lit(num) * F.col("sz") + F.lit(den - 1)) / F.lit(den))
+        - F.floor((num_l * F.col("sz") + F.lit(den - 1).cast("long")) / den_l)
         + 1
     ).cast("int")
     pt = ordered.select(
@@ -271,9 +281,12 @@ def _jaccard_prefix_candidates(docs: DataFrame, tau: float):
         .filter(F.col("doc_a") < F.col("doc_b"))
         # size filter, exact: J >= tau forces den*min(|A|,|B|) >= num*max
         .filter(
-            F.lit(den) * F.least("sz_a", "sz_b") >= F.lit(num) * F.greatest("sz_a", "sz_b")
+            den_l * F.least("sz_a", "sz_b") >= num_l * F.greatest("sz_a", "sz_b")
         )
-        .filter(F.lit(num + den) * ubound >= F.lit(num) * (F.col("sz_a") + F.col("sz_b")))
+        .filter(
+            F.lit(num + den).cast("long") * ubound
+            >= num_l * (F.col("sz_a") + F.col("sz_b"))
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -372,7 +385,7 @@ def jaccard_prefix_pairs(
         "MinHash-LSH path: no recall loss, no banding parameters, linear "
         "in candidates instead of quadratic in docs."
     ),
-    tags=("dedup",),
+    tags=("dedup", "multipoint:jaccard_prefix"),
 )
 def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % PAIR_STRIDE == 0)
@@ -413,11 +426,55 @@ JACCARD_THRESHOLD_2 = 0.8
         "corpus; candidates stay ~2x output thanks to the positional "
         "bound."
     ),
-    tags=("dedup",),
+    tags=("dedup", "multipoint:jaccard_prefix"),
 )
 def q_dedup_jaccard_prefix_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % PAIR_STRIDE == 0)
     return jaccard_prefix_pairs(docs, JACCARD_THRESHOLD_2)
+
+
+#: Third fixed threshold (round 16, ADVICE r15 item 1): tau=0.7 is the
+#: DECIMAL-ABOVE-DOUBLE tau class — _prefix_threshold_fraction falls back
+#: to the floored decimal expansion 699999/1000000, the den<=10^6 fraction
+#: whose literals drove the int32 overflow the round-16 LONG widening
+#: fixed. This query point pins that fallback + widened arithmetic path
+#: through the driver gate (the registered tau=0.9/0.8 points never leave
+#: num<=9 and so never touch it).
+JACCARD_THRESHOLD_3 = 0.7
+
+
+@query(
+    "q_dedup_jaccard_prefix_t7",
+    oracle=f"""
+    WITH d0 AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks
+        FROM documents WHERE doc_id % {PAIR_STRIDE} = 0
+    ),
+    d AS (SELECT * FROM d0 WHERE len(toks) > 0)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= {JACCARD_THRESHOLD_3}
+    """,
+    category="dedup",
+    description=(
+        "Prefix-filtered exact Jaccard join at the THIRD fixed threshold "
+        "(tau=0.7, round 16): the decimal-above-double tau class, where "
+        "the candidate stage runs on _prefix_threshold_fraction's floored "
+        "decimal fallback (699999/1000000) and the LONG-widened filter "
+        "arithmetic (ADVICE r15 item 1) — the tau=0.9/0.8 points keep "
+        "num<=9 and never drive either. Same naive cross-join oracle; the "
+        "hash equality proves the fallback fraction under-generates "
+        "nothing and the final double-threshold verify drops the "
+        "superset-candidates back to the exact answer."
+    ),
+    tags=("dedup", "multipoint:jaccard_prefix"),
+)
+def q_dedup_jaccard_prefix_t7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % PAIR_STRIDE == 0)
+    return jaccard_prefix_pairs(docs, JACCARD_THRESHOLD_3)
 
 
 CONTAINMENT_TAU = 0.5

@@ -822,7 +822,7 @@ def _hybrid_rrf_oracle(
         "tables — driver-side-trivial at any corpus size. All-integer "
         "fusion, so ranking is order-independent and hash-exact."
     ),
-    tags=("similarity", "retrieval"),
+    tags=("similarity", "retrieval", "multipoint:hybrid_rrf"),
 )
 def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import BM25_QUERY_TERMS
@@ -881,7 +881,7 @@ def hybrid_rrf(
         "against point-specific accidental greens. Same scale shape: two "
         "K-row lists fused by an integer full-outer fold."
     ),
-    tags=("similarity", "retrieval"),
+    tags=("similarity", "retrieval", "multipoint:hybrid_rrf"),
 )
 def q_sim_hybrid_rrf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_rrf(spark, sf_dir, RRF2_QUERY_TERMS, RRF2_QUERY_VEC)

@@ -761,6 +761,7 @@ def _bm25_oracle(terms: tuple[str, ...]) -> str:
         "top-k orders by the exact BIGINT, so ranking never depends on "
         "float summation order."
     ),
+    tags=("multipoint:bm25",),
 )
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(t(spark, sf_dir, "documents"), BM25_QUERY_TERMS)
@@ -780,6 +781,7 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "DuckDB twin, closing the point-specific-green gap the same way "
         "rrf2 closed it for the fused kernel."
     ),
+    tags=("multipoint:bm25",),
 )
 def q_text_bm25_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(t(spark, sf_dir, "documents"), BM25_QUERY_TERMS_2)

@@ -96,66 +96,77 @@ _REGISTRY: dict[str, Query] = {}
 #: round no oracled query's last driver-green row predates round 12 —
 #: the fifth full rotation closes (q_dedup_embedding excepted: demoted
 #: for good, never re-seated).
+#: Round 16 (VERDICT r15 item 1): slot 1 seats the only oracled query
+#: with no driver row ever — the round-16 registration
+#: q_dedup_jaccard_prefix_t7 (the decimal-above-double tau class: the
+#: floored-fraction fallback + the LONG-widened filter arithmetic from
+#: ADVICE r15 item 1, a path the tau=0.9/0.8 points never touch).
+#: Slots 2-30 are the round-12 cohort TAIL (29 rows, alphabetical
+#: q_events_path_mining … q_window_range_frame — the oldest driver rows
+#: in the system). Slots 31-50 take the round-13 cohort head
+#: oldest-green-first (20 of 50, alphabetical q1_pricing_summary …
+#: q_filter_project; the 30-row tail rolls to r17). After a green round
+#: no oracled query's last driver-green row predates round 13 — the
+#: sixth full rotation closes (q_dedup_embedding excepted: demoted for
+#: good, never re-seated).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never driver-certified: the round-14 late registration (prefix-
-    # filtered exact Jaccard join, oracle = the naive cross-join) and the
-    # round-15 registrations (second BM25 query point; the tau=0.8 prefix
-    # join that drives the PPJoin positional-filter path) ---
-    "q_dedup_jaccard_prefix",
-    "q_text_bm25_2",
-    "q_dedup_jaccard_prefix_t8",
-    # --- round-11 cohort tail (last driver-green r11, the oldest rows in
-    # the system; 26 rows, alphabetical) ---
-    "q_pivot",
-    "q_profile_columns",
-    "q_scalar_array",
-    "q_scalar_json",
-    "q_scalar_variant",
-    "q_sim_ivf_ann_gate",
-    "q_sim_ivf_candidates",
-    "q_sim_lsh_ann_gate",
-    "q_sim_lsh_candidates_portable",
-    "q_sim_range_search",
-    "q_stream_equiv_gate",
-    "q_stream_session_batch",
-    "q_stream_session_equiv_gate",
-    "q_stream_sliding_batch",
-    "q_stream_static_join_batch",
-    "q_stream_tumbling_batch",
-    "q_text_collocations",
-    "q_text_quality",
-    "q_topk_global",
-    "q_udf_grouped_map",
-    "q_vec_cluster_groups",
-    "q_vec_kmeans_lloyd",
-    "q_vec_nearest_center",
-    "q_window_ntile_distributed",
-    "q_window_rank",
-    "q_window_rank_salted",
-    # --- round-12 cohort head (oldest-green-first, 21 of 50 alphabetical;
-    # the 29-row tail — q_events_path_mining … q_window_range_frame —
-    # rolls to r16) ---
-    "q_agg_heavy_hitters",
-    "q_agg_percentile",
-    "q_agg_sketch_reaggregate",
-    "q_agg_stringagg",
-    "q_asof_join",
-    "q_dedup_components",
-    "q_dedup_fuzzy_vocab",
-    "q_dedup_incremental_lsh",
-    "q_dedup_jaccard_pairs",
-    "q_dedup_keep_canonical",
-    "q_dedup_minhash_gate",
-    "q_dedup_minhash_lsh_gate",
-    "q_dedup_minhash_lsh_portable",
-    "q_dedup_semantic",
-    "q_dedup_semantic_keepfar",
-    "q_dedup_substring",
-    "q_distinct",
-    "q_events_chisq",
-    "q_events_conversion_latency",
-    "q_events_correlation",
-    "q_events_funnel",
+    # --- never driver-certified: the round-16 registration (tau=0.7
+    # prefix join — the decimal-fallback + widened-arithmetic path) ---
+    "q_dedup_jaccard_prefix_t7",
+    # --- round-12 cohort tail (last driver-green r12, the oldest rows in
+    # the system; 29 rows, alphabetical) ---
+    "q_events_path_mining",
+    "q_events_robust_zscore",
+    "q_events_trend",
+    "q_llm_decontaminate",
+    "q_scalar_date",
+    "q_scalar_date2",
+    "q_scalar_math",
+    "q_scalar_null",
+    "q_scalar_url",
+    "q_set_ops_bag",
+    "q_stream_dedup_batch",
+    "q_stream_interval_equiv_gate",
+    "q_stream_interval_join_batch",
+    "q_stream_interval_join_left_batch",
+    "q_stream_scd2_equiv_gate",
+    "q_subquery_correlated",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_ngrams",
+    "q_text_novelty",
+    "q_text_porter_gate",
+    "q_text_stopword_filter",
+    "q_text_term_doc_freq",
+    "q_text_token_stats",
+    "q_udf_grouped_agg",
+    "q_vec_kmeans_gate",
+    "q_vec_quantize_int8",
+    "q_window_navigation",
+    "q_window_range_frame",
+    # --- round-13 cohort head (oldest-green-first, 20 of 50 alphabetical;
+    # the 30-row tail — q_graph_label_propagation … q_udtf_context_windows
+    # — rolls to r17) ---
+    "q1_pricing_summary",
+    "q_agg_approx_distinct_gate",
+    "q_agg_approx_percentile_gate",
+    "q_agg_histogram",
+    "q_dedup_containment",
+    "q_dedup_embedding_bucketed",
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
+    "q_events_ab_welch",
+    "q_events_anomaly_zscore",
+    "q_events_attribution",
+    "q_events_ewma",
+    "q_events_gapfill",
+    "q_events_retention",
+    "q_events_rollup_multires",
+    "q_events_spearman",
+    "q_events_type_affinity",
+    "q_events_winsorize",
+    "q_filter_project",
 )
 
 

@@ -151,7 +151,7 @@ def test_bench_ambient_shift_discriminator():
     uniform = {f"q_{i}": {"r13": 1.0 + i / 10, "now": (1.0 + i / 10) * 1.4} for i in range(12)}
     got = bench._ambient_shift(uniform)
     assert got == {
-        "median_ratio": 1.4, "n": 12, "flagged": True,
+        "median_ratio": 1.4, "n": 12, "flagged": True, "all_flagged": True,
         "long_median_ratio": 1.4, "long_n": 12, "long_flagged": True,
     }
 
@@ -165,6 +165,9 @@ def test_bench_ambient_shift_discriminator():
     assert got["median_ratio"] < 1.2 and got["long_median_ratio"] == 1.3
     assert got["long_n"] == 4 and got["long_flagged"] is True
     assert got["flagged"] is True  # the long tier alone raises the flag
+    # the all-query tier's own verdict survives the OR (ADVICE r15 item 2:
+    # _annotate_ambient branches on it, not on a re-stated 1.2 constant)
+    assert got["all_flagged"] is False
     # fewer than 3 long queries: tier absent (two jobs are a coincidence,
     # not a shape)
     few = {f"q_s{i}": {"r14": 0.2, "now": 0.2} for i in range(10)}
@@ -212,7 +215,7 @@ def test_bench_ambient_annotates_regression_lines():
     duration.update({f"q_l{i}": {"r14": 2.0, "now": 2.7} for i in range(4)})
     regs = bench._detect_regressions(duration)
     amb = bench._ambient_shift(duration)
-    assert regs and amb["long_flagged"] and amb["median_ratio"] <= 1.2
+    assert regs and amb["long_flagged"] and not amb["all_flagged"]
     suffix = bench._annotate_ambient(regs, amb)
     assert "long-query tier" in suffix and "1.35x" in suffix
 

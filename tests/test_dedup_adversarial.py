@@ -351,3 +351,97 @@ def test_jaccard_prefix_positional_filter_prunes_hot_token(spark):
     assert pairs_05.count() == 40 * 39 // 2 + 1
     c05 = _jaccard_prefix_candidates(docs, 0.5)[1].count()
     assert c05 == 40 * 39 // 2 + 1
+
+
+def test_jaccard_prefix_wide_docs_no_int32_overflow(spark):
+    """ADVICE r15 item 1: the decimal-floor fallback (tau=0.7 ->
+    699999/1000000) multiplies its num/den literals against int32 `sz`
+    columns; before the round-16 LONG widening, num*sz overflowed 32-bit
+    at >= ~2148 distinct tokens (ANSI: ARITHMETIC_OVERFLOW at the prefix
+    length; non-ANSI: silent wrap dropping qualifying pairs). 3000-token
+    docs at tau=0.7 drive num*sz ~= 2.1e9 through the prefix-length, size
+    and positional filters; the true boundary pair (J = 2100/3000 = 0.7
+    exactly) must come back and the near-miss (J = 2000/3000) must not."""
+    from hadoop_web_browsing_logs_spark.operators.dedup import jaccard_prefix_pairs
+
+    wide = [f"w{i:04d}" for i in range(3000)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(wide)),          # |A| = 3000
+            (2, " ".join(wide[:2100])),   # B ⊂ A, J = 2100/3000 = 0.7
+            (3, " ".join(wide[1000:3000])),  # C ⊂ A, J = 2000/3000 < 0.7
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_prefix_pairs(docs, 0.7).collect()
+    )
+    assert got == [(1, 2, 2100 / 3000)]
+
+
+def test_jaccard_prefix_randomized_boilerplate_skew(spark):
+    """Promoted round-15 fuzz family (docs/fuzz_round15.py
+    jaccard_prefix_skew, 24/24 ok; VERDICT r15 item 7): randomized
+    boilerplate-heavy corpora — a shared token block carried by ~half the
+    docs, random unique tails, random near-dup plants — swept across the
+    hostile tau set, one seeded trial per tau: the short-prefix regime
+    (0.9), the positional-filter regime (0.8, 0.75), both
+    decimal-above-float classes (0.7, 0.3 — the _prefix_threshold_fraction
+    floor fallback), a binary-exact repeating fraction (2/3), and the
+    deep-prefix low tau (0.5). Oracle: an independent pure-Python brute
+    force (set Jaccard, float >= tau — exactly the registered final
+    filter), checked in BOTH directions: the prefix/size/positional
+    filters never prune a qualifying pair, and the verify never leaks an
+    extra one."""
+    import random
+
+    from hadoop_web_browsing_logs_spark.operators.dedup import jaccard_prefix_pairs
+
+    taus = (0.9, 0.8, 0.75, 0.7, 2 / 3, 0.5, 0.3)
+    for t, tau in enumerate(taus):
+        rng = random.Random(15100 + t)
+        n_boiler_tok = rng.randint(3, 12)
+        boiler = [f"b{j}" for j in range(n_boiler_tok)]
+        rows, texts = [], {}
+        for i in range(rng.randint(20, 50)):
+            if rng.random() < 0.5:
+                toks = boiler + [f"u{i}x{j}" for j in range(rng.randint(0, 6))]
+            else:
+                toks = [f"v{i}x{j}" for j in range(rng.randint(1, 12))]
+            rng.shuffle(toks)
+            texts[i] = toks
+            rows.append((i, " ".join(toks)))
+        next_id = len(rows)
+        for _ in range(rng.randint(1, 5)):
+            src_id = rng.randrange(len(texts))
+            toks = list(texts[src_id])
+            for _ in range(rng.randint(0, 2)):
+                if toks and rng.random() < 0.7:
+                    toks[rng.randrange(len(toks))] = f"p{next_id}"
+                else:
+                    toks.append(f"q{next_id}")
+            texts[next_id] = toks
+            rows.append((next_id, " ".join(toks)))
+            next_id += 1
+
+        sets = {i: set(tk) for i, tk in texts.items() if tk}
+        want = {
+            (a, b)
+            for a in sets
+            for b in sets
+            if a < b
+            and len(sets[a] & sets[b])
+            and len(sets[a] & sets[b])
+            / (len(sets[a]) + len(sets[b]) - len(sets[a] & sets[b]))
+            >= tau
+        }
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r.doc_a, r.doc_b) for r in jaccard_prefix_pairs(docs, tau).collect()
+        }
+        assert got == want, (
+            tau,
+            sorted(want - got)[:4],
+            sorted(got - want)[:4],
+        )

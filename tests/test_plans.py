@@ -88,6 +88,43 @@ def test_containment_cap_is_default_on():
     assert f"COUNT(*) <= {CONTAINMENT_MAX_SHINGLE_DF}" in get_query("q_dedup_containment").oracle
 
 
+def test_multipoint_kernel_families():
+    """Round 16 (VERDICT r15 item 5): the second-query-point audit
+    (SCALE.md, round 15) found every kernel whose FIXED parameter drives
+    candidate generation or ranking needs >= 2 independently
+    driver-provable fixed points — one point can be accidentally green
+    (the q_sim_hybrid_rrf/rrf2 lesson). This lint machine-pins the
+    invariant via `multipoint:<family>` registry tags: each declared
+    family must keep >= 2 registered oracled queries, and the three
+    audited families must stay declared (deleting a tag or a query point
+    fails here, not in a forgotten SCALE.md note)."""
+    from collections import defaultdict
+
+    from hadoop_web_browsing_logs_spark.plans.registry import all_queries
+
+    families: dict[str, list[str]] = defaultdict(list)
+    for name, q in all_queries().items():
+        for tag in q.tags:
+            if tag.startswith("multipoint:"):
+                families[tag.removeprefix("multipoint:")].append(name)
+                # a fixed point only counts if the driver can hash-prove it
+                assert q.oracle is not None, name
+    # the families the round-15 audit identified as candidate-driving
+    assert {"bm25", "hybrid_rrf", "jaccard_prefix"} <= set(families)
+    for fam, members in families.items():
+        assert len(members) >= 2, (fam, members)
+    # spot-pin the membership so a rename doesn't silently empty a family
+    assert sorted(families["bm25"]) == ["q_text_bm25", "q_text_bm25_2"]
+    assert sorted(families["hybrid_rrf"]) == [
+        "q_sim_hybrid_rrf", "q_sim_hybrid_rrf2",
+    ]
+    assert sorted(families["jaccard_prefix"]) == [
+        "q_dedup_jaccard_prefix",
+        "q_dedup_jaccard_prefix_t7",
+        "q_dedup_jaccard_prefix_t8",
+    ]
+
+
 def test_coverage_totals_match_registry():
     """COVERAGE.md's totals line must equal the live registry (VERDICT r9
     item 2: the paragraph had silently drifted to 148/138 while the
@@ -123,34 +160,35 @@ def test_driver_priority_window():
     assert names[:50] == list(DRIVER_PRIORITY)
     # every priority name actually resolves to a registered query
     assert set(DRIVER_PRIORITY) <= set(names)
-    # round-15 allocation (registry.py comment, VERDICT r14 item 1):
-    # slots 1-3 = the never-driver-certified registrations
-    # (q_dedup_jaccard_prefix, registered after the r14 window ran; the
-    # round-15 second BM25 query point; the round-15 tau=0.8 prefix join
-    # that drives the PPJoin positional-filter path), then the round-11
-    # cohort tail (26 rows, the oldest driver rows in the system), then
-    # the round-12 cohort head (21 of 50) — the fifth full rotation closes
+    # round-16 allocation (registry.py comment, VERDICT r15 item 1):
+    # slot 1 = the never-driver-certified round-16 registration
+    # (q_dedup_jaccard_prefix_t7 — the decimal-above-double tau class on
+    # the floored-fraction fallback + LONG-widened arithmetic), then the
+    # round-12 cohort tail (29 rows, the oldest driver rows in the
+    # system), then the round-13 cohort head (20 of 50) — the sixth full
+    # rotation closes
     window = set(DRIVER_PRIORITY)
-    assert DRIVER_PRIORITY[0] == "q_dedup_jaccard_prefix"
-    assert DRIVER_PRIORITY[1] == "q_text_bm25_2"
-    assert DRIVER_PRIORITY[2] == "q_dedup_jaccard_prefix_t8"
-    assert DRIVER_PRIORITY[3] == "q_pivot"
-    assert DRIVER_PRIORITY[28] == "q_window_rank_salted"
-    assert DRIVER_PRIORITY[29] == "q_agg_heavy_hitters"
-    assert DRIVER_PRIORITY[49] == "q_events_funnel"
+    assert DRIVER_PRIORITY[0] == "q_dedup_jaccard_prefix_t7"
+    assert DRIVER_PRIORITY[1] == "q_events_path_mining"
+    assert DRIVER_PRIORITY[29] == "q_window_range_frame"
+    assert DRIVER_PRIORITY[30] == "q1_pricing_summary"
+    assert DRIVER_PRIORITY[49] == "q_filter_project"
     for core in (
-                 # round-11 cohort tail (oldest driver rows in the system)
-                 "q_profile_columns", "q_scalar_json", "q_scalar_variant",
-                 "q_sim_ivf_ann_gate", "q_sim_lsh_candidates_portable",
-                 "q_stream_equiv_gate", "q_stream_session_equiv_gate",
-                 "q_text_collocations", "q_topk_global",
-                 "q_udf_grouped_map", "q_vec_kmeans_lloyd",
-                 "q_window_ntile_distributed", "q_window_rank",
-                 # round-12 cohort head
-                 "q_agg_percentile", "q_asof_join", "q_dedup_components",
-                 "q_dedup_jaccard_pairs", "q_dedup_minhash_lsh_portable",
-                 "q_dedup_semantic", "q_distinct", "q_events_chisq",
-                 "q_events_funnel"):
+                 # round-12 cohort tail (oldest driver rows in the system)
+                 "q_events_robust_zscore", "q_llm_decontaminate",
+                 "q_scalar_date", "q_scalar_math", "q_set_ops_bag",
+                 "q_stream_dedup_batch", "q_stream_interval_equiv_gate",
+                 "q_stream_scd2_equiv_gate", "q_subquery_correlated",
+                 "q_text_fingerprint", "q_text_langid",
+                 "q_text_porter_gate", "q_text_token_stats",
+                 "q_udf_grouped_agg", "q_vec_kmeans_gate",
+                 "q_window_navigation",
+                 # round-13 cohort head
+                 "q_agg_approx_distinct_gate", "q_agg_histogram",
+                 "q_dedup_containment", "q_dedup_embedding_bucketed",
+                 "q_dedup_exact", "q_dedup_simhash", "q_events_ab_welch",
+                 "q_events_retention", "q_events_winsorize",
+                 "q_filter_project"):
         assert core in window, core
     # the demoted quadratic all-pairs baseline must NEVER be re-seated
     # (VERDICT r10 item 1); its bucketed twin carries the driver proof
