@@ -16,9 +16,12 @@ Usage: python docs/bench_sweep_all.py [threshold_sec]
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.1"
 MEDIAN_OF = 3

@@ -15,8 +15,11 @@ Prints one JSON line per (query, sf) and a final summary table.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/sf1.0"

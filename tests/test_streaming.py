@@ -759,3 +759,161 @@ def test_equiv_gate_goes_red_under_injected_fault(spark):
 
     dropped = spark.createDataFrame(rows[1:], sch)
     assert SW.equiv_ok(dropped, streamed, keys, vals).first()["ok"] is False
+
+
+def test_session_incremental_emission_tape(spark):
+    """Round 16 (VERDICT r15 item 8): a SECOND streaming-equivalence
+    dimension. The five equiv gates compare END-STATE frames, which cannot
+    see a class of state bugs — a session emitted twice, emitted before
+    the watermark closed it, or held back past the watermark and only
+    flushed at drain end all converge to the same final union. This tape
+    runs the session window in APPEND mode with a PER-EPOCH sink and
+    checks the incremental contract at every watermark step:
+
+      1. exactly-once — no (user_id, session_start) appears in two epochs;
+      2. soundness — a row emitted at epoch b has session_end <= the
+         watermark that batch ran under (never an open session);
+      3. completeness — every batch-twin session with session_end
+         strictly below that watermark has already been emitted by the
+         end of epoch b (state is never held back past the watermark);
+      4. the epoch union equals the batch twin exactly (the old end-state
+         dimension, re-proved at per-epoch granularity; the year-2100
+         sentinel batch flushes the tail and is filtered back out).
+
+    Timeline (gap 30 min, watermark delay 1 h; one file = one micro-batch,
+    mtime-ascending): f0 plants two sessions near t0, f1 jumps +3 h (its
+    batch still runs under f0's low watermark; the NEXT batch closes the
+    f0 sessions), f2 plants two more at +5 h (closing f1's), f3 jumps to
+    +10 h, and the sentinel closes everything."""
+    import datetime as dt
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2026, 1, 1)
+    m = lambda mins: base + dt.timedelta(minutes=mins)  # noqa: E731
+    tape = [
+        [(100, 0, 1), (101, 10, 1), (102, 5, 2)],   # sessions: u1 [0,40), u2 [5,35)
+        [(200, 180, 3)],                            # u3 [180,210)
+        [(300, 300, 1), (301, 305, 4)],             # u1 [300,330), u4 [305,335)
+        [(400, 600, 5)],                            # u5 [600,630)
+    ]
+    sch = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_incr_tape_")
+    try:
+        src = os.path.join(root, "input")
+        os.mkdir(src)
+        now = time.time()
+        for i, rows in enumerate(tape):
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([m(r[1]) for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array(["view"] * len(rows)),
+                    "value": pa.array([1.0] * len(rows)),
+                    "props": pa.array([None] * len(rows), pa.string()),
+                },
+                schema=sch,
+            )
+            path = os.path.join(src, f"{i:02d}.parquet")
+            pq.write_table(tbl, path)
+            os.utime(path, (now + i, now + i))
+        SW._write_watermark_sentinel(src, os.path.join(src, "00.parquet"))
+        # the tape files carry synthetic mtimes now+0..now+3; the sentinel's
+        # real write-time mtime would sort BETWEEN them (the file source
+        # orders by mod time) — pin it strictly last
+        sent = os.path.join(src, "zz_watermark_sentinel.parquet")
+        os.utime(sent, (now + 10, now + 10))
+
+        sink = os.path.join(root, "result")
+        stream = SW.session_agg(SW.read_events_stream(spark, src))
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, epoch: df.write.mode("overwrite").parquet(
+                    os.path.join(sink, f"epoch={epoch}")
+                )
+            )
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            progresses = [_json.loads(p.json) for p in q.recentProgress]
+        finally:
+            q.stop()
+
+        # the watermark each batch RAN under, from the query's own progress
+        wm_by_batch = {}
+        for p in progresses:
+            w = p.get("eventTime", {}).get("watermark")
+            if w is not None:
+                wm_by_batch[p["batchId"]] = dt.datetime.fromisoformat(
+                    w.replace("Z", "")
+                )
+        epochs = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(sink)
+            if d.startswith("epoch=")
+        )
+        per_epoch = {}
+        for e in epochs:
+            rows = (
+                spark.read.parquet(os.path.join(sink, f"epoch={e}"))
+                .filter(F.col("user_id") != -999)
+                .collect()
+            )
+            per_epoch[e] = {
+                (r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in rows
+            }
+
+        # (1) exactly-once across epochs
+        seen: dict[tuple, int] = {}
+        for e in epochs:
+            for row in per_epoch[e]:
+                key = (row[0], row[1])
+                assert key not in seen, (key, seen[key], e)
+                seen[key] = e
+
+        # batch twin over the real tape (sentinel user filtered out)
+        twin = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in SW.session_agg(
+                spark.read.parquet(src).filter(F.col("user_id") != -999)
+            ).collect()
+        }
+
+        # (2) soundness + (3) completeness at every epoch with a watermark
+        emitted_through: set = set()
+        for e in epochs:
+            emitted_through |= per_epoch[e]
+            wm = wm_by_batch.get(e)
+            if wm is None or wm.year < 2000:
+                # pre-watermark batches must emit nothing in append mode
+                assert per_epoch[e] == set(), (e, per_epoch[e])
+                continue
+            for row in per_epoch[e]:
+                assert row[2] <= wm, (e, row, wm)
+            due = {r for r in twin if r[2] < wm}
+            assert due <= emitted_through, (e, sorted(due - emitted_through))
+
+        # (4) the union equals the batch twin exactly
+        assert set().union(*per_epoch.values()) == twin
+        # and the tape genuinely exercised increments: >= 2 non-empty epochs
+        assert sum(1 for e in epochs if per_epoch[e]) >= 2
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
