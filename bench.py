@@ -171,6 +171,23 @@ HEADLINE = [
     # trend vs the tau=0.8 point tracks the positional filter's headroom
     # as the corpus grows.
     "q_dedup_jaccard_prefix_t7",
+    # round-16 sweep folds (VERDICT r15 item 3: the full-registry sweep
+    # found 13 untracked queries above the headline p90; these four are the
+    # representative folds — the rest are adjudicated in SCALE.md round 16):
+    # the CC-family representative (pairs -> eager-checkpoint pointer-
+    # jumping fixpoint; keep_canonical and split_leakage_safe share ~90% of
+    # this plan, so one trend line covers the family)...
+    "q_dedup_components",
+    # ...the heaviest Python-stage surface (cogrouped pandas UDF over the
+    # full orders x lineitem cogroup — Arrow transfer + pandas cost, the
+    # thing to watch if the Python boundary regresses)...
+    "q_udf_cogrouped_map",
+    # ...the LSH-ANN query path (bucketed candidates + top-k; its gate twin
+    # is adjudicated-by-design, but the path itself deserves a trend)...
+    "q_sim_lsh_ann",
+    # ...and the Gopher repetition-rules scorer (the heaviest pure-SQL
+    # text-quality kernel: n-gram explodes at three widths over documents).
+    "q_llm_repetition_rules",
 ]
 
 #: The original round-1 headline set — reported as its own subtotal

@@ -976,17 +976,21 @@ def q_dedup_minhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("calibrated",),
 )
 def q_dedup_minhash_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # single pass over the quadratic brute-force side: a LEFT join marks each
-    # brute pair hit/missed, one aggregate counts both (a separate semi-join
-    # + count would evaluate the O(n^2) Jaccard cross-join twice — Spark
-    # does not share common logical subplans across actions)
+    # single pass over the exact-answer side: a LEFT join marks each exact
+    # pair hit/missed, one aggregate counts both (a separate semi-join
+    # + count would evaluate the exact Jaccard join twice — Spark does not
+    # share common logical subplans across actions). Round 16: the exact
+    # side is the PREFIX-FILTERED join, not the quadratic cross-join — the
+    # gate measures recall against the exact pair SET, which the prefix
+    # join produces row-identically (its own driver gate proves it) at
+    # candidate-linear cost.
     lsh = (
         q_dedup_minhash_lsh(spark, sf_dir)
         .select("doc_a", "doc_b")
         .dropDuplicates()  # keep the left join 1:1 (the semi-join it replaces was duplicate-immune)
         .withColumn("_hit", F.lit(1))
     )
-    brute = q_dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    brute = q_dedup_jaccard_prefix(spark, sf_dir).select("doc_a", "doc_b")
     return (
         brute.join(lsh, ["doc_a", "doc_b"], "left")
         .agg(F.count(F.lit(1)).alias("n_brute"), F.count("_hit").alias("n_hit"))
@@ -1290,8 +1294,6 @@ def connected_components(
     a: str = "doc_a",
     b: str = "doc_b",
     max_iter: int = 25,
-    check_every: int = 2,
-    truncate_every: int = 4,
 ) -> DataFrame:
     """Min-label propagation to a fixpoint: every node ends up labeled with
     the smallest id reachable from it — the duplicate-cluster id.
@@ -1305,29 +1307,35 @@ def connected_components(
     loop propagated one hop per round, so ``max_iter=25`` silently
     mislabeled any component with diameter > 25 (a 61-node chain came back
     as 36 fragments; found by the randomized union-find differential, now a
-    committed regression test). The convergence check (a counts-only
-    action) runs every ``check_every`` iterations — at scale each action is
-    a full job, so probing every round pays one extra scheduling round-trip
-    per iteration for nothing; an extra propagation round past the fixpoint
-    is a no-op join on an already-stable labels table.
+    committed regression test).
 
-    ``cache()`` short-circuits recomputation but does NOT truncate the
-    logical plan — the lineage grows by one join per iteration and Catalyst
-    re-analyzes the whole tree every round (observed: a ~10k-line explain
-    after the fixpoint loop). Every ``truncate_every`` iterations the labels
-    table is ``localCheckpoint``ed, cutting lineage back to a leaf so
-    planning cost stays O(truncate_every) instead of O(iterations).
+    REWRITTEN round 16 (the full-registry sweep's top untracked outlier):
+    the old loop used ``cache()`` + a lazy ``localCheckpoint`` every 4th
+    iteration and a convergence count every 2nd — but a cache is only
+    materialized when an ACTION touches it, and the skipped-check
+    iterations never ran one, so each convergence count re-planned a
+    multi-iteration join tree over unmaterialized cached subplans (AQE
+    re-optimizing every one). Measured at sf0.1 (488 nodes, 43k pairs —
+    trivial data): 87 s, with single iterations costing 17-64 s of pure
+    driver-side planning. The pagerank discipline fixes it: EAGER
+    ``localCheckpoint`` every iteration truncates lineage AND AQE state to
+    a materialized leaf, making the per-iteration convergence count a
+    one-stage join on two in-memory tables — same four iterations, 3.4 s
+    total (25x). At scale the per-iteration materialization is one
+    node-count-sized table write (the iterative-algorithm standard), and
+    checking every iteration is now cheaper than skipping: the count rides
+    on already-materialized leaves and buys the earliest possible exit.
     Returns ``(node, component)``."""
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("component", F.col("node"))
-    ).cache()
-    for it in range(max_iter):
+    ).localCheckpoint()
+    for _it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
@@ -1344,27 +1352,21 @@ def connected_components(
         par = stepped.select(
             F.col("node").alias("_pnode"), F.col("component").alias("_pcomp")
         )
-        new_labels = stepped.join(
-            par, stepped.component == par._pnode, "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce("_pcomp", F.col("component"))
-            ).alias("component"),
-        )
-        if (it + 1) % truncate_every == 0:
-            # materialize + cut lineage (see docstring)
-            new_labels = new_labels.localCheckpoint(eager=False)
-        else:
-            new_labels = new_labels.cache()
-        changed = None
-        if (it + 1) % check_every == 0 or it == max_iter - 1:
-            changed = (
-                new_labels.join(labels.withColumnRenamed("component", "old"), "node")
-                .filter(F.col("component") != F.col("old"))
-                .count()
+        new_labels = (
+            stepped.join(par, stepped.component == par._pnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("_pcomp", F.col("component"))
+                ).alias("component"),
             )
-        labels.unpersist()
+            .localCheckpoint()  # eager: materialize + cut lineage/AQE state
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
         labels = new_labels
         if changed == 0:
             break
@@ -1410,7 +1412,13 @@ def connected_components(
     description="Duplicate clustering: connected components (min-label propagation) over the J≥0.9 near-dup pairs — turns pairwise matches into dedup groups, keeping one representative per group. Oracled via a DuckDB recursive-CTE transitive closure (min reachable id == component).",
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q_dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # Pair source swapped to the PREFIX-FILTERED join (round 16, the sweep's
+    # top untracked outlier at 21 s idle/sf0.1): jaccard_prefix_pairs is
+    # row-identical to the quadratic baseline by the prefix-filter theorem
+    # (its own driver gate proves it against this very cross-join oracle),
+    # so the CC result — and this query's oracle — are unchanged while the
+    # O(n^2) pair stage drops to the candidate-linear scale path.
+    pairs = q_dedup_jaccard_prefix(spark, sf_dir).select("doc_a", "doc_b")
     comp = connected_components(pairs)
     return (
         comp.groupBy("component")
@@ -1480,7 +1488,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q_dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # round 16: prefix-join pair source (row-identical, candidate-linear) —
+    # see q_dedup_components
+    pairs = q_dedup_jaccard_prefix(spark, sf_dir).select("doc_a", "doc_b")
     comp = connected_components(pairs)
     docs = t(spark, sf_dir, "documents").select(
         F.col("doc_id"), F.length("text").cast("bigint").alias("tlen")

@@ -734,9 +734,12 @@ def q_llm_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import connected_components, q_dedup_jaccard_pairs
+    # round 16: prefix-join pair source (row-identical to the quadratic
+    # baseline by the prefix-filter theorem, candidate-linear) — see
+    # q_dedup_components
+    from .dedup import connected_components, q_dedup_jaccard_prefix
 
-    pairs = q_dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = q_dedup_jaccard_prefix(spark, sf_dir).select("doc_a", "doc_b")
     comp = connected_components(pairs)
     docs = t(spark, sf_dir, "documents").select("doc_id")
     keyed = docs.join(comp, docs["doc_id"] == comp["node"], "left").select(

@@ -101,18 +101,33 @@ _REGISTRY: dict[str, Query] = {}
 #: q_dedup_jaccard_prefix_t7 (the decimal-above-double tau class: the
 #: floored-fraction fallback + the LONG-widened filter arithmetic from
 #: ADVICE r15 item 1, a path the tau=0.9/0.8 points never touch).
-#: Slots 2-30 are the round-12 cohort TAIL (29 rows, alphabetical
-#: q_events_path_mining … q_window_range_frame — the oldest driver rows
-#: in the system). Slots 31-50 take the round-13 cohort head
-#: oldest-green-first (20 of 50, alphabetical q1_pricing_summary …
-#: q_filter_project; the 30-row tail rolls to r17). After a green round
-#: no oracled query's last driver-green row predates round 13 — the
-#: sixth full rotation closes (q_dedup_embedding excepted: demoted for
-#: good, never re-seated).
+#: Slots 2-5 are the round-16-MODIFIED re-seats (the round-12 precedent:
+#: a modified kernel's consumers get driver re-certified the same
+#: round): q_dedup_components / q_dedup_keep_canonical /
+#: q_llm_split_leakage_safe (the connected_components rewrite — eager
+#: per-iteration localCheckpoint replacing the lazy-cache loop the
+#: full-registry sweep exposed at 21-26 s, now 4 s — plus the pair
+#: source swapped from the quadratic baseline to the row-identical
+#: prefix join) and q_dedup_minhash_lsh_gate (exact side of the recall
+#: gate swapped to the prefix join). Slots 6-34 are the round-12 cohort
+#: TAIL (29 rows, alphabetical q_events_path_mining …
+#: q_window_range_frame — the oldest driver rows in the system). Slots
+#: 35-50 take the round-13 cohort head oldest-green-first (16 of 50,
+#: alphabetical q1_pricing_summary … q_events_rollup_multires; the
+#: 34-row tail rolls to r17). After a green round no oracled query's
+#: last driver-green row predates round 13 — the sixth full rotation
+#: closes (q_dedup_embedding excepted: demoted for good, never
+#: re-seated).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never driver-certified: the round-16 registration (tau=0.7
     # prefix join — the decimal-fallback + widened-arithmetic path) ---
     "q_dedup_jaccard_prefix_t7",
+    # --- round-16-MODIFIED re-seats (CC rewrite + exact-pair-source swap;
+    # certify the modified kernel through the driver gate this round) ---
+    "q_dedup_components",
+    "q_dedup_keep_canonical",
+    "q_llm_split_leakage_safe",
+    "q_dedup_minhash_lsh_gate",
     # --- round-12 cohort tail (last driver-green r12, the oldest rows in
     # the system; 29 rows, alphabetical) ---
     "q_events_path_mining",
@@ -144,9 +159,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_vec_quantize_int8",
     "q_window_navigation",
     "q_window_range_frame",
-    # --- round-13 cohort head (oldest-green-first, 20 of 50 alphabetical;
-    # the 30-row tail — q_graph_label_propagation … q_udtf_context_windows
-    # — rolls to r17) ---
+    # --- round-13 cohort head (oldest-green-first, 16 of 50 alphabetical;
+    # the 34-row tail — q_events_spearman … q_udtf_context_windows —
+    # rolls to r17) ---
     "q1_pricing_summary",
     "q_agg_approx_distinct_gate",
     "q_agg_approx_percentile_gate",
@@ -163,10 +178,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_gapfill",
     "q_events_retention",
     "q_events_rollup_multires",
-    "q_events_spearman",
-    "q_events_type_affinity",
-    "q_events_winsorize",
-    "q_filter_project",
 )
 
 

@@ -163,16 +163,21 @@ def test_driver_priority_window():
     # round-16 allocation (registry.py comment, VERDICT r15 item 1):
     # slot 1 = the never-driver-certified round-16 registration
     # (q_dedup_jaccard_prefix_t7 — the decimal-above-double tau class on
-    # the floored-fraction fallback + LONG-widened arithmetic), then the
-    # round-12 cohort tail (29 rows, the oldest driver rows in the
-    # system), then the round-13 cohort head (20 of 50) — the sixth full
-    # rotation closes
+    # the floored-fraction fallback + LONG-widened arithmetic), slots 2-5
+    # = the round-16-MODIFIED re-seats (the CC rewrite + exact-pair-source
+    # swap consumers, the round-12 precedent), then the round-12 cohort
+    # tail (29 rows, the oldest driver rows in the system), then the
+    # round-13 cohort head (16 of 50) — the sixth full rotation closes
     window = set(DRIVER_PRIORITY)
     assert DRIVER_PRIORITY[0] == "q_dedup_jaccard_prefix_t7"
-    assert DRIVER_PRIORITY[1] == "q_events_path_mining"
-    assert DRIVER_PRIORITY[29] == "q_window_range_frame"
-    assert DRIVER_PRIORITY[30] == "q1_pricing_summary"
-    assert DRIVER_PRIORITY[49] == "q_filter_project"
+    assert DRIVER_PRIORITY[1] == "q_dedup_components"
+    assert DRIVER_PRIORITY[2] == "q_dedup_keep_canonical"
+    assert DRIVER_PRIORITY[3] == "q_llm_split_leakage_safe"
+    assert DRIVER_PRIORITY[4] == "q_dedup_minhash_lsh_gate"
+    assert DRIVER_PRIORITY[5] == "q_events_path_mining"
+    assert DRIVER_PRIORITY[33] == "q_window_range_frame"
+    assert DRIVER_PRIORITY[34] == "q1_pricing_summary"
+    assert DRIVER_PRIORITY[49] == "q_events_rollup_multires"
     for core in (
                  # round-12 cohort tail (oldest driver rows in the system)
                  "q_events_robust_zscore", "q_llm_decontaminate",
@@ -187,8 +192,8 @@ def test_driver_priority_window():
                  "q_agg_approx_distinct_gate", "q_agg_histogram",
                  "q_dedup_containment", "q_dedup_embedding_bucketed",
                  "q_dedup_exact", "q_dedup_simhash", "q_events_ab_welch",
-                 "q_events_retention", "q_events_winsorize",
-                 "q_filter_project"):
+                 "q_events_retention", "q_events_gapfill",
+                 "q_events_rollup_multires"):
         assert core in window, core
     # the demoted quadratic all-pairs baseline must NEVER be re-seated
     # (VERDICT r10 item 1); its bucketed twin carries the driver proof
