@@ -157,6 +157,12 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
+        # same barrier as jaccard_prefix_pairs (round 16): without it the
+        # threshold pushes into the theta-join condition and the intersect
+        # runs up to 4x per pair; the scored all-pairs table IS this
+        # query's labeled quadratic intermediate, so materializing it
+        # changes nothing about its (deliberate) O(n^2) scale shape
+        .localCheckpoint(eager=False)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -342,6 +348,32 @@ def jaccard_prefix_pairs(
     At web scale, swap the string token arrays for xxhash64 fingerprints
     as minhash_lsh_pairs does (cheaper intersects, 2^-64 collision
     caveat); strings are kept here so the DuckDB twin is exact."""
+    scored = (
+        _jaccard_prefix_scored(docs, tau)
+        # Materialization barrier BEFORE the threshold filter (round 16,
+        # guide §7.2 "duplicated subtrees"): left as one lazy plan,
+        # Catalyst pushes `jaccard >= tau` through the projection into the
+        # verify join's condition, so array_intersect — the per-candidate
+        # hot loop — is evaluated up to four times per pair (twice in the
+        # join condition's numerator/denominator, twice again in the
+        # output projection). Checkpointing the scored candidates pins the
+        # intersect to ONE evaluation per candidate; the materialized
+        # table is candidate-linear (doc_a, doc_b, jaccard — 24 bytes a
+        # row), and the measured effect at sf0.1 is 2.2-2.3x on the
+        # tau=0.7/0.8 query points. Same rows, same IEEE bits: the filter
+        # below compares the identical double expression value.
+        .localCheckpoint(eager=False)
+    )
+    # final threshold on the double value — the same expression (and
+    # therefore the same IEEE bits) as the quadratic baseline/oracle
+    return scored.filter(F.col("jaccard") >= tau)
+
+
+def _jaccard_prefix_scored(docs: DataFrame, tau: float) -> DataFrame:
+    """The verify stage's scored-candidates subtree (candidate pairs with
+    their exact jaccard), factored out of :func:`jaccard_prefix_pairs` so
+    plan dumps can show the verify-join shape that the checkpoint barrier
+    otherwise truncates to a LogicalRDD scan."""
     d, cands = _jaccard_prefix_candidates(docs, tau)
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
@@ -351,9 +383,6 @@ def jaccard_prefix_pairs(
         cands.join(a, "doc_a")
         .join(b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        # final threshold on the double value — the same expression (and
-        # therefore the same IEEE bits) as the quadratic baseline/oracle
-        .filter(F.col("jaccard") >= tau)
     )
 
 
@@ -1341,8 +1370,14 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # carry the PREVIOUS label through the step as `old` so the
+        # convergence probe below is a filter over the checkpointed frame
+        # itself — not a second node-keyed join of new labels against old
+        # ones (round 16: that join was one full extra job per iteration;
+        # the fused flag rides the same materialization for free)
         stepped = labels.join(neighbor_min, "node", "left").select(
             "node",
+            F.col("component").alias("old"),
             F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias("component"),
         )
         # pointer jump: label := min(label, label-of-label). Components are
@@ -1356,18 +1391,15 @@ def connected_components(
             stepped.join(par, stepped.component == par._pnode, "left")
             .select(
                 "node",
+                "old",
                 F.least(
                     F.col("component"), F.coalesce("_pcomp", F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint()  # eager: materialize + cut lineage/AQE state
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("component") != F.col("old")).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     return labels
@@ -2084,15 +2116,32 @@ def semantic_dedup(
             F.col("b.pri").alias("upri"),
             sim.alias("sim"),
         )
-        # NaN guard: both engines order NaN above every real, but the >=
-        # comparison is the one spot the engines could be read differently —
-        # make the rule explicit: a NaN similarity is NOT a duplicate
-        .filter((F.col("sim") >= tau) & ~F.isnan("sim"))
         .groupBy("vec_id")
-        # the highest-priority similar mate (row_number makes upri unique
+        # the highest-priority SIMILAR mate (row_number makes upri unique
         # per bucket and comparisons never cross buckets; in min_id mode
-        # upri == u, so this is MIN(u))
-        .agg(F.min_by("u", "upri").alias("dup_of"))
+        # upri == u, so this is MIN(u) over qualifying mates). The
+        # threshold predicate lives INSIDE the aggregate's conditional —
+        # not in a .filter() above it (round 16, guide §7.2): a filter
+        # here was pushed into the self-join's condition, so the cosine
+        # fold — the per-pair hot loop — ran up to three times per
+        # in-bucket pair (>= check, the isnan re-check, and the project).
+        # The conditional keeps ONE evaluation per pair and nothing to
+        # push down; groups whose every mate fails the threshold
+        # aggregate to a NULL struct, which the left join below already
+        # maps to is_dup = false — row-identical output.
+        # NaN rule unchanged and explicit: nanvl maps a NaN similarity to
+        # NULL, so `NULL >= tau` is NULL and the WHEN drops it — a NaN
+        # similarity is NOT a duplicate (Spark alone would order NaN
+        # above every real and pass the >=).
+        .agg(
+            F.min(
+                F.when(
+                    F.nanvl(F.col("sim"), F.lit(None).cast("double")) >= tau,
+                    F.struct("upri", "u"),
+                )
+            ).alias("_m")
+        )
+        .select("vec_id", F.col("_m.u").alias("dup_of"))
     )
     return (
         assign.select("vec_id", "center_id")

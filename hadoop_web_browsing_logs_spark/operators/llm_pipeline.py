@@ -649,25 +649,53 @@ def q_llm_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = d.select("lang", F.size("toks").alias("n_tok"), ngrams(2).alias("g2"), ngrams(3).alias("g3"))
 
-    def counts(col: str) -> F.Column:
-        return F.transform(
-            F.array_distinct(col), lambda u: F.size(F.filter(col, lambda x: x == u))
+    def run_stats(col: str) -> F.Column:
+        """STRUCT(maxc, dup): the max per-distinct-n-gram count and the sum
+        of counts >= 2, via ONE pass over the SORTED n-gram array (round
+        16, guide §1.2 'per-task work': the previous
+        array_distinct+filter-scan form was O(distinct × n) string
+        comparisons per document — quadratic on boilerplate-heavy docs and
+        evaluated twice for g2 (top2 + dup2). Run lengths over the sorted
+        array are the same multiset counts, computed in O(n log n), and
+        both statistics fall out of a single fold)."""
+        zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("maxc"),
+            F.lit(0).cast("long").alias("dup"),
         )
 
-    def dup_frac(col: str, n: int) -> F.Column:
-        dup_tokens = F.aggregate(
-            counts(col),
-            F.lit(0).cast("long"),
-            lambda acc, c: acc + F.when(c >= 2, c.cast("long")).otherwise(F.lit(0).cast("long")),
-        )
-        return dup_tokens.cast("double") * n / F.col("n_tok")
+        def step(acc: F.Column, x: F.Column) -> F.Column:
+            same = acc["prev"].isNotNull() & (x == acc["prev"])
+            return F.struct(
+                x.alias("prev"),
+                F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+                F.when(same, acc["maxc"]).otherwise(F.greatest(acc["maxc"], acc["run"])).alias("maxc"),
+                F.when(same, acc["dup"])
+                .otherwise(acc["dup"] + F.when(acc["run"] >= 2, acc["run"]).otherwise(F.lit(0).cast("long")))
+                .alias("dup"),
+            )
 
-    top2 = F.array_max(counts("g2")).cast("double") * 2 / F.col("n_tok")
+        def finish(acc: F.Column) -> F.Column:
+            return F.struct(
+                F.greatest(acc["maxc"], acc["run"]).alias("maxc"),
+                (
+                    acc["dup"] + F.when(acc["run"] >= 2, acc["run"]).otherwise(F.lit(0).cast("long"))
+                ).alias("dup"),
+            )
+
+        return F.aggregate(F.array_sort(col), zero, step, finish)
+
     m = g.select(
         "lang",
-        top2.alias("top2_frac"),
-        dup_frac("g2", 2).alias("dup2_frac"),
-        dup_frac("g3", 3).alias("dup3_frac"),
+        "n_tok",
+        run_stats("g2").alias("s2"),
+        run_stats("g3").alias("s3"),
+    ).select(
+        "lang",
+        (F.col("s2.maxc").cast("double") * 2 / F.col("n_tok")).alias("top2_frac"),
+        (F.col("s2.dup").cast("double") * 2 / F.col("n_tok")).alias("dup2_frac"),
+        (F.col("s3.dup").cast("double") * 3 / F.col("n_tok")).alias("dup3_frac"),
     )
     return m.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

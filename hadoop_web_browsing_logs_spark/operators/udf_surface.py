@@ -214,41 +214,82 @@ def q_udtf_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="udf",
     description=(
         "Cogrouped-map applyInPandas (the last pandas-API shape): orders "
-        "and lineitem cogrouped on orderkey, the Python worker receiving "
-        "BOTH groups' frames at once and emitting per-order fulfillment "
-        "stats with exact integer-cents money math — oracled by the "
+        "and lineitem cogrouped on a 64-way orderkey hash bucket, the "
+        "Python worker receiving BOTH groups' frames at once and emitting "
+        "per-order fulfillment stats (vectorized pandas groupby per "
+        "bucket) with exact integer-cents money math — oracled by the "
         "equivalent FULL JOIN of two SQL aggregates. Sampled keys "
         "(orderkey % 37 = 0): a declared Python-path mechanism demo, like "
         "the row-UDF; production aggregation stays JVM-side."
     ),
 )
 def q_udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0).select(
-        "o_orderkey"
+    # Cogroup on a HASH BUCKET of the orderkey, not the raw orderkey
+    # (round 16, guide §4: applyInPandas invokes the Python function once
+    # per group — per-orderkey grouping paid one pandas-DataFrame
+    # construction per order, ~4k Python calls of 1-row frames dominating
+    # the query at 9.1 s/sf0.1. 64 buckets keep the identical cogrouped
+    # FlatMapCoGroupsInPandas mechanism and per-order output rows, but the
+    # per-order stats are computed VECTORIZED inside each bucket with one
+    # pandas groupby — 64 calls instead of ~4k). The bucket key is a
+    # deterministic pmod(xxhash64(key), 64) on both sides, so every
+    # orderkey lands in exactly one group and the output is row-identical.
+    n_buckets = 64
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 37 == 0)
+        .select("o_orderkey", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_buckets)).alias("bk"))
     )
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 37 == 0).select(
-        "l_orderkey", "l_extendedprice"
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 37 == 0)
+        .select(
+            "l_orderkey",
+            "l_extendedprice",
+            F.pmod(F.xxhash64("l_orderkey"), F.lit(n_buckets)).alias("bk"),
+        )
     )
 
     def fulfillment(key: tuple, opdf: pd.DataFrame, lpdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        # exact integer cents per row (prices are positive 2-decimal values,
-        # so floor(x*100 + 0.5) == ROUND(x*100) in both engines), summed as
-        # int64 — no float accumulation to diverge from the SQL twin
-        ext = int(np.floor(lpdf["l_extendedprice"].to_numpy() * 100 + 0.5).sum()) if len(lpdf) else 0
+        # per-order counts on the orders side of the bucket
+        no = (
+            opdf.groupby("o_orderkey").size()
+            if len(opdf)
+            else pd.Series(dtype="int64")
+        )
+        if len(lpdf):
+            # exact integer cents per row (prices are positive 2-decimal
+            # values, so floor(x*100 + 0.5) == ROUND(x*100) in both
+            # engines), summed as int64 — no float accumulation to diverge
+            # from the SQL twin
+            cents = np.floor(
+                lpdf["l_extendedprice"].to_numpy() * 100 + 0.5
+            ).astype(np.int64)
+            g = pd.DataFrame(
+                {"k": lpdf["l_orderkey"].to_numpy(), "c": cents}
+            ).groupby("k")["c"]
+            ni = g.size()
+            ec = g.sum()
+        else:
+            ni = pd.Series(dtype="int64")
+            ec = pd.Series(dtype="int64")
+        # full-outer alignment on the orderkey index — the cents sums are
+        # far inside 2^53, so the NaN->0 round-trip through float is exact
+        out = pd.DataFrame({"n_orders": no, "n_items": ni, "ext_cents": ec}).fillna(0)
         return pd.DataFrame(
             {
-                "o_orderkey": [key[0]],
-                "n_orders": [len(opdf)],
-                "n_items": [len(lpdf)],
-                "ext_cents": [ext],
+                "o_orderkey": out.index.to_numpy(dtype="int64"),
+                "n_orders": out["n_orders"].to_numpy(dtype="int64"),
+                "n_items": out["n_items"].to_numpy(dtype="int64"),
+                "ext_cents": out["ext_cents"].to_numpy(dtype="int64"),
             }
         )
 
     return (
-        o.groupBy("o_orderkey")
-        .cogroup(li.groupBy("l_orderkey"))
+        o.groupBy("bk")
+        .cogroup(li.groupBy("bk"))
         .applyInPandas(
             fulfillment,
             schema="o_orderkey bigint, n_orders bigint, n_items bigint, ext_cents bigint",
