@@ -1364,21 +1364,35 @@ def connected_components(
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("component", F.col("node"))
     ).localCheckpoint()
-    for _it in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("component").alias("nbr_min"))
+    # Static edge table WITH SELF-LOOPS (round 16): a self-loop row per node
+    # folds the node's OWN previous label into the neighbor-min aggregation,
+    # so the per-iteration shape is ONE join + one groupBy instead of
+    # join + groupBy + a second labels left-join. The self rows are flagged
+    # so the same aggregation also emits the previous label (`old`) for the
+    # fused convergence probe — max(when(is_self, component)) is exactly the
+    # node's own label, since every node has exactly one self row.
+    edges_self = (
+        edges.select("src", "dst", F.lit(False).alias("is_self"))
+        .union(
+            labels.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(True).alias("is_self"),
+            )
         )
-        # carry the PREVIOUS label through the step as `old` so the
-        # convergence probe below is a filter over the checkpointed frame
-        # itself — not a second node-keyed join of new labels against old
-        # ones (round 16: that join was one full extra job per iteration;
-        # the fused flag rides the same materialization for free)
-        stepped = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.col("component").alias("old"),
-            F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias("component"),
+        .localCheckpoint()
+    )
+    for _it in range(max_iter):
+        # neighbor-min INCLUDING self (the least(own, nbr_min) fold) + the
+        # previous label, in one aggregation; self-loops guarantee every
+        # node keeps a row even with no in-edges
+        stepped = (
+            edges_self.join(labels, edges_self.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max(F.when(F.col("is_self"), F.col("component"))).alias("old"),
+            )
         )
         # pointer jump: label := min(label, label-of-label). Components are
         # node ids, so the parent lookup is a node-keyed self-join on the

@@ -509,6 +509,15 @@ def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality. Measured at sf0.1: triangles end-to-end 4.5 s -> 3.1 s,
     output bit-identical."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return _coorder_edges_from(li)
+
+
+def _coorder_edges_from(li: DataFrame) -> DataFrame:
+    """Edge build over explicit (l_orderkey, l_partkey) rows — split out of
+    :func:`_coorder_edges` so the row-pair multiplicity semantics (pairs of
+    ROWS, not distinct parts — duplicate parts in one order contribute one
+    pair per row combination) are unit-testable against the naive self-join
+    definition on crafted baskets."""
     per = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_list("l_partkey")).alias("ps")
     )

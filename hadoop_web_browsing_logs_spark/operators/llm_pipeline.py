@@ -583,6 +583,45 @@ DUP2_MAX = 0.15  # max fraction of tokens covered by 2-grams occurring >= 2 time
 DUP3_MAX = 0.05  # same for 3-grams
 
 
+def _ngram_run_stats(col: str | F.Column) -> F.Column:
+    """STRUCT(maxc, dup): the max per-distinct-n-gram count and the sum of
+    counts >= 2, via ONE pass over the SORTED n-gram array (round 16, guide
+    §1.2 'per-task work': the previous array_distinct + filter-scan form was
+    O(distinct × n) string comparisons per document — quadratic on
+    boilerplate-heavy docs and evaluated twice for g2 (top2 + dup2). Run
+    lengths over the sorted array are the same multiset counts, computed in
+    O(n log n), and both statistics fall out of a single fold). Module-level
+    so the fold is unit-testable against a brute-force Counter recount
+    (tests/test_udf_llm.py)."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("maxc"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc: F.Column, x: F.Column) -> F.Column:
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["maxc"]).otherwise(F.greatest(acc["maxc"], acc["run"])).alias("maxc"),
+            F.when(same, acc["dup"])
+            .otherwise(acc["dup"] + F.when(acc["run"] >= 2, acc["run"]).otherwise(F.lit(0).cast("long")))
+            .alias("dup"),
+        )
+
+    def finish(acc: F.Column) -> F.Column:
+        return F.struct(
+            F.greatest(acc["maxc"], acc["run"]).alias("maxc"),
+            (
+                acc["dup"] + F.when(acc["run"] >= 2, acc["run"]).otherwise(F.lit(0).cast("long"))
+            ).alias("dup"),
+        )
+
+    return F.aggregate(F.array_sort(col), zero, step, finish)
+
+
 @query(
     "q_llm_repetition_rules",
     oracle=f"""
@@ -649,48 +688,11 @@ def q_llm_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = d.select("lang", F.size("toks").alias("n_tok"), ngrams(2).alias("g2"), ngrams(3).alias("g3"))
 
-    def run_stats(col: str) -> F.Column:
-        """STRUCT(maxc, dup): the max per-distinct-n-gram count and the sum
-        of counts >= 2, via ONE pass over the SORTED n-gram array (round
-        16, guide §1.2 'per-task work': the previous
-        array_distinct+filter-scan form was O(distinct × n) string
-        comparisons per document — quadratic on boilerplate-heavy docs and
-        evaluated twice for g2 (top2 + dup2). Run lengths over the sorted
-        array are the same multiset counts, computed in O(n log n), and
-        both statistics fall out of a single fold)."""
-        zero = F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("maxc"),
-            F.lit(0).cast("long").alias("dup"),
-        )
-
-        def step(acc: F.Column, x: F.Column) -> F.Column:
-            same = acc["prev"].isNotNull() & (x == acc["prev"])
-            return F.struct(
-                x.alias("prev"),
-                F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
-                F.when(same, acc["maxc"]).otherwise(F.greatest(acc["maxc"], acc["run"])).alias("maxc"),
-                F.when(same, acc["dup"])
-                .otherwise(acc["dup"] + F.when(acc["run"] >= 2, acc["run"]).otherwise(F.lit(0).cast("long")))
-                .alias("dup"),
-            )
-
-        def finish(acc: F.Column) -> F.Column:
-            return F.struct(
-                F.greatest(acc["maxc"], acc["run"]).alias("maxc"),
-                (
-                    acc["dup"] + F.when(acc["run"] >= 2, acc["run"]).otherwise(F.lit(0).cast("long"))
-                ).alias("dup"),
-            )
-
-        return F.aggregate(F.array_sort(col), zero, step, finish)
-
     m = g.select(
         "lang",
         "n_tok",
-        run_stats("g2").alias("s2"),
-        run_stats("g3").alias("s3"),
+        _ngram_run_stats("g2").alias("s2"),
+        _ngram_run_stats("g3").alias("s3"),
     ).select(
         "lang",
         (F.col("s2.maxc").cast("double") * 2 / F.col("n_tok")).alias("top2_frac"),
@@ -975,15 +977,17 @@ def q_llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "bg.w1", "bg.w2")
     )
     # Catalyst does not CSE the shared explode subtree across join inputs,
-    # so an uncached plan re-tokenizes the corpus once per consumer. Pin the
-    # DISTINCT-BIGRAM count table (vocab^2-bounded, far smaller than the
-    # corpus at any scale — the model itself, not the data): it feeds both
-    # the probability join and the context rollup, cutting the corpus
-    # explodes from three to two. ctx re-aggregates cbf — integer rollup,
-    # bit-identical to counting the raw stream. Same move as the
-    # ref-pipeline's cache at the index boundary; measured −10% at sf0.1.
-    bf = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("bf"))
-    cbf = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbf")).cache()
+    # so an uncached plan re-tokenizes the corpus once per consumer. Round
+    # 16: pin the per-doc bigram count table bf — the ONE table every
+    # downstream level is an integer rollup of — and derive cbf as
+    # SUM(bf) GROUP BY (w1, w2) and ctx as SUM(cbf) GROUP BY w1. Counting
+    # grouped counts is bit-identical to counting the raw stream, so the
+    # corpus is now tokenized + exploded ONCE per query (previously twice:
+    # bf and cbf each re-ran the explode; before round 12, three times).
+    # cbf stays pinned too — it feeds the probability join AND the context
+    # rollup.
+    bf = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("bf")).cache()
+    cbf = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("cbf")).cache()
     ctx = cbf.groupBy("w1").agg(F.sum("cbf").alias("ctx"))
     # multiplication association mirrors the oracle exactly:
     # (bf * ln(p)) * 1e6 — left-to-right in both engines, identical bits

@@ -208,9 +208,18 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, n_bands: int = N_BANDS
     vector ~520); they are joined back only for the surviving deduped pairs,
     the same discipline as dedup.minhash_lsh_pairs' verify stage."""
     full = load_vectors(spark, sf_dir)
-    e = full.select(
-        "vec_id", F.explode(lsh_band_signatures("embedding", n_bands)).alias("bs")
-    ).select("vec_id", "bs.band", "bs.sig")
+    e = (
+        full.select(
+            "vec_id", F.explode(lsh_band_signatures("embedding", n_bands)).alias("bs")
+        )
+        .select("vec_id", "bs.band", "bs.sig")
+        # materialize once (round 16): both sides of the band equi-join
+        # scan this subtree, so the signature fold — 16 hyperplane dots
+        # per vector, the corpus-scan hot loop — ran TWICE per query.
+        # The table is (vec_id, band, sig): n_bands rows x 20 bytes per
+        # vector, corpus-linear and payload-free.
+        .localCheckpoint(eager=False)
+    )
     queries = e.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("q_id"), "band", "sig"
     )

@@ -952,6 +952,12 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (distinct, df groupBy, df join) keys on a fixed-width BIGINT
         .select("doc_id", F.xxhash64("sh_raw").alias("sh"))
         .distinct()
+        # materialize once (round 16): the df aggregate AND the df join
+        # both consume this table — unmaterialized, the tokenize + explode
+        # + distinct exchange ran twice per query (the containment_report
+        # `sh` discipline applied here; (doc_id, sh) is corpus-linear and
+        # 16 bytes a row)
+        .localCheckpoint(eager=False)
     )
     df = tri.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     n = F.count(F.lit(1))

@@ -250,48 +250,53 @@ def q_udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def fulfillment(key: tuple, opdf: pd.DataFrame, lpdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        # per-order counts on the orders side of the bucket
-        no = (
-            opdf.groupby("o_orderkey").size()
-            if len(opdf)
-            else pd.Series(dtype="int64")
-        )
-        if len(lpdf):
-            # exact integer cents per row (prices are positive 2-decimal
-            # values, so floor(x*100 + 0.5) == ROUND(x*100) in both
-            # engines), summed as int64 — no float accumulation to diverge
-            # from the SQL twin
-            cents = np.floor(
-                lpdf["l_extendedprice"].to_numpy() * 100 + 0.5
-            ).astype(np.int64)
-            g = pd.DataFrame(
-                {"k": lpdf["l_orderkey"].to_numpy(), "c": cents}
-            ).groupby("k")["c"]
-            ni = g.size()
-            ec = g.sum()
-        else:
-            ni = pd.Series(dtype="int64")
-            ec = pd.Series(dtype="int64")
-        # full-outer alignment on the orderkey index — the cents sums are
-        # far inside 2^53, so the NaN->0 round-trip through float is exact
-        out = pd.DataFrame({"n_orders": no, "n_items": ni, "ext_cents": ec}).fillna(0)
-        return pd.DataFrame(
-            {
-                "o_orderkey": out.index.to_numpy(dtype="int64"),
-                "n_orders": out["n_orders"].to_numpy(dtype="int64"),
-                "n_items": out["n_items"].to_numpy(dtype="int64"),
-                "ext_cents": out["ext_cents"].to_numpy(dtype="int64"),
-            }
-        )
-
     return (
         o.groupBy("bk")
         .cogroup(li.groupBy("bk"))
         .applyInPandas(
-            fulfillment,
+            _cogroup_fulfillment,
             schema="o_orderkey bigint, n_orders bigint, n_items bigint, ext_cents bigint",
         )
+    )
+
+
+def _cogroup_fulfillment(key: tuple, opdf: pd.DataFrame, lpdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket vectorized fulfillment stats for q_udf_cogrouped_map —
+    module-level so the empty-side branches (an orders-only or
+    lineitem-only bucket — shapes the TPC-H fixture never produces) stay
+    unit-tested (tests/test_udf_llm.py)."""
+    import numpy as np
+
+    # per-order counts on the orders side of the bucket
+    no = (
+        opdf.groupby("o_orderkey").size()
+        if len(opdf)
+        else pd.Series(dtype="int64")
+    )
+    if len(lpdf):
+        # exact integer cents per row (prices are positive 2-decimal
+        # values, so floor(x*100 + 0.5) == ROUND(x*100) in both
+        # engines), summed as int64 — no float accumulation to diverge
+        # from the SQL twin
+        cents = np.floor(
+            lpdf["l_extendedprice"].to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"k": lpdf["l_orderkey"].to_numpy(), "c": cents}
+        ).groupby("k")["c"]
+        ni = g.size()
+        ec = g.sum()
+    else:
+        ni = pd.Series(dtype="int64")
+        ec = pd.Series(dtype="int64")
+    # full-outer alignment on the orderkey index — the cents sums are
+    # far inside 2^53, so the NaN->0 round-trip through float is exact
+    out = pd.DataFrame({"n_orders": no, "n_items": ni, "ext_cents": ec}).fillna(0)
+    return pd.DataFrame(
+        {
+            "o_orderkey": out.index.to_numpy(dtype="int64"),
+            "n_orders": out["n_orders"].to_numpy(dtype="int64"),
+            "n_items": out["n_items"].to_numpy(dtype="int64"),
+            "ext_cents": out["ext_cents"].to_numpy(dtype="int64"),
+        }
     )

@@ -407,3 +407,44 @@ def test_purchase_el_memo_removes_second_consumer_scan(spark):
     )
     assert "lineitem" not in plan, "second consumer re-scans lineitem parquet"
     assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan, plan[:400]
+
+
+def test_coorder_edges_row_pair_multiplicity(spark):
+    """Round-16 internals pin: the co-order edge build moved from a
+    lineitem self-join to per-order sorted-array pair generation. The pair
+    MULTIPLICITY semantics must survive: pairs of ROWS (a part appearing
+    twice in one order contributes one pair per row combination), strict
+    a < b, duplicates of the same part never pair with themselves. Checked
+    against the naive self-join definition on crafted baskets including
+    duplicate parts and a single-line order."""
+    from pyspark.sql import functions as F
+
+    from hadoop_web_browsing_logs_spark.operators.graph import (
+        TRI_MIN_W,
+        _coorder_edges_from,
+    )
+
+    rows = [
+        # order 1: part 5 twice + part 7 -> (5,7) twice (meets TRI_MIN_W=2)
+        (1, 5), (1, 5), (1, 7),
+        # order 2: 3 distinct parts -> 3 pairs, each once
+        (2, 5), (2, 7), (2, 9),
+        # order 3: single line -> no pairs
+        (3, 11),
+        # order 4: same pair again -> (5,9) reaches w=2 only with order 2
+        (4, 5), (4, 9),
+    ]
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    got = sorted((r.a, r.b) for r in _coorder_edges_from(li).collect())
+
+    lj = li.toDF("l_orderkey", "pb")
+    naive = (
+        li.join(lj, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("pb"))
+        .groupBy(F.col("l_partkey").alias("a"), F.col("pb").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= TRI_MIN_W)
+        .select("a", "b")
+    )
+    want = sorted((r.a, r.b) for r in naive.collect())
+    assert got == want == [(5, 7), (5, 9)]

@@ -534,3 +534,68 @@ def test_contamination_span_islands_math(spark, tmp_path):
         for r in get_query("q_llm_contamination_span").fn(spark, d).collect()
     }
     assert got == {1: (26, 26, 30), 2: (2, 1, 5)}
+
+
+def test_ngram_run_stats_matches_counter_recount(spark):
+    """Round-16 internals pin: q_llm_repetition_rules' per-doc n-gram
+    statistics moved from an O(distinct x n) array_distinct + filter-scan
+    to ONE run-length fold over the sorted array. The fold's (maxc, dup)
+    must equal a brute-force Counter recount — max multiset count and the
+    sum of counts >= 2 — on adversarial shapes: all-distinct, all-same, a
+    boilerplate-heavy mix, a two-value alternation, and a single element."""
+    from collections import Counter
+
+    from hadoop_web_browsing_logs_spark.operators.llm_pipeline import _ngram_run_stats
+
+    cases = [
+        [f"d{i}" for i in range(20)],                     # all distinct
+        ["same same"] * 17,                               # one hot value
+        ["b"] * 9 + [f"u{i}" for i in range(5)] + ["c"] * 2,
+        ["x", "y"] * 8,                                   # alternation
+        ["only"],                                         # single element
+        ["a", "a", "b", "b", "b", "z"],
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], ["i", "g"])
+    got = {
+        r.i: (r.s.maxc, r.s.dup)
+        for r in df.select("i", _ngram_run_stats("g").alias("s")).collect()
+    }
+    for i, c in enumerate(cases):
+        counts = Counter(c)
+        want = (max(counts.values()), sum(v for v in counts.values() if v >= 2))
+        assert got[i] == want, (i, c, got[i], want)
+
+
+def test_cogroup_fulfillment_empty_side_buckets():
+    """Round-16 internals pin: q_udf_cogrouped_map now cogroups on a hash
+    BUCKET, so the pandas function must handle bucket frames the TPC-H
+    fixture never produces — an orders-only bucket, a lineitem-only bucket,
+    and both-empty — with exact int64 output and full-outer key alignment."""
+    import pandas as pd
+
+    from hadoop_web_browsing_logs_spark.operators.udf_surface import (
+        _cogroup_fulfillment,
+    )
+
+    o = pd.DataFrame({"o_orderkey": [37, 74], "bk": [0, 0]})
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [74, 74, 111],
+            "l_extendedprice": [10.01, 0.02, 99999.99],
+            "bk": [0, 0, 0],
+        }
+    )
+    out = _cogroup_fulfillment((0,), o, li).set_index("o_orderkey")
+    # 37: orders-only; 74: both; 111: lineitem-only
+    assert out.loc[37].tolist() == [1, 0, 0]
+    assert out.loc[74].tolist() == [1, 2, 1003]
+    assert out.loc[111].tolist() == [0, 1, 9999999]
+    assert all(str(dt) == "int64" for dt in out.dtypes)
+
+    empty_o = o.iloc[0:0]
+    empty_li = li.iloc[0:0]
+    assert len(_cogroup_fulfillment((1,), empty_o, empty_li)) == 0
+    only_o = _cogroup_fulfillment((2,), o, empty_li).set_index("o_orderkey")
+    assert only_o.loc[37].tolist() == [1, 0, 0]
+    only_li = _cogroup_fulfillment((3,), empty_o, li).set_index("o_orderkey")
+    assert only_li.loc[111].tolist() == [0, 1, 9999999]
