@@ -29,6 +29,17 @@ MEDIAN_OF = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 #: (SCALE.md): at sf0.1 on this box the effect is inside noise, so the
 #: default stays off; a memory-tight host can flip it on.
 RELEASE_BETWEEN = os.environ.get("SPARK_GRAFT_BENCH_RELEASE", "") == "1"
+#: Default-on (round 17, VERDICT r16 item 8): after each timed query,
+#: drop the QUERY-LOCAL cached tables and localCheckpoint blocks while
+#: keeping the adjudicated session memos (graph edge list / SemDeDup
+#: assignment / Lloyd centers) — ``session.release_query_caches``. The
+#: release runs OUTSIDE the timed span and query-local blocks are
+#: per-call by contract (never reused across calls), so no timed work
+#: changes; it stops the 56-query x 4-pass session from accumulating
+#: dead blocks that inflate LATE queries' in-bench medians 1.3-2x over
+#: their isolated medians (round-16 ledger). Set =0 to reproduce the old
+#: accumulate-everything behavior.
+RELEASE_QUERY_LOCAL = os.environ.get("SPARK_GRAFT_BENCH_RELEASE_QUERY", "1") == "1"
 
 #: Round-1 anchor (BENCH_r01.json's 21-query total): the reference publishes
 #: no numbers, so this is the standing baseline every round is graded
@@ -375,6 +386,11 @@ def main() -> None:
 
             release_caches(spark)  # outside the timed span: lifecycle hygiene,
             # not query cost — blocks are per-call, never reused across calls
+        elif RELEASE_QUERY_LOCAL:
+            from hadoop_web_browsing_logs_spark.session import release_query_caches
+
+            release_query_caches(spark)  # outside the timed span: drops the
+            # query-local blocks just abandoned, keeps the session memos
         return dt
 
     # Warm-up pass: full execution (JVM JIT, parquet footers, Python workers,

@@ -1346,14 +1346,19 @@ def connected_components(
     multi-iteration join tree over unmaterialized cached subplans (AQE
     re-optimizing every one). Measured at sf0.1 (488 nodes, 43k pairs —
     trivial data): 87 s, with single iterations costing 17-64 s of pure
-    driver-side planning. The pagerank discipline fixes it: EAGER
+    driver-side planning. The pagerank discipline fixes it: a
     ``localCheckpoint`` every iteration truncates lineage AND AQE state to
-    a materialized leaf, making the per-iteration convergence count a
-    one-stage join on two in-memory tables — same four iterations, 3.4 s
-    total (25x). At scale the per-iteration materialization is one
-    node-count-sized table write (the iterative-algorithm standard), and
-    checking every iteration is now cheaper than skipping: the count rides
-    on already-materialized leaves and buys the earliest possible exit.
+    a materialized leaf — same four iterations, 3.4 s total (25x). Round
+    17 tightened the iteration to one job: the checkpoint is LAZY and the
+    convergence count is the action that materializes it (the round-16
+    loop paid an eager-checkpoint job AND a count job), and the pointer
+    jump runs FIRST, against the materialized previous labels, so its
+    self-join scans checkpoint blocks instead of duplicating the
+    neighbor-min aggregation under both join branches. At scale the
+    per-iteration materialization is one node-count-sized table write
+    (the iterative-algorithm standard), and checking every iteration is
+    cheaper than skipping: the count rides the materialization and buys
+    the earliest possible exit.
     Returns ``(node, component)``."""
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -1368,9 +1373,9 @@ def connected_components(
     # folds the node's OWN previous label into the neighbor-min aggregation,
     # so the per-iteration shape is ONE join + one groupBy instead of
     # join + groupBy + a second labels left-join. The self rows are flagged
-    # so the same aggregation also emits the previous label (`old`) for the
-    # fused convergence probe — max(when(is_self, component)) is exactly the
-    # node's own label, since every node has exactly one self row.
+    # so the same aggregation also emits the pre-iteration label (`old`)
+    # for the fused convergence probe — max(when(is_self, old)) is exactly
+    # the node's own label, since every node has exactly one self row.
     edges_self = (
         edges.select("src", "dst", F.lit(False).alias("is_self"))
         .union(
@@ -1383,34 +1388,46 @@ def connected_components(
         .localCheckpoint()
     )
     for _it in range(max_iter):
+        # JUMP-FIRST iteration order (round 17, guide §7.2/§2): the round-16
+        # loop ran neighbor-min first and pointer-jumped on its OWN output —
+        # a self-join on an unmaterialized aggregate, so the join+groupBy
+        # subtree sat under both join branches, and the eager checkpoint +
+        # a separate convergence count made ~2 full jobs per iteration on
+        # top of it. Jumping FIRST runs the label := min(label,
+        # label-of-label) self-join against the MATERIALIZED labels table
+        # (a checkpointed LogicalRDD — both branches scan blocks, nothing
+        # recomputes), and the neighbor-min step then consumes the jumped
+        # table once. Fixpoint and exit are unchanged: both operators only
+        # ever lower labels, and exiting on new == old forces (squeeze:
+        # new <= jumped <= old = new) jump AND step to be identities, i.e.
+        # the same fixpoint the step-first loop returns — every node keeps
+        # the min id reachable from it. The 61-node-chain and randomized
+        # union-find differentials cover the reordering.
+        par = labels.select(
+            F.col("node").alias("_pnode"), F.col("component").alias("_pcomp")
+        )
+        jumped = labels.join(par, labels.component == par._pnode, "left").select(
+            "node",
+            F.col("component").alias("old"),
+            F.least(
+                F.col("component"), F.coalesce("_pcomp", F.col("component"))
+            ).alias("component"),
+        )
         # neighbor-min INCLUDING self (the least(own, nbr_min) fold) + the
-        # previous label, in one aggregation; self-loops guarantee every
-        # node keeps a row even with no in-edges
-        stepped = (
-            edges_self.join(labels, edges_self.src == labels.node)
+        # pre-iteration label for the convergence probe, in one aggregation;
+        # self-loops guarantee every node keeps a row even with no in-edges
+        new_labels = (
+            edges_self.join(jumped, edges_self.src == jumped.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.min("component").alias("component"),
-                F.max(F.when(F.col("is_self"), F.col("component"))).alias("old"),
+                F.max(F.when(F.col("is_self"), F.col("old"))).alias("old"),
             )
-        )
-        # pointer jump: label := min(label, label-of-label). Components are
-        # node ids, so the parent lookup is a node-keyed self-join on the
-        # same labels table — this is what makes convergence logarithmic in
-        # the diameter instead of linear (the 61-node-chain regression).
-        par = stepped.select(
-            F.col("node").alias("_pnode"), F.col("component").alias("_pcomp")
-        )
-        new_labels = (
-            stepped.join(par, stepped.component == par._pnode, "left")
-            .select(
-                "node",
-                "old",
-                F.least(
-                    F.col("component"), F.coalesce("_pcomp", F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint()  # eager: materialize + cut lineage/AQE state
+            # LAZY checkpoint: the convergence count below is the action
+            # that materializes it, so lineage/AQE truncation rides the
+            # count — ONE job per iteration where the round-16 loop paid
+            # an eager-checkpoint job AND a count job.
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("component") != F.col("old")).count()
         labels = new_labels.select("node", "component")
@@ -1996,9 +2013,11 @@ _SEMDEDUP_ASSIGN_MEMO: dict[tuple[str, str], DataFrame] = {}
 _SEMDEDUP_ASSIGN_MEMO_MAX = 4
 
 from ..session import register_memo_invalidator as _reg_inv  # noqa: E402
+from ..session import register_memo_source as _reg_src  # noqa: E402
 from ..session import unpersist_checkpoint as _unpersist  # noqa: E402
 
 _reg_inv(_SEMDEDUP_ASSIGN_MEMO.clear)
+_reg_src(lambda: list(_SEMDEDUP_ASSIGN_MEMO.values()))
 
 
 def fixture_semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

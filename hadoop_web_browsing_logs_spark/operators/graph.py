@@ -242,9 +242,11 @@ _EL_MEMO_MAX = 4
 # dead blocks would crash its next consumer, so the memo clears with them
 # (round 11 — the full-suite lint caught exactly this interaction)
 from ..session import register_memo_invalidator as _reg_inv  # noqa: E402
+from ..session import register_memo_source as _reg_src  # noqa: E402
 from ..session import unpersist_checkpoint as _unpersist  # noqa: E402
 
 _reg_inv(_EL_MEMO.clear)
+_reg_src(lambda: list(_EL_MEMO.values()))
 
 
 def _purchase_el(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -952,10 +952,10 @@ def q_llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "positional lambda — no shuffle, no Python); per-bigram "
         "contributions accumulate as rounded micro-nat BIGINTs (the dsum "
         "discipline) so the sum is order-independent across partitionings "
-        "and engines. Scale shape: the (doc,bigram)-level join keys on "
-        "(w1, w2) — a co-partitioned hash join whose build side is the "
-        "distinct-bigram table, never the corpus; docs with < 2 tokens "
-        "keep a row with n_bigrams=0 and NULL score."
+        "and engines. Scale shape (round 17): bigram and context counts "
+        "ride ONE w1-keyed exchange as window sums over the per-doc "
+        "counts — no bigram-table join, no cached intermediates; docs "
+        "with < 2 tokens keep a row with n_bigrams=0 and NULL score."
     ),
 )
 def q_llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -976,29 +976,43 @@ def q_llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "bg.w1", "bg.w2")
     )
-    # Catalyst does not CSE the shared explode subtree across join inputs,
-    # so an uncached plan re-tokenizes the corpus once per consumer. Round
-    # 16: pin the per-doc bigram count table bf — the ONE table every
-    # downstream level is an integer rollup of — and derive cbf as
-    # SUM(bf) GROUP BY (w1, w2) and ctx as SUM(cbf) GROUP BY w1. Counting
-    # grouped counts is bit-identical to counting the raw stream, so the
-    # corpus is now tokenized + exploded ONCE per query (previously twice:
-    # bf and cbf each re-ran the explode; before round 12, three times).
-    # cbf stays pinned too — it feeds the probability join AND the context
-    # rollup.
-    bf = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("bf")).cache()
-    cbf = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("cbf")).cache()
-    ctx = cbf.groupBy("w1").agg(F.sum("cbf").alias("ctx"))
+    # WINDOW-SUM form (round 17, guide §2.4 "remove shuffles outright").
+    # The round-16 shape pinned bf and cbf with .cache() and joined three
+    # count levels back together — and CacheManager's plan-matching made
+    # those caches hit ACROSS bench passes (the "Asked to cache already
+    # cached data" warnings), so the committed 0.78 s bench median was
+    # measuring warm cache reads, not the query (honest per-call cost:
+    # ~2.1 s). Here the two count rollups ride ONE w1-keyed repartition as
+    # window sums over bf — cbf = SUM(bf) OVER (PARTITION BY w1, w2) and
+    # ctx = SUM(bf) OVER (PARTITION BY w1), both integer sums of the same
+    # grouped counts, so every scored value is bit-identical to the
+    # join form (oracle green at sf0.001/sf0.01). hash(w1) satisfies the
+    # (doc_id, w1, w2) grouping AND both window clusterings, so the plan is
+    # one exchange + one sort(w1, w2) + two WindowExecs + the doc rollup:
+    # no caches (nothing outlives the call), no joins, corpus exploded
+    # once. Honest-release interleaved A/B at sf0.1: 2.15 -> 1.49 s.
+    # Scale note: hash(w1) concentrates stopword-fronted bigrams; the hot
+    # partition is bounded by the hottest first-word's corpus share — the
+    # same colocation any (w1, w2)-keyed SMJ of the join form would force
+    # once cbf outgrows broadcast.
+    bf = (
+        big.repartition("w1")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bf"))
+    )
+    scored = bf.select(
+        "doc_id",
+        "bf",
+        F.sum("bf").over(W.partitionBy("w1", "w2")).alias("cbf"),
+        F.sum("bf").over(W.partitionBy("w1")).alias("ctx"),
+    )
     # multiplication association mirrors the oracle exactly:
     # (bf * ln(p)) * 1e6 — left-to-right in both engines, identical bits
     micro_term = F.round(
         F.col("bf") * F.log(F.col("cbf").cast("double") / F.col("ctx")) * 1000000
     ).cast("bigint")
-    per = (
-        bf.join(cbf, ["w1", "w2"])
-        .join(ctx, "w1")
-        .groupBy("doc_id")
-        .agg(F.sum("bf").alias("n_bigrams"), F.sum(micro_term).alias("micro"))
+    per = scored.groupBy("doc_id").agg(
+        F.sum("bf").alias("n_bigrams"), F.sum(micro_term).alias("micro")
     )
     return docs.select("doc_id").join(per, "doc_id", "left").select(
         "doc_id",

@@ -270,24 +270,33 @@ def lsh_ann_recall(
         e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")),
     ).select(F.col("q_id").alias("exact_q_id"), F.col("c_id").alias("exact_c_id"))
 
-    hits = lsh_topk.join(
-        exact,
-        (F.col("q_id") == F.col("exact_q_id")) & (F.col("c_id") == F.col("exact_c_id")),
-        "left_semi",
-    )
+    # ONE consumer for the exact baseline (round 17, guide §7.2 "duplicated
+    # subtrees"): the old shape read `exact` twice — a semi-join for the
+    # hits AND a groupBy for the per-query k — and Catalyst does not CSE
+    # across join inputs, so the brute-force crossJoin + window (the
+    # query's heaviest leg, ~1.3 s at sf0.1) EXECUTED TWICE per call.
+    # Counting from the exact side instead (left join against the LSH
+    # top-k with a hit flag) computes k and found in one aggregation over
+    # one brute-force evaluation; both sides are row_number-deduped (q, c)
+    # sets, so the flag-sum equals the old semi-join count exactly, and a
+    # query with no LSH hits sums to found = 0 like the old coalesce.
     out = (
-        exact.groupBy("exact_q_id")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .join(
-            hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("found")),
-            F.col("exact_q_id") == F.col("q_id"),
+        exact.join(
+            lsh_topk.select("q_id", "c_id", F.lit(1).alias("hit")),
+            (F.col("q_id") == F.col("exact_q_id"))
+            & (F.col("c_id") == F.col("exact_c_id")),
             "left",
+        )
+        .groupBy("exact_q_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("found"),
         )
         .select(
             F.col("exact_q_id").alias("q_id"),
             "k",
-            F.coalesce("found", F.lit(0)).alias("found"),
-            (F.coalesce("found", F.lit(0)) / F.col("k")).alias("recall"),
+            "found",
+            (F.col("found") / F.col("k")).alias("recall"),
         )
     )
     if include_candidate_counts:

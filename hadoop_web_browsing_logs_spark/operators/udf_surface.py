@@ -289,14 +289,17 @@ def _cogroup_fulfillment(key: tuple, opdf: pd.DataFrame, lpdf: pd.DataFrame) -> 
     else:
         ni = pd.Series(dtype="int64")
         ec = pd.Series(dtype="int64")
-    # full-outer alignment on the orderkey index — the cents sums are
-    # far inside 2^53, so the NaN->0 round-trip through float is exact
-    out = pd.DataFrame({"n_orders": no, "n_items": ni, "ext_cents": ec}).fillna(0)
+    # full-outer alignment on the orderkey index, INTEGER end-to-end
+    # (ADVICE r16): reindex each int64 series to the union index with
+    # fill_value=0 instead of the old DataFrame+fillna, whose missing-slot
+    # NaNs silently widened the column to float64 — exact below 2^53 but a
+    # latent precision hazard for bigger cents sums or reuse elsewhere
+    idx = no.index.union(ni.index)
     return pd.DataFrame(
         {
-            "o_orderkey": out.index.to_numpy(dtype="int64"),
-            "n_orders": out["n_orders"].to_numpy(dtype="int64"),
-            "n_items": out["n_items"].to_numpy(dtype="int64"),
-            "ext_cents": out["ext_cents"].to_numpy(dtype="int64"),
+            "o_orderkey": idx.to_numpy(dtype="int64"),
+            "n_orders": no.reindex(idx, fill_value=0).to_numpy(dtype="int64"),
+            "n_items": ni.reindex(idx, fill_value=0).to_numpy(dtype="int64"),
+            "ext_cents": ec.reindex(idx, fill_value=0).to_numpy(dtype="int64"),
         }
     )

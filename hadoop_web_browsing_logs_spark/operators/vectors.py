@@ -820,9 +820,11 @@ _LLOYD_MEMO: dict[tuple[str, str], DataFrame] = {}
 _LLOYD_MEMO_MAX = 4
 
 from ..session import register_memo_invalidator as _reg_inv  # noqa: E402
+from ..session import register_memo_source as _reg_src  # noqa: E402
 from ..session import unpersist_checkpoint as _unpersist_ckpt  # noqa: E402
 
 _reg_inv(_LLOYD_MEMO.clear)
+_reg_src(lambda: list(_LLOYD_MEMO.values()))
 
 
 def _lloyd_publish(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -109,6 +109,52 @@ def register_memo_invalidator(fn) -> None:
     _MEMO_INVALIDATORS.append(fn)
 
 
+#: Zero-arg callables returning the LIVE memoized DataFrames (each one a
+#: direct ``localCheckpoint(eager=False)`` result — the memo-store
+#: contract). :func:`release_query_caches` keeps their blocks while
+#: dropping everything else a query pinned.
+_MEMO_SOURCES: list = []
+
+
+def register_memo_source(fn) -> None:
+    """Register a zero-arg callable yielding a module memo's live
+    DataFrames, so :func:`release_query_caches` can protect their
+    checkpoint blocks."""
+    _MEMO_SOURCES.append(fn)
+
+
+def release_query_caches(spark: SparkSession) -> int:
+    """Per-query storage hygiene (VERDICT r16 item 8): drop the cached
+    DataFrames and localCheckpoint blocks the LAST query pinned, while
+    KEEPING the adjudicated session memos (graph edge list, SemDeDup
+    assignment, Lloyd centers) alive — unlike :func:`release_caches`,
+    which clears the memos too. Query-local blocks are rebuilt from
+    parquet on every call by contract, so dropping them between queries
+    changes no result and no timed work; it only stops a 56-query session
+    from accumulating dead blocks that later queries pay for in GC and
+    storage pressure.
+
+    Safety: a memoized plan over dropped blocks crashes its next consumer
+    (the round-11 lesson), so if ANY memo entry's backing RDD cannot be
+    identified the release is skipped outright (returns -1) rather than
+    guessed at. Returns the number of RDDs released otherwise."""
+    protected: set[int] = set()
+    for source in _MEMO_SOURCES:
+        for df in source():
+            try:
+                protected.add(df._jdf.queryExecution().analyzed().rdd().id())
+            except Exception:
+                return -1  # cannot prove the memo safe — keep everything
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    released = 0
+    for jrdd in list(jmap.values()):
+        if jrdd.id() not in protected:
+            jrdd.unpersist(False)
+            released += 1
+    return released
+
+
 def unpersist_checkpoint(df: "DataFrame") -> None:
     """Best-effort: free the storage blocks behind a ``localCheckpoint``'d
     DataFrame that is being EVICTED from a memo (ADVICE r11: dropping the

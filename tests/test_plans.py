@@ -537,6 +537,41 @@ def test_release_caches_drops_checkpoint_blocks(spark):
     assert jsc.getPersistentRDDs().size() == 0
 
 
+def test_release_query_caches_keeps_memos_drops_query_blocks(spark):
+    """Round 17 (VERDICT r16 item 8): the bench's between-query hygiene
+    release must drop QUERY-LOCAL checkpoint blocks and cached tables while
+    keeping the session memos alive — a memoized plan over dropped blocks
+    crashes its next consumer (the round-11 lesson), so pin both sides:
+    the memo DataFrame stays collectable after the release, and the
+    query-local pin is gone."""
+    from pyspark.sql import functions as F
+
+    from hadoop_web_browsing_logs_spark.operators.graph import _purchase_el
+    from hadoop_web_browsing_logs_spark.session import (
+        release_caches,
+        release_query_caches,
+    )
+
+    release_caches(spark)  # clean slate: no memos, no blocks
+    jsc = spark.sparkContext._jsc
+    el = _purchase_el(spark, SF_DIR)  # publishes the memo entry
+    memo_rows = el.count()  # materialize the memo's checkpoint blocks
+    local = spark.range(200).select((F.col("id") * 3).alias("x")).localCheckpoint(
+        eager=False
+    )
+    local.count()  # materialize the query-local pin
+    before = jsc.getPersistentRDDs().size()
+    assert before >= 2, "expected memo + query-local blocks pinned"
+    released = release_query_caches(spark)
+    assert released >= 1, f"expected the query-local block released, got {released}"
+    assert jsc.getPersistentRDDs().size() == before - released
+    # the memo must still be LIVE: same object returned, still collectable
+    el2 = _purchase_el(spark, SF_DIR)
+    assert el2 is el, "memo entry must survive the query-local release"
+    assert el2.count() == memo_rows  # blocks intact — no CHECKPOINT_RDD error
+    release_caches(spark)  # leave the session clean for later tests
+
+
 def test_unpersist_checkpoint_frees_evicted_memo_blocks(spark):
     """Round 12 (ADVICE r11): memo eviction/displacement must free the old
     entry's localCheckpoint storage instead of leaking it until

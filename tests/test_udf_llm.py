@@ -599,3 +599,36 @@ def test_cogroup_fulfillment_empty_side_buckets():
     assert only_o.loc[37].tolist() == [1, 0, 0]
     only_li = _cogroup_fulfillment((3,), empty_o, li).set_index("o_orderkey")
     assert only_li.loc[111].tolist() == [0, 1, 9999999]
+
+
+def test_cogroup_fulfillment_integer_exact_past_2_53():
+    """Round-17 internals pin (ADVICE r16): the full-outer alignment must
+    stay in integer dtype end-to-end. The old fillna(0) path widened the
+    aligned columns to float64, which silently rounds any cents sum past
+    2^53 — feed per-row-exact cents whose SUM exceeds 2^53 and assert the
+    output equals the exact Python-int sum of the same per-row floors."""
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_web_browsing_logs_spark.operators.udf_surface import (
+        _cogroup_fulfillment,
+    )
+
+    # ~450 rows of ~2e13-cent prices: each row's floor(p*100+0.5) is exact
+    # in float64 (< 2^53); the int64 SUM (~9.01e15) is past 2^53, where a
+    # float64 round-trip loses low bits
+    prices = [2.0e13 + i * 7 + 0.25 for i in range(450)]
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [37] * len(prices),
+            "l_extendedprice": prices,
+            "bk": [0] * len(prices),
+        }
+    )
+    o = pd.DataFrame({"o_orderkey": [74], "bk": [0]})  # force alignment fill
+    want = sum(int(np.floor(p * 100 + 0.5)) for p in prices)
+    assert want > 2**53 and float(want) != want, "test must cross 2^53 oddly"
+    out = _cogroup_fulfillment((0,), o, li).set_index("o_orderkey")
+    assert int(out.loc[37, "ext_cents"]) == want
+    assert out.loc[74].tolist() == [1, 0, 0]
+    assert all(str(dt) == "int64" for dt in out.dtypes)
