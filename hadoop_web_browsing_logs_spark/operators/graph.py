@@ -441,6 +441,19 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     pivot/endpoint keys; the degree table is node-sized (AQE broadcasts it
     while it fits).
     """
+    # Pin the two multiply-consumed edge tables (round 17, guide §7.2
+    # "duplicated subtrees"): `edges` feeds the degree union (twice) AND
+    # the orientation join, `oriented` feeds both wedge legs AND the
+    # closing semi-join — Catalyst does not CSE across join/union inputs,
+    # so the unpinned plan re-ran the upstream edge build and the
+    # 3-table orientation join per consumer (AQE's exchange reuse only
+    # dedups the shuffles, not the operator work above them). Both
+    # materializations are EDGE-sized — the standard persisted
+    # intermediates of any multi-pass triangle algorithm at scale.
+    # Adjudicated warm AND cold (the novelty lesson): interleaved A/B
+    # 2.97 -> 2.11 s, cold fresh-process A/B 3.19/4.28 -> 2.66/3.45 s at
+    # sf0.1, rows identical.
+    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b").alias("node")))
@@ -461,6 +474,7 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
             F.when(lt, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
             F.when(lt, F.col("b")).otherwise(F.col("a")).alias("key_dst"),
         )
+        .localCheckpoint(eager=False)
     )
     # wedge (u→v, u→w) deduped by the same (deg, id) order on v, w; the
     # closing edge, if present, is oriented v→w by transitivity

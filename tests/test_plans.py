@@ -4,6 +4,8 @@ stopword anti-join broadcasts, partial aggregation exists for collect_set."""
 
 from __future__ import annotations
 
+import pytest
+
 from hadoop_web_browsing_logs_spark.plans.registry import get_query
 
 from .conftest import SF_DIR
@@ -275,23 +277,43 @@ def test_substring_dedup_shuffles_hashes_only(spark):
     assert "Exchange hashpartitioning(win_hash" in plan, plan[:800]
 
 
-def test_no_cartesian_product_anywhere(spark):
+@pytest.fixture(scope="module")
+def registry_plans(spark):
+    """ONE pass over the whole registry for the four registry-wide plan
+    lints (round 17, VERDICT r16 item 3): each lint previously rebuilt all
+    ~193 query DataFrames itself — four full Catalyst passes (and four runs
+    of the iterative queries' driver-side fixpoints) for one sweep's worth
+    of information, 267 s of the suite's 28 min. Build every query once and
+    capture the three renderings the lints consume. The temp-view leak
+    check rides the construction pass (it is about what PLAN CONSTRUCTION
+    leaks, so it must be snapshotted around exactly this loop)."""
+    from hadoop_web_browsing_logs_spark.plans.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    pre_views = {v.name for v in spark.catalog.listTables()}
+    plans = {}
+    for name, q in all_queries().items():
+        df = q.fn(spark, SF_DIR)
+        qe = df._jdf.queryExecution()
+        plans[name] = {
+            "simple": df._sc._jvm.PythonSQLUtils.explainString(qe, "simple"),
+            "analyzed": qe.analyzed().toString(),
+            "executed": qe.executedPlan().toString(),
+        }
+    leaked = [v.name for v in spark.catalog.listTables() if v.name not in pre_views]
+    return {"plans": plans, "leaked": leaked}
+
+
+def test_no_cartesian_product_anywhere(registry_plans):
     """Registry-wide plan lint: NO query may compile to a CartesianProduct.
     Pair-generation queries must stay broadcast-nested-loop (small side
     broadcast, documented sampled baselines) or bucketed equi-joins — an
     unbroadcastable cartesian is the canonical 100 TB scale-killer, and this
     pins every current and future registry entry against it."""
-    from hadoop_web_browsing_logs_spark.plans.registry import all_queries
-
-    from .conftest import SF_DIR
-
     offenders = []
-    for name, q in all_queries().items():
-        df = q.fn(spark, SF_DIR)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "simple"
-        )
-        if "CartesianProduct" in plan:
+    for name, rendered in registry_plans["plans"].items():
+        if "CartesianProduct" in rendered["simple"]:
             offenders.append(name)
     assert not offenders, f"cartesian plans: {offenders}"
 
@@ -338,7 +360,7 @@ def test_tfidf_collocations_vocab_joins_unhinted(spark):
         assert analyzed.count("ResolvedHint") <= 1, (name, analyzed[:800])
 
 
-def test_no_forced_broadcast_of_sf_scaled_tables(spark):
+def test_no_forced_broadcast_of_sf_scaled_tables(registry_plans):
     """Registry-wide plan lint (round 4): a FORCED broadcast hint whose
     subtree scans an SF-scaled table unreduced is the 100 TB OOM pattern the
     round-3 verdict flagged on tfidf/collocations — this pins every current
@@ -349,10 +371,6 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark):
     for the one grouped case (the bloom words table, hard 2^27-bit cap), and
     the similarity family, whose broadcast sides are caller-bounded query
     batches or literal-bounded center sets (documented baselines / probes)."""
-    from hadoop_web_browsing_logs_spark.plans.registry import all_queries
-
-    from .conftest import SF_DIR
-
     # analyzed-plan leaves print columns, not paths — identify SF-scaled
     # scans by their key column signature
     sf_scaled_sigs = {
@@ -402,13 +420,11 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark):
                 return j // 3 + 1
         return 0
 
-    _pre_views = {v.name for v in spark.catalog.listTables()}
     offenders = {}
-    for name, q in all_queries().items():
+    for name, rendered in registry_plans["plans"].items():
         if name in allowed:
             continue
-        df = q.fn(spark, SF_DIR)
-        lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+        lines = rendered["analyzed"].splitlines()
         for k, line in enumerate(lines):
             if "ResolvedHint" not in line or "broadcast" not in line:
                 continue
@@ -470,15 +486,17 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark):
             if scanned:
                 offenders.setdefault(name, []).append(scanned)
     assert not offenders, f"forced broadcast of SF-scaled scans: {offenders}"
-    # piggybacked registry-wide lint (round 5): building every plan above
-    # must leave NO temp view behind — SQL-text queries bind tables via
+    # piggybacked registry-wide lint (round 5): building every plan must
+    # leave NO temp view behind — SQL-text queries bind tables via
     # spark.sql {df} templating, not createOrReplaceTempView, so concurrent
     # queries on a shared session can't collide on a session-global name.
-    # Diffed against the pre-test snapshot (round 6): earlier tests in the
-    # shared session legitimately register memory-sink views (streaming
-    # replays), and this lint is about what PLAN CONSTRUCTION leaks.
-    leaked = [v.name for v in spark.catalog.listTables() if v.name not in _pre_views]
-    assert not leaked, f"temp views leaked by plan construction: {leaked}"
+    # The snapshot diff rides the registry_plans construction pass (round
+    # 17): earlier tests in the shared session legitimately register
+    # memory-sink views (streaming replays), and this lint is about what
+    # PLAN CONSTRUCTION leaks.
+    assert not registry_plans["leaked"], (
+        f"temp views leaked by plan construction: {registry_plans['leaked']}"
+    )
 
 
 def test_oracle_output_types_never_widen(duck):
@@ -596,7 +614,7 @@ def test_unpersist_checkpoint_frees_evicted_memo_blocks(spark):
     assert jsc.getPersistentRDDs().size() == base
 
 
-def test_no_fat_payload_exchanges(spark):
+def test_no_fat_payload_exchanges(registry_plans):
     """Registry-wide plan lint (round 6): no Exchange may carry a wide
     payload column — document text, embeddings, token-hash arrays, raw JSON
     props — as part of its partitioning/output. Shuffling payloads instead
@@ -609,14 +627,11 @@ def test_no_fat_payload_exchanges(spark):
     Scope: hash/range-partitioned exchanges. BroadcastExchange of a
     bounded side (query batches, centers, stopwords) is a different, pinned
     pattern (test_no_forced_broadcast_of_sf_scaled_tables)."""
-    from hadoop_web_browsing_logs_spark.plans.registry import all_queries
-
     fat = ("text#", "embedding#", "toks#", "toks_a#", "toks_b#",
            "q_vec#", "c_vec#", "props#", "hashes#")
     offenders = {}
-    for name, q in all_queries().items():
-        plan = q.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-        for line in plan.splitlines():
+    for name, rendered in registry_plans["plans"].items():
+        for line in rendered["executed"].splitlines():
             body = line.lstrip(" :+-*")
             if body.startswith("Exchange ") and "Broadcast" not in body:
                 hits = sorted({f for f in fat if f in line})
@@ -625,15 +640,13 @@ def test_no_fat_payload_exchanges(spark):
     assert not offenders, f"payload columns riding a shuffle: {offenders}"
 
 
-def test_python_stage_allowlist(spark):
+def test_python_stage_allowlist(registry_plans):
     """Registry-wide plan lint (round 6): Python evaluation nodes may appear
     ONLY in the queries that declare a Python kernel — the Porter stemmer
     (Arrow pandas_udf), the multimodal mapInPandas featurizer, and the B14
     UDF-surface demos. Python in any other path is the row-at-a-time slow
     path this engine's boundary policy (SCALE.md 'Python boundary policy')
     forbids."""
-    from hadoop_web_browsing_logs_spark.plans.registry import all_queries
-
     markers = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "FlatMapGroupsInPandasWithState", "AggregateInPandas")
     allowed = {
@@ -648,9 +661,8 @@ def test_python_stage_allowlist(spark):
         "q_vec_covariance_fast", "q_vec_covariance_fast_gate",
     }
     offenders = {}
-    for name, q in all_queries().items():
-        plan = q.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-        hits = sorted({m for m in markers if m in plan})
+    for name, rendered in registry_plans["plans"].items():
+        hits = sorted({m for m in markers if m in rendered["executed"]})
         if hits and name not in allowed:
             offenders[name] = hits
     assert not offenders, f"undeclared Python stages: {offenders}"
