@@ -29,7 +29,7 @@ from ..functions.text_stats import fingerprint_md5
 from ..functions.vector import duck_cosine_similarity
 from ..plans.registry import query
 from .vectors import DUCK_VECTORS, load_vectors
-from ._util import t
+from ._util import fan_out, t
 
 PAIR_STRIDE = 5  # doc_id % stride == 0 → sampled pair universe
 JACCARD_THRESHOLD = 0.9
@@ -219,6 +219,12 @@ def _jaccard_prefix_candidates(docs: DataFrame, tau: float):
     # integer arithmetic stays exact.
     num_l = F.lit(num).cast("long")
     den_l = F.lit(den).cast("long")
+    # fan_out measured and REJECTED here (round 17): spreading the strided
+    # 1/4-corpus scan parallelizes only a light tokenize, while the kernel
+    # has the round's deepest stage chain (df groupBy, per-doc ordering,
+    # prefix self-join, verify, barrier) — the extra 32-way task launches
+    # across every stage cost more than the map win (bench: t8 2.29 ->
+    # 2.50 s AGAINST a 1.23x ambient tailwind; plain/t7 flat-to-worse).
     d = (
         docs.select("doc_id", distinct_tokens().alias("toks"))
         # empty-token docs: same 0/0 exclusion as the quadratic baseline
@@ -623,8 +629,11 @@ def containment_report(
     exact baseline posture — never at corpus scale)."""
     from .llm_pipeline import shingles_5gram  # runtime import: llm_pipeline imports dedup constants
 
+    # fan_out (round 17): the 5-gram shingle build runs in the corpus scan
+    # stage — one task on the single-row-group fixture scan. Per-row
+    # expression; the distinct/df/pair stages are all post-exchange.
     sh = (
-        shingles_5gram(docs)
+        shingles_5gram(fan_out(docs))
         .select("doc_id", F.xxhash64("sh").alias("shh"))
         .distinct()
     )
@@ -804,6 +813,10 @@ def minhash_lsh_pairs(docs: DataFrame, portable: bool = False) -> DataFrame:
     portable). xxhash64 (JVM-native, whole-word) stays the default scale
     path; the polynomial hash is a per-character aggregate."""
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    # fan_out (round 17): the 64-permutation signature fold + tokenize run
+    # in the corpus scan stage — one task on the single-row-group fixture
+    # scan. Per-row folds, integer downstream: partition-independent.
+    docs = fan_out(docs)
     # token arrays hashed to int64 once per doc: the exact-Jaccard verify
     # then intersects INT arrays (cheap equality) instead of strings; a
     # cross-token hash collision (~n²/2^64) is the only way results could

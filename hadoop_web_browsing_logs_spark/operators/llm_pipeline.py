@@ -16,7 +16,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
-from ._util import t
+from ._util import fan_out, t
 from .dedup import JACCARD_THRESHOLD, PAIR_STRIDE
 
 CHUNK_TOKENS = 20
@@ -472,7 +472,10 @@ def contamination_spans(
     tags=("llm", "decontamination"),
 )
 def q_llm_contamination_span(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    # fan_out (round 17): the shingle fingerprint build on both split legs
+    # runs pre-exchange — one task on the single-row-group fixture scan
+    # (the two legs share the spread scan; AQE reuses the exchange).
+    docs = fan_out(t(spark, sf_dir, "documents"))
     # fixture benchmark = the corpus-derived ~1% subset (the decontaminate
     # split), so it is corpus-sized: no broadcast hint
     return contamination_spans(
@@ -523,6 +526,9 @@ def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import with_global_cumsum
 
     toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
+    # fan_out measured and REJECTED here (round 17): size(tokens) is too
+    # light a map stage to pay an extra exchange ahead of the cumsum's own
+    # range repartition (bench 0.54 -> 0.64 s against the ambient tailwind).
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.size(toks).cast("bigint").alias("n_tokens")
     )
@@ -672,8 +678,12 @@ def _ngram_run_stats(col: str | F.Column) -> F.Column:
 )
 def q_llm_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
+    # fan_out (round 17): the tokenize + n-gram builds + the O(n log n)
+    # run-length fold all run BEFORE the lang groupBy's exchange — i.e.
+    # inside the single-row-group fixture scan's one task. Per-row work;
+    # the lang rollup is integer sums: partition-independent.
     d = (
-        t(spark, sf_dir, "documents")
+        fan_out(t(spark, sf_dir, "documents"))
         .select("lang", toks.alias("toks"))
         .filter(F.size("toks") >= 3)
     )
@@ -959,7 +969,10 @@ def q_llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    # fan_out (round 17): the tokenize + bigram-struct explode run before
+    # the w1 repartition — inside the single-row-group fixture scan's one
+    # task. Per-row expansion; all counts are integers downstream.
+    docs = fan_out(t(spark, sf_dir, "documents"))
     toks = F.filter(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
     )

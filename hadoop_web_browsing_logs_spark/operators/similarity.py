@@ -35,7 +35,7 @@ from ..functions.vector import (
     duck_cosine_similarity,
 )
 from ..plans.registry import query
-from ._util import t
+from ._util import fan_out, t
 from .vectors import DUCK_VECTORS, N_CENTERS, load_vectors
 
 TOP_K = 5
@@ -121,7 +121,12 @@ def brute_force_topk(
     from ..functions.vector import norm
 
     q = queries.withColumn("q_norm", norm("q_vec"))
-    c = candidates.withColumn("c_norm", norm("c_vec"))
+    # fan_out (round 17): the corpus side STREAMS through the nested-loop
+    # broadcast join, so all |Q|x|C| dot folds run inside the candidate
+    # scan stage — one task on the single-row-group fixture scan. The sim
+    # value is a per-pair expression (no cross-row float accumulation),
+    # so partitioning cannot change any bit; no-op at real scale.
+    c = fan_out(candidates).withColumn("c_norm", norm("c_vec"))
     sim = F.try_divide(dot("q_vec", "c_vec"), F.col("q_norm") * F.col("c_norm"))
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (
@@ -207,7 +212,11 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str, n_bands: int = N_BANDS
     vectors do not ride the candidate shuffle (a pair row is 16 bytes, a
     vector ~520); they are joined back only for the surviving deduped pairs,
     the same discipline as dedup.minhash_lsh_pairs' verify stage."""
-    full = load_vectors(spark, sf_dir)
+    # fan_out (round 17): the 16-hyperplane-dot signature fold below runs in
+    # the corpus scan stage — one task on the single-row-group fixture scan
+    # (and the checkpointed signature table inherited that 1 partition).
+    # Per-row fold, no cross-row accumulation: partition-independent.
+    full = fan_out(load_vectors(spark, sf_dir))
     e = (
         full.select(
             "vec_id", F.explode(lsh_band_signatures("embedding", n_bands)).alias("bs")

@@ -42,7 +42,7 @@ from ..functions.text_stats import (
 )
 from ..plans.registry import query
 from .relational import dsum_sql
-from ._util import one_group, t
+from ._util import fan_out, one_group, t
 
 _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
@@ -53,9 +53,16 @@ _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 def tokenize(docs: DataFrame, text_col: str = "text", doc_col: str = "doc_id") -> DataFrame:
     """Corpus → one row per (doc_id, token): lowercase, whitespace-split,
-    punctuation-stripped, empties dropped (A4+A5)."""
+    punctuation-stripped, empties dropped (A4+A5).
+
+    fan_out (round 17): the split + regexp punctuation strip — the text
+    family's heaviest per-row stage — ran inside the single-row-group
+    fixture scan's ONE task for every consumer (inverted index, tfidf,
+    bm25, ref pipeline, …). Tokenization is per-row, so spreading the raw
+    docs first cannot change any value; a no-op on real corpus scans.
+    Callers pass raw scans (or tiny local test frames) by contract."""
     return (
-        docs.select(doc_col, F.explode(ws_tokens(text_col)).alias("token"))
+        fan_out(docs).select(doc_col, F.explode(ws_tokens(text_col)).alias("token"))
         .withColumn("token", F.regexp_replace("token", r"\p{P}", ""))
         .filter(F.col("token") != "")
     )
@@ -931,7 +938,10 @@ def bm25_rank(
 def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import dsum
 
-    docs = t(spark, sf_dir, "documents")
+    # fan_out (round 17): the tokenize + trigram fingerprint fold run before
+    # the sh repartition — inside the single-row-group fixture scan's one
+    # task. Per-row; df/ln ride the window count + dsum grid downstream.
+    docs = fan_out(t(spark, sf_dir, "documents"))
     toks = F.filter(ws_tokens("text"), lambda x: x != "")
     d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
     # COUNT-OVER-WINDOW form (round 17, guide §2.4 "remove shuffles

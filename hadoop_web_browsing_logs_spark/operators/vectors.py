@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import duck_cosine_distance
 from ..plans.registry import query
-from ._util import one_group, t
+from ._util import fan_out, one_group, t
 
 N_CENTERS = 8
 
@@ -379,7 +379,15 @@ def q_vec_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import dsum
 
     d = EMBEDDING_DIM
-    vs = load_vectors(spark, sf_dir)
+    # fan_out (round 17): the single-row-group embeddings scan is ONE task,
+    # so the d tail-product arrays + the 64-column quantized partial sums —
+    # the whole query's scalar work — ran on one core (driver bench read
+    # FLAT 8v32 ratios, 0.87/1.04 at sf0.1/sf1.0). Spreading the raw
+    # vector rows first parallelizes the explode + partial agg; every
+    # cross-row sum is on the 1e-6 dsum grid, so the result is
+    # partition-count-independent (bit-identical, rows_equal verified).
+    # Interleaved A/B at sf0.1: 3.72 -> 2.39 s.
+    vs = fan_out(load_vectors(spark, sf_dir))
     n = vs.agg(F.count(F.lit(1)).cast("double").alias("n"))
     # ROW-PER-(vector, i) shape (round 16, guide §1.2 "per-task work"): the
     # original form exploded one STRUCT ROW per product — n·d(d+1)/2 rows
@@ -720,7 +728,15 @@ def lloyd_kmeans(
     after is the map-only-broadcast-assignment / (center,dim)-keyed-dsum
     loop documented on :func:`kmeans_lloyd`.
     """
-    vs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    # fan_out (round 17): the assignment fold + posexplode + dsum partial
+    # aggregation run in the corpus scan stage EVERY iteration — on the
+    # single-row-group fixture scan that is one core for the whole loop.
+    # The docstring's bit-identity across partition counts (dsum sums,
+    # deterministic seeds) makes the spread free of result risk; at real
+    # scale the scan already parallelizes and this is a no-op.
+    vs = fan_out(
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    )
     seeds = (
         vs.orderBy("vec_id")
         .limit(k)
