@@ -161,7 +161,12 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # threshold pushes into the theta-join condition and the intersect
         # runs up to 4x per pair; the scored all-pairs table IS this
         # query's labeled quadratic intermediate, so materializing it
-        # changes nothing about its (deliberate) O(n^2) scale shape
+        # changes nothing about its (deliberate) O(n^2) COMPUTE shape.
+        # STORAGE note (ADVICE r16): the barrier also gives the scored
+        # pairs quadratic executor-storage residency the lazy plan did not
+        # have — acceptable for the labeled differential baseline at
+        # fixture SFs, and this query must never run beyond them (the
+        # prefix join is the declared scale path).
         .localCheckpoint(eager=False)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
